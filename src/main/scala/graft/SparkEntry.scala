@@ -1,13 +1,511 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Sketches, TextAnalysis}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark DataFrame implementation with a DuckDB oracle
+  * (`oracleSql`) over the same parquet tables; non-SQL-expressible operators
+  * (sketch merges, LSH candidate generation, mapPartitions decode) register a
+  * rows-only query instead and are property-tested in ScalaTest.
+  *
+  * Determinism rules applied throughout (the driver hash-compares values):
+  *  - every query ends in a total ORDER BY;
+  *  - double aggregates go through exact DECIMAL sums and cast back, so
+  *    summation order can never change a digit;
+  *  - every tie-breaking window has a unique trailing key.
+  */
 object SparkEntry {
+
+  // --- shared query parameters (sf-independent) -----------------------------
+  private val ClickSeg   = SegmentDef("click", 12)  // flagship: ≥12 clicks
+  private val DailySeg   = 3                        // daily assignment: ≥3 clicks/day
+  private val SplitDate  = "2024-01-15"             // micro-batch split point
+  private val PriceFloor = 450000.0                 // semi/anti join threshold
+  private val AnnK       = 5
+  private val AnnQueries = 8                        // vec_id < 8 are the ANN probes
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a double expression, surfaced as double again:
+    * per-row double math is IEEE-identical across engines, the decimal sum is
+    * exact, so the result is bit-deterministic regardless of partitioning. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(27,6)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("seg_naive")(spark, "/root/testdata/sf0.001")
+
+  // ======================================================================
+  // Reference-parity queries (events table ≈ user_events_*, SURVEY §2)
+  // ======================================================================
+
+  private def segNaive(s: SparkSession, dir: String): DataFrame =
+    Segments.naive(t(s, dir, "events"), ClickSeg).orderBy("user_id")
+
+  private def segIdempotent(s: SparkSession, dir: String): DataFrame =
+    Segments.idempotentExact(t(s, dir, "events"), ClickSeg).orderBy("user_id")
+
+  /** Daily assignment log derived deterministically from events — the shared
+    * input of the W4 semantic pair (SURVEY §2.4). */
+  private def dailyAssignments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === ClickSeg.eventType)
+      .groupBy(col("user_id"), to_date(col("ts")).as("assigned_at"))
+      .agg((count(lit(1)) >= DailySeg).as("value"))
+
+  private def segW4Any(s: SparkSession, dir: String): DataFrame =
+    Segments.membersAnyHistorical(dailyAssignments(s, dir)).orderBy("user_id")
+
+  private def segW4Latest(s: SparkSession, dir: String): DataFrame =
+    Segments.membersLatest(dailyAssignments(s, dir)).orderBy("user_id")
+
+  private def segLatestEvent(s: SparkSession, dir: String): DataFrame =
+    LatestWins.latestRows(t(s, dir, "events"), Seq("user_id"), col("ts"),
+                          tieBreak = Seq(col("event_id")))
+      .select(col("user_id"), col("event_type").as("latest_type"),
+              col("value").as("latest_value"))
+      .orderBy("user_id")
+
+  private def segEventTime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === ClickSeg.eventType)
+      .groupBy(col("user_id"))
+      .agg(count_distinct(col("event_id")).as("n_unique"),
+           unix_timestamp(max(col("ts"))).as("last_event_time"))
+      .withColumn("in_segment", col("n_unique") >= ClickSeg.minCount)
+      .orderBy("user_id")
+
+  /** Micro-batch split-invariance, exact form: two disjoint processing-time
+    * batches produce partial states; their merge must equal the global
+    * aggregate (the invariant behind /root/reference/src/3-microBatch.test.ts).
+    * The DuckDB oracle IS the global aggregate — the equality is the check. */
+  private def segMicroBatchEquiv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type") === ClickSeg.eventType)
+    val cut = lit(SplitDate).cast("timestamp")
+    def partial(batch: DataFrame) =
+      batch.groupBy(col("user_id")).agg(collect_set(col("event_id")).as("ids"))
+    partial(ev.filter(col("ts") < cut))
+      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .groupBy(col("user_id"))
+      .agg(size(array_distinct(flatten(collect_list(col("ids"))))).cast("long").as("n_unique"))
+      .withColumn("in_segment", col("n_unique") >= ClickSeg.minCount)
+      .orderBy("user_id")
+  }
+
+  /** Same pipeline with mergeable HLL sketches (uniqState → uniqMerge) — the
+    * form that holds at 100 TB (bounded state). Approximate → rows-only. */
+  private def segMicroBatchHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type") === ClickSeg.eventType)
+    val cut = lit(SplitDate).cast("timestamp")
+    def partial(batch: DataFrame) =
+      batch.groupBy(col("user_id")).agg(Sketches.uniqState(col("event_id")).as("state"))
+    partial(ev.filter(col("ts") < cut))
+      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .groupBy(col("user_id"))
+      .agg(Sketches.uniqMerge(col("state")).as("n_unique_approx"))
+      .withColumn("in_segment", col("n_unique_approx") >= ClickSeg.minCount)
+      .orderBy("user_id")
+  }
+
+  private def segIdempotentApprox(s: SparkSession, dir: String): DataFrame =
+    Segments.idempotentApprox(t(s, dir, "events"), ClickSeg).orderBy("user_id")
+
+  // ======================================================================
+  // Relational coverage beyond the reference (joins, windows, TPC-H-ish)
+  // ======================================================================
+
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_base_price"),
+           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+           count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q3Revenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count_distinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  private def q5Revenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  private def bigSpenders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_totalprice") > PriceFloor)
+      .select(col("o_custkey").as("c_custkey"))
+
+  private def semiCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(bigSpenders(s, dir), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private def antiCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(bigSpenders(s, dir), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private def windowTop2Orders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private def aggEventStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           count_distinct(col("user_id")).as("n_users"),
+           dsum(col("value")).as("sum_value"),
+           min(col("value")).as("min_value"),
+           max(col("value")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+      .orderBy("event_type")
+
+  private def eventsDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+           count_distinct(col("user_id")).as("n_users"),
+           dsum(col("value")).as("sum_value"))
+      .orderBy("day")
+
+  // ======================================================================
+  // Training-data pipeline operators (documents / embeddings)
+  // ======================================================================
+
+  /** Exact dedup semantics probe: double the corpus, dedup must restore one
+    * row per text (lowest id wins). */
+  private def dedupExactDemo(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.dropExactDuplicates(docs.unionByName(docs))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count_distinct(TextAnalysis.fingerprintMd5(col("text"))).as("n_distinct"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      size(TextAnalysis.words(col("text"))).as("n_words"),
+      TextAnalysis.charCount(col("text")).as("n_chars_m"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+      .orderBy("doc_id")
+
+  private def textLangDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  private def docFingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** Rolling / winnowing fingerprints — engine-defined hashes, rows-only. */
+  private def docFingerprintsExt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+              TextAnalysis.fingerprintRolling(col("text")).as("fp_rolling"),
+              TextAnalysis.fingerprintKgramMin(col("text")).as("fp_kgram_min"))
+      .orderBy("doc_id")
+
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annTopKSrp(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.srpBucketedTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  private def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.95, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
+      .orderBy("media_id")
+
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaTable(t(s, dir, "documents"))
+    Multimodal.frameSamplePlan(
+      Multimodal.resizePlan(Multimodal.decodeAll(media).toDF(), maxSide = 512),
+      stride = 10, maxFrames = 8)
+      .orderBy("media_id")
+  }
+
+  // ======================================================================
+  // Contract maps
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seg_naive"            -> (segNaive _),
+    "seg_idempotent"       -> (segIdempotent _),
+    "seg_idempotent_approx" -> (segIdempotentApprox _),
+    "seg_w4_any"           -> (segW4Any _),
+    "seg_w4_latest"        -> (segW4Latest _),
+    "seg_latest_event"     -> (segLatestEvent _),
+    "seg_eventtime"        -> (segEventTime _),
+    "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
+    "seg_microbatch_hll"   -> (segMicroBatchHll _),
+    "q1_pricing"           -> (q1Pricing _),
+    "q3_revenue"           -> (q3Revenue _),
+    "q5_revenue"           -> (q5Revenue _),
+    "semi_customers"       -> (semiCustomers _),
+    "anti_customers"       -> (antiCustomers _),
+    "window_top2_orders"   -> (windowTop2Orders _),
+    "agg_event_stats"      -> (aggEventStats _),
+    "events_daily"         -> (eventsDaily _),
+    "dedup_exact_demo"     -> (dedupExactDemo _),
+    "dedup_exact_stats"    -> (dedupExactStats _),
+    "text_quality"         -> (textQuality _),
+    "text_lang_dist"       -> (textLangDist _),
+    "doc_fingerprints"     -> (docFingerprints _),
+    "doc_fingerprints_ext" -> (docFingerprintsExt _),
+    "ann_topk_brute"       -> (annTopK _),
+    "ann_topk_srp"         -> (annTopKSrp _),
+    "minhash_neardup"      -> (minhashNearDup _),
+    "simhash_neardup"      -> (simhashNearDup _),
+    "embedding_neardup"    -> (embeddingNearDup _),
+    "multimodal_bytestats" -> (multimodalByteStats _),
+    "multimodal_decode"    -> (multimodalDecode _),
+  )
+
+  // ----------------------------------------------------------------------
+  // DuckDB oracles. Omitted for: approx sketches (seg_microbatch_hll,
+  // seg_idempotent_approx), LSH candidate generation (ann_topk_srp,
+  // minhash/simhash/embedding_neardup — engine-defined hash families),
+  // engine-defined fingerprints (doc_fingerprints_ext), and the
+  // mapPartitions decode stub (multimodal_decode). Those are rows-only here
+  // and property-tested against exact oracles in ScalaTest.
+  // ----------------------------------------------------------------------
+
+  private val EnStop = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "seg_naive" ->
+      s"""SELECT user_id, count(*) AS n_events, count(*) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
+
+    "seg_idempotent" ->
+      s"""SELECT user_id, count(DISTINCT event_id) AS n_unique,
+                 count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
+
+    "seg_w4_any" ->
+      s"""WITH a AS (
+            SELECT user_id, CAST(ts AS DATE) AS assigned_at, count(*) >= $DailySeg AS value
+            FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2)
+          SELECT DISTINCT user_id FROM a WHERE value ORDER BY user_id""",
+
+    "seg_w4_latest" ->
+      s"""WITH a AS (
+            SELECT user_id, CAST(ts AS DATE) AS assigned_at, count(*) >= $DailySeg AS value
+            FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2),
+          r AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY assigned_at DESC) AS rn
+            FROM a)
+          SELECT user_id FROM r WHERE rn = 1 AND value ORDER BY user_id""",
+
+    "seg_latest_event" ->
+      """SELECT user_id, event_type AS latest_type, value AS latest_value
+         FROM (SELECT user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "seg_eventtime" ->
+      s"""SELECT user_id, count(DISTINCT event_id) AS n_unique,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) AS last_event_time,
+                 count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
+
+    "seg_microbatch_equiv" ->
+      s"""SELECT user_id, count(DISTINCT event_id) AS n_unique,
+                 count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_revenue" ->
+      """SELECT c_mktsegment,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q5_revenue" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "semi_customers" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > $PriceFloor)
+          ORDER BY c_custkey""",
+
+    "anti_customers" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > $PriceFloor)
+          ORDER BY c_custkey""",
+
+    "window_top2_orders" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
+
+    "agg_event_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+                min(value) AS min_value, max(value) AS max_value,
+                CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "dedup_exact_demo" ->
+      """SELECT doc_id, source FROM documents ORDER BY doc_id""",
+
+    "dedup_exact_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+                sum(n_chars) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                 length(text) AS n_chars_m,
+                 coalesce(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                          / nullif(length(text), 0), 0.0) AS punct_ratio,
+                 coalesce(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                          w -> list_contains([$EnStop], w)))::DOUBLE
+                          / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0), 0.0)
+                   AS stop_ratio
+          FROM documents ORDER BY doc_id""",
+
+    "text_lang_dist" -> {
+      def hits(lang: String): String = {
+        val list = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), w -> list_contains([$list], w)))"
+      }
+      s"""WITH s AS (
+            SELECT ${hits("en")} AS s_en, ${hits("es")} AS s_es, ${hits("fr")} AS s_fr,
+                   ${hits("de")} AS s_de,
+                   ${hits("zh")} + length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+            FROM documents),
+          p AS (
+            SELECT CASE
+              WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+              WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+              WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+              WHEN s_es > s_en THEN 'es'
+              ELSE 'en' END AS lang_pred
+            FROM s)
+          SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1"""
+    },
+
+    "doc_fingerprints" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+
+    "ann_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id < $AnnQueries),
+          s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM s)
+          SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+          FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk""",
+
+    "multimodal_bytestats" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS digest
+         FROM documents ORDER BY media_id""",
+  )
 }

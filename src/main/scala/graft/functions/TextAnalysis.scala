@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd, no UDFs, no shuffle: each function is a per-row projection that
+  * rides inside whatever WholeStageCodegen span the surrounding plan has.
+  * At 100 TB these run at parquet-scan speed.
+  *
+  * Note on ANSI mode (Spark 4 default): all integer arithmetic below is kept
+  * mod a 31-bit prime before multiplication so it cannot overflow LongType.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (`\S+` runs) — the token-count tokenizer. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Lowercase alphabetic words — the linguistic tokenizer. */
+  def words(text: Column): Column = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def charCount(text: Column): Column  = length(text)
+
+  /** Punctuation characters per text character (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    coalesce(punct.cast("double") / nullif(length(text), lit(0)), lit(0.0))
+  }
+
+  /** Tiny multilingual stopword lists (public-knowledge closed classes). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "de", "la", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
+
+  private def hitCount(ws: Column, list: Seq[String]): Column = {
+    val arr = array(list.map(lit): _*)
+    size(filter(ws, w => array_contains(arr, w)))
+  }
+
+  /** English-stopword hits per word (a classic quality signal: near-zero for
+    * keyword spam / non-language text). */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val ws = words(text)
+    coalesce(hitCount(ws, Stopwords(lang)).cast("double") / nullif(size(ws), lit(0)), lit(0.0))
+  }
+
+  /** Heuristic document-quality score in [0,1]: blends length saturation,
+    * mean word length plausibility, punctuation restraint, and stopword
+    * presence. Deterministic; thresholds are conventional data-cleaning
+    * heuristics (e.g. C4/Gopher-style rules), not learned.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = size(words(text)).cast("double")
+    val lengthScore = least(nChars / lit(200.0), lit(1.0)) // saturate at 200 chars
+    val meanWordLen = coalesce(
+      length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / nullif(nWords, lit(0.0)),
+      lit(0.0))
+    val wordLenScore = when(meanWordLen >= 2.5 && meanWordLen <= 9.0, lit(1.0)).otherwise(lit(0.2))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(4.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lengthScore * lit(0.3) + wordLenScore * lit(0.3) +
+          punctScore * lit(0.2) + stopScore * lit(0.2), 4)
+  }
+
+  /** N-gram/stopword language ID: score each candidate language by stopword
+    * hits (plus a CJK-codepoint signal for zh), pick the argmax; ties resolve
+    * to the earlier language in [[langOrder]]. Pure column expression.
+    */
+  val langOrder: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores: Seq[(String, Column)] = langOrder.map {
+      case "zh" => "zh" -> (hitCount(ws, Stopwords("zh")) + cjk)
+      case l    => l -> hitCount(ws, Stopwords(l))
+    }
+    // keep the strictly-greatest score, first-listed language wins ties
+    scores.tail.foldLeft(struct(lit(scores.head._1).as("lang"), scores.head._2.as("s"))) {
+      case (best, (l, s)) =>
+        when(s > best.getField("s"), struct(lit(l).as("lang"), s.as("s"))).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Canonical text normalization shared by fingerprints: collapse whitespace,
+    * lowercase, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Full-document fingerprint: md5 of the normalized text (hex string). */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Rolling polynomial (Rabin-Karp) fingerprint of the normalized text,
+    * mod a 31-bit prime: hash = Σ c_i · 31^i  (mod p). Computed as a fold over
+    * the character array — products stay < 2^62, ANSI-safe.
+    */
+  val FingerprintPrime = 2147483647L // 2^31 - 1
+
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      split(normalized(text), ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+                        lit(FingerprintPrime)))
+
+  /** Winnowing-style k-gram fingerprint: the minimum 64-bit hash over all
+    * character k-grams of the normalized text (null for texts shorter than k).
+    * Robust to local edits away from the minimizing gram.
+    */
+  def fingerprintKgramMin(text: Column, k: Int = 8): Column = {
+    val t = normalized(text)
+    val hashes = transform(
+      sequence(lit(1), length(t) - lit(k - 1)),
+      i => xxhash64(t.substr(i, lit(k))))
+    when(length(t) >= k, array_min(hashes))
+  }
+}

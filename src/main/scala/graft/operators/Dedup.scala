@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Document deduplication for training-data pipelines, at four fidelities:
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the point of each choice):
+  *  - Exact dedup is one hash-shuffle on a 16-byte digest — never on the full
+  *    text (shuffling 100 TB of text bodies vs ~2 TB of digests).
+  *  - MinHash signatures/SimHash bits are per-row projections (no shuffle, no
+  *    UDF — nested `transform` over the shingle array, codegen'd).
+  *  - LSH banding turns the quadratic all-pairs problem into
+  *    `groupBy(band, bandHash)` — only documents sharing a band bucket are
+  *    ever paired. The bucket self-join shuffles on the bucket key; candidate
+  *    verification then touches candidate pairs only.
+  *  - Jaccard verification re-joins the (small) candidate set back to shingle
+  *    arrays — O(candidates), not O(n²).
+  *
+  * All hash constants derive from a fixed seeded PRNG → runs are
+  * deterministic. Arithmetic is kept below 2^62 (31-bit prime field), safe
+  * under Spark 4's default ANSI overflow checking.
+  */
+object Dedup {
+
+  val Prime = 2147483647L // 2^31 - 1, the MinHash field
+
+  /** Deterministic (a, b) pairs for the universal hash family
+    * h_j(x) = (a_j·x + b_j) mod p, from a fixed-seed PRNG. */
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextLong().abs % (Prime - 1), rnd.nextLong().abs % Prime))
+  }
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups: md5 digest of the normalized text, grouped.
+    * Returns one row per duplicated digest with the kept (minimum) id and the
+    * group size. */
+  def exactDuplicateGroups(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), TextAnalysis.fingerprintMd5(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+
+  /** Exact dedup: keep the lowest-id document per normalized-text digest.
+    * Window `row_number()==1` over the digest — one shuffle on the digest. */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprintMd5(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct character k-shingles of the normalized text, pre-hashed into the
+    * 31-bit prime field (so downstream products never overflow). */
+  def shingleHashes(text: Column, k: Int = 5): Column = {
+    val t = TextAnalysis.normalized(text)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - lit(k - 1), lit(1))),
+      i => pmod(xxhash64(t.substr(i, lit(k))), lit(Prime)))
+    array_distinct(grams)
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature: sig[j] = min over shingles s of (a_j·s + b_j mod p).
+    * A per-row nested `transform` — embarrassingly parallel, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int = 128,
+                       seed: Long = 42L): Column = {
+    val params = hashParams(numHashes, seed)
+    val sig = params.map { case (a, b) =>
+      array_min(transform(shingles, s => pmod(s * lit(a) + lit(b), lit(Prime))))
+    }
+    array(sig: _*)
+  }
+
+  /** Explode a signature into LSH band buckets: (band, bucket-hash) pairs.
+    * Two docs collide in a band iff their signature rows in that band agree
+    * exactly — P[collide] = 1-(1-j^r)^b for Jaccard j, r rows, b bands.
+    * Fixed band count → generated as a Scala-level expression list. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+             xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bucket"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via MinHash+LSH, verified with exact
+    * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard >= threshold.
+    */
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            shingleK: Int = 5, numHashes: Int = 128,
+                            bands: Int = 32, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withShingles = docs
+      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("shingles"))
+    val sigs = withShingles
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
+      .select(col(idCol), col("shingles"),
+              explode(lshBands(col("sig"), bands, r)).as("bb"))
+      .select(col(idCol), col("shingles"), col("bb.band"), col("bb.bucket"))
+    val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+                        col("shingles").as("sh_a"))
+    val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+                        col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard", jaccardOfArrays(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard of two pre-deduplicated arrays. */
+  def jaccardOfArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    coalesce(inter / nullif(uni, lit(0.0)), lit(0.0))
+  }
+
+  /** Brute-force n-gram Jaccard over all pairs — the O(n²) oracle used to
+    * validate the LSH path in tests. Never run this at scale. */
+  def bruteForceJaccardPairs(docs: DataFrame, threshold: Double,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             shingleK: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccardOfArrays(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over the word multiset: bit i of the result is 1 iff
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1) > 0. Per-row projection. */
+  def simhash64(text: Column): Column = {
+    val hs = transform(TextAnalysis.words(text), w => xxhash64(w)) // hash each word once
+    val bitExprs = (0 until 64).map { i =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitExprs.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicates: pigeonhole the 64 bits into `chunks` blocks —
+    * any pair within `maxHamming < chunks` distance must agree exactly on at
+    * least one block → block-equality join finds all of them, then exact
+    * Hamming verifies. Same ban-the-n² trick as LSH banding.
+    */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            chunks: Int = 4): DataFrame = {
+    val bits = 64 / chunks
+    val hashed = docs.select(col(idCol), simhash64(col(textCol)).as("sh"))
+    val banded = hashed.select(col(idCol), col("sh"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+               shiftright(col("sh"), c * bits)
+                 .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+      }: _*)).as("cb"))
+      .select(col(idCol), col("sh"), col("cb.chunk"), col("cb.key"))
+    val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.state
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.operators.{LatestWins, SegmentDef}
+
+/** Incremental micro-batch segmentation over a persisted partial-aggregate
+  * state store — the Spark rendition of reference variants 3 and 4
+  * (/root/reference/src/3-microBatch.test.ts, 4-eventTime.test.ts).
+  *
+  * ClickHouse design → Spark design, piece by piece:
+  *
+  *  - AggregatingMergeTree state table holding `AggregateFunction(uniq, …)` /
+  *    `AggregateFunction(max, …)` (3-microBatch.test.ts:23-29,
+  *    4-eventTime.test.ts:24-31) → append-only parquet table of
+  *    (user_id, event_count: BINARY hll sketch, last_event_time, computed_at),
+  *    day-partitioned on computed_date (S4, 3-microBatch.test.ts:36). Rows per
+  *    user merge at read (uniqMerge / max) — AggregatingMergeTree's background
+  *    collapse becomes an explicit [[compact]] job.
+  *  - Materialized view → change log (3-microBatch.test.ts:50-56): ClickHouse
+  *    MVs are insert triggers, so the faithful Spark form is a SECOND write of
+  *    the same batch's keys in [[processBatch]] — same rows, same atomicity
+  *    story as the reference (one logical ingest, two table writes).
+  *  - Micro-batch cursor (T1/T3): the caller supplies `lowerBound`/`batchTs`
+  *    processing-time bounds, exactly the client-computed cursors of
+  *    3-microBatch.test.ts:86-88. The cursor column is PROCESSING time
+  *    (4-eventTime.test.ts:140) so late event-time arrivals are never missed;
+  *    event time rides along as a mergeable `max` state (T5).
+  *  - Delta-driven recompute (T4): the merge pass restricts the state scan to
+  *    users touched this batch via a LEFT SEMI join against the change log
+  *    (3-microBatch.test.ts:143-148). The change-log side is tiny (this
+  *    batch's users) → Catalyst/AQE plans a broadcast-hash semi join: the 100
+  *    TB state table is filtered without shuffling it.
+  *
+  * Scale notes: state size is O(users × 4 KB sketch), independent of event
+  * count; per-batch work is O(batch events) + O(touched users); nothing
+  * rescans history except the per-user state rows, which [[compact]] keeps at
+  * ~1 row/user. All three writes are day-partitioned appends → partition
+  * pruning serves both the time-bounded reads (P6) and the retention job.
+  */
+final case class StateStorePaths(root: String) {
+  val states: String      = s"$root/user_states"
+  val changeLog: String   = s"$root/updated_user_states"
+  val assignments: String = s"$root/segment_assignments"
+}
+
+class MicroBatchPipeline(
+    spark: SparkSession,
+    seg: SegmentDef,
+    paths: StateStorePaths,
+    userCol: String = "user_id",
+    typeCol: String = "event_type",
+    idCol: String = "event_id",
+    procTimeCol: String = "ts",
+    eventTimeCol: Option[String] = None,
+    lgK: Int = Sketches.DefaultLgK) {
+
+  import spark.implicits._
+
+  /** One micro-batch: state update + change-log co-write + delta-restricted
+    * segment merge. `lowerBound` ≤ processing_time < `batchTs` is this batch's
+    * slice (the reference uses only the lower bound, 3-microBatch.test.ts:126;
+    * we add the upper bound so replays are deterministic).
+    */
+  def processBatch(events: DataFrame, lowerBound: Timestamp, batchTs: Timestamp): Unit = {
+    // --- state update (INSERT INTO user_states SELECT … uniqState …,
+    //     3-microBatch.test.ts:116-133 / 4-eventTime.test.ts:129-147)
+    val sliced = events
+      .filter(col(typeCol) === seg.eventType)
+      .filter(col(procTimeCol) >= lit(lowerBound) && col(procTimeCol) < lit(batchTs))
+    val aggs =
+      Sketches.uniqState(col(idCol), lgK).as("event_count") +:
+      eventTimeCol.map(c => max(col(c)).as("last_event_time")).toSeq
+    val partials = sliced
+      .groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("computed_at", lit(batchTs))
+      .withColumn("computed_date", to_date(lit(batchTs)))
+      .cache()
+    partials.write.mode("append").partitionBy("computed_date").parquet(paths.states)
+
+    // --- the "materialized view": co-write the same inserted block's keys to
+    //     the change log (3-microBatch.test.ts:50-56 — ClickHouse MVs trigger
+    //     on the inserted block, so we project from `partials`, not a rescan)
+    partials.select(col(userCol), col("computed_at"), col("computed_date"))
+      .write.mode("append").partitionBy("computed_date").parquet(paths.changeLog)
+    partials.unpersist()
+
+    // --- segment merge restricted to this batch's users
+    //     (3-microBatch.test.ts:135-154 / 4-eventTime.test.ts:149-169)
+    val touched = spark.read.parquet(paths.changeLog)
+      .filter(col("computed_date") >= to_date(lit(batchTs)) && col("computed_at") >= lit(batchTs))
+      .select(col(userCol)).distinct()
+    val mergeAggs =
+      (Sketches.uniqMerge(col("event_count")) >= seg.minCount).as("value") +:
+      eventTimeCol.map(_ => max(col("last_event_time")).as("last_event_time")).toSeq
+    val merged = spark.read.parquet(paths.states)
+      .join(broadcast(touched), Seq(userCol), "left_semi")
+      .groupBy(col(userCol))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .withColumn("assigned_at", lit(batchTs))
+      .withColumn("assigned_date", to_date(lit(batchTs)))
+    merged.write.mode("append").partitionBy("assigned_date").parquet(paths.assignments)
+  }
+
+  /** Segment read-back: latest-wins over the assignment log, HAVING
+    * latest value = true (/root/reference/src/3-microBatch.test.ts:156-169,
+    * 4-eventTime.test.ts:171-185 — `argMax(value, assigned_at)`).
+    */
+  def members(): DataFrame = {
+    val payload = "value" +: eventTimeCol.map(_ => "last_event_time").toSeq
+    val latest = LatestWins.maxBy(
+      spark.read.parquet(paths.assignments),
+      Seq(userCol), col("assigned_at"), payload)
+      .filter(col("value"))
+    eventTimeCol match {
+      case Some(_) => latest.select(col(userCol), col("value").as("latest_value"),
+        unix_timestamp(col("last_event_time")).as("last_event_time"))
+      case None => latest.select(col(userCol), col("value").as("latest_value"))
+    }
+  }
+
+  /** AggregatingMergeTree's background merge, made explicit: collapse the
+    * state table to one row per user by unioning sketches. Keeps read-side
+    * merge cost O(1 row/user) no matter how many batches have run.
+    */
+  def compact(compactTs: Timestamp): Unit = {
+    val aggs =
+      Sketches.uniqMergeState(col("event_count")).as("event_count") +:
+      eventTimeCol.map(_ => max(col("last_event_time")).as("last_event_time")).toSeq
+    val tmp = s"${paths.states}__compacting"
+    spark.read.parquet(paths.states)
+      .groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("computed_at", lit(compactTs))
+      .withColumn("computed_date", to_date(lit(compactTs)))
+      .write.mode("overwrite").partitionBy("computed_date").parquet(tmp)
+    // swap: never overwrite the table we are still reading from
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(paths.states), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(paths.states))
+  }
+}

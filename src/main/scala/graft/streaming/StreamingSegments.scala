@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.SegmentDef
+import graft.state.{MicroBatchPipeline, StateStorePaths}
+
+/** Structured Streaming renditions of the reference's hand-rolled micro-batch
+  * loop (/root/reference/src/3-microBatch.test.ts:86-88 — the client computing
+  * wall-clock cursors IS a micro-batch trigger; Spark provides it natively).
+  *
+  * Two renditions, per SURVEY.md §7.2 step 5:
+  *
+  *  1. [[foreachBatchPipeline]] — `foreachBatch` driving the SAME persisted
+  *     parquet state store as the batch [[MicroBatchPipeline]]. This is the
+  *     faithful design: state lives in a table, not engine memory, so it
+  *     survives restarts exactly as AggregatingMergeTree state does, and the
+  *     batch/streaming code paths share one implementation. Source offsets
+  *     replace the hand cursor (T1); each micro-batch id stamps
+  *     `computed_at`.
+  *
+  *  2. [[watermarkedCounts]] — the idiomatic-Spark alternative: native
+  *     streaming aggregation with an event-time watermark bounding state
+  *     (T5/T6). Here Spark's own state store holds the running aggregate;
+  *     the watermark delay plays the role of the reference's tolerated
+  *     event-time skew (fixture skew: 30 s, 4-eventTime.test.ts:92-98).
+  */
+object StreamingSegments {
+
+  /** Wire a streaming event source into the persisted-state pipeline. The
+    * epoch's batch id becomes the `computed_at` stamp (monotone per batch, as
+    * the reference's `now` cursor is). Caller starts/stops the query.
+    */
+  def foreachBatchPipeline(
+      events: DataFrame, // streaming DataFrame
+      pipeline: MicroBatchPipeline,
+      epochToTs: Long => Timestamp): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ts = epochToTs(batchId)
+        val lower = new Timestamp(Long.MinValue / 2) // offsets bound the slice; no cursor needed
+        pipeline.processBatch(batch, lower, ts)
+      }
+
+  /** Native watermarked streaming aggregation: running exact distinct-id count
+    * + max event time per user. `withWatermark` bounds state retention; late
+    * rows within the delay still update their user (T6). Output mode Update —
+    * each trigger emits changed users only, the streaming analogue of the
+    * change-log-restricted merge (T4).
+    */
+  def watermarkedCounts(
+      events: DataFrame, // streaming, with event-time column
+      seg: SegmentDef,
+      eventTimeCol: String,
+      watermarkDelay: String = "10 minutes",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame =
+    events
+      .filter(col(typeCol) === seg.eventType)
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol) // exactly-once under duplicate delivery (T7)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_unique"), max(col(eventTimeCol)).as("last_event_time"))
+      .withColumn("in_segment", col("n_unique") >= seg.minCount)
+}
