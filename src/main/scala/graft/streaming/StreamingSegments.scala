@@ -37,15 +37,16 @@ object StreamingSegments {
   def foreachBatchPipeline(
       events: DataFrame, // streaming DataFrame
       pipeline: MicroBatchPipeline,
-      epochToTs: Long => Timestamp): DataStreamWriter[Row] =
-    events.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
+      epochToTs: Long => Timestamp,
+      trigger: Option[Trigger] = None): DataStreamWriter[Row] = {
+    val base = events.writeStream.outputMode(OutputMode.Append)
+    trigger.fold(base)(base.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ts = epochToTs(batchId)
-        val lower = new Timestamp(Long.MinValue / 2) // offsets bound the slice; no cursor needed
+        val lower = new Timestamp(0L) // offsets bound the slice; no cursor needed
         pipeline.processBatch(batch, lower, ts)
       }
+  }
 
   /** Native watermarked streaming aggregation: running exact distinct-id count
     * + max event time per user. `withWatermark` bounds state retention; late

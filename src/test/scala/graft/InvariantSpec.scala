@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.operators.{LatestWins, SegmentDef, Segments}
+import graft.state.{MicroBatchPipeline, StateStorePaths}
+
+/** Randomized (fixed-seed) invariants — the properties SURVEY.md §5 calls
+  * for: batch-split invariance of the state merge, duplicate-injection
+  * invariance of distinct counts, latest-wins ≡ per-key max-timestamp oracle.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randomEvents(n: Int, users: Int, ids: Int): Seq[Ev] =
+    (0 until n).map { _ =>
+      Ev(s"u${rnd.nextInt(users)}", "BUTTON_CLICK",
+         new Timestamp(1672531200000L + rnd.nextInt(1000000) * 1000L),
+         s"m${rnd.nextInt(ids)}")
+    }
+
+  test("micro-batch split invariance: merge(partials(split)) == global, any split") {
+    val events = randomEvents(500, users = 20, ids = 200)
+    val df = events.toDF().cache()
+    val global = df.filter($"event_type" === "BUTTON_CLICK")
+      .groupBy($"user_id").agg(count_distinct($"event_id").as("n"))
+      .as[(String, Long)].collect().toMap
+
+    for (trial <- 0 until 3) {
+      val cut = new Timestamp(1672531200000L + (200000 + trial * 300000) * 1000L)
+      val partial = (b: org.apache.spark.sql.DataFrame) =>
+        b.groupBy($"user_id").agg(Sketches.uniqState($"event_id").as("st"))
+      val merged = partial(df.filter($"ts" < cut))
+        .unionByName(partial(df.filter($"ts" >= cut)))
+        .groupBy($"user_id").agg(Sketches.uniqMerge($"st").as("n"))
+        .as[(String, Long)].collect().toMap
+      // HLL at lgK=12 is exact far beyond these cardinalities
+      assert(merged == global, s"split at $cut diverged")
+    }
+    df.unpersist()
+  }
+
+  test("sketch merge is associative and order-insensitive") {
+    val events = randomEvents(300, users = 5, ids = 500).toDF().cache()
+    def mergedOver(splits: Seq[Int]): Map[String, Long] = {
+      val parts = splits.sliding(2).map { case Seq(lo, hi) =>
+        events.filter(pmod(xxhash64($"event_id"), lit(100)).between(lo, hi - 1))
+          .groupBy($"user_id").agg(Sketches.uniqState($"event_id").as("st"))
+      }.toSeq
+      parts.reduce(_ unionByName _)
+        .groupBy($"user_id").agg(Sketches.uniqMerge($"st").as("n"))
+        .as[(String, Long)].collect().toMap
+    }
+    val twoWay = mergedOver(Seq(0, 50, 100))
+    val fourWay = mergedOver(Seq(0, 25, 50, 75, 100))
+    assert(twoWay == fourWay)
+    events.unpersist()
+  }
+
+  test("duplicate injection never changes idempotent membership") {
+    val base = randomEvents(400, users = 15, ids = 300)
+    val seg = SegmentDef("BUTTON_CLICK", 5)
+    val clean = Segments.idempotentExact(base.toDF(), seg)
+      .filter($"in_segment").select($"user_id").as[String].collect().toSet
+    // re-deliver a random 50% of events up to 3 extra times
+    val dups = base ++ rnd.shuffle(base).take(200).flatMap(e =>
+      Seq.fill(1 + rnd.nextInt(3))(e))
+    val dirty = Segments.idempotentExact(dups.toDF(), seg)
+      .filter($"in_segment").select($"user_id").as[String].collect().toSet
+    assert(dirty == clean)
+  }
+
+  test("latest-wins == per-key max-timestamp oracle (both plan forms)") {
+    val log = (0 until 400).map { i =>
+      AsgSeq(s"u${rnd.nextInt(30)}", rnd.nextBoolean(),
+          new Timestamp(1672531200000L + rnd.nextInt(100) * 1000L), i.toLong)
+    }
+    val df = log.toDF().cache()
+    // oracle: scala-side latest by (assigned_at, seq)
+    val oracle = log.groupBy(_.user_id).map { case (u, as) =>
+      u -> as.maxBy(a => (a.assigned_at.getTime, a.seq)).value
+    }
+    val viaMaxBy = LatestWins.maxBy(df, Seq("user_id"), $"assigned_at",
+        Seq("value"), tieBreak = Seq($"seq"))
+      .as[(String, Boolean)].collect().toMap
+    val viaWindow = LatestWins.latestRows(df, Seq("user_id"), $"assigned_at",
+        tieBreak = Seq($"seq"))
+      .select($"user_id", $"value").as[(String, Boolean)].collect().toMap
+    assert(viaMaxBy == oracle)
+    assert(viaWindow == oracle)
+    df.unpersist()
+  }
+
+  test("incremental pipeline over random batches == one-shot batch result") {
+    val events = randomEvents(300, users = 10, ids = 150)
+      .sortBy(_.ts.getTime)
+    val seg = SegmentDef("BUTTON_CLICK", 8)
+    val paths = StateStorePaths(tmpDir("inv"))
+    val pipe = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    // cut into 4 arbitrary processing-time batches
+    val times = events.map(_.ts.getTime)
+    val cuts = Seq(times.min, times.max * 1 / 4 + times.min * 3 / 4,
+                   times.max / 2 + times.min / 2, times.max + 1000)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      pipe.processBatch(events.toDF(), new Timestamp(lo), new Timestamp(hi))
+    }
+    val incremental = pipe.members().select($"user_id").as[String].collect().toSet
+    val oneShot = Segments.idempotentExact(events.toDF(), seg)
+      .filter($"in_segment").select($"user_id").as[String].collect().toSet
+    assert(incremental == oneShot)
+  }
+}

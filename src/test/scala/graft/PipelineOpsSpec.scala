@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Dedup / similarity / text / multimodal operators, validated against exact
+  * oracles computed in-process (brute force) on small data.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "sphinx of black quartz judge my vow"),
+    (5L, "completely different text about spark and scala engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val kept = Dedup.dropExactDuplicates(docs).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L, 5L))
+    val groups = Dedup.exactDuplicateGroups(docs)
+      .select($"keep_id", $"group_size").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((0L, 2L)))
+  }
+
+  test("minhash LSH finds the same near-dup pairs as brute force") {
+    val brute = Dedup.bruteForceJaccardPairs(docs, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDuplicates(docs, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 3L)), "exact dup pair must be found")
+    assert(brute.contains((0L, 1L)), "near dup pair must be found")
+    // LSH verifies candidates with exact jaccard → no false positives;
+    // with 128 hashes / 32 bands at j>=0.5, recall here must be total
+    assert(lsh == brute)
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val sigs = docs.filter($"doc_id".isin(0L, 1L))
+      .select(Dedup.minhashSignature(Dedup.shingleHashes($"text"), 128).as("sig"))
+      .as[Seq[Long]].collect()
+    val est = sigs(0).zip(sigs(1)).count { case (a, b) => a == b } / 128.0
+    val shingles = docs.filter($"doc_id".isin(0L, 1L))
+      .select(Dedup.shingleHashes($"text").as("sh")).as[Seq[Long]].collect()
+    val exact = shingles(0).toSet.intersect(shingles(1).toSet).size.toDouble /
+      shingles(0).toSet.union(shingles(1).toSet).size
+    assert(math.abs(est - exact) < 0.15, s"minhash est $est vs exact $exact")
+  }
+
+  test("simhash: identical texts collide, near-dups within small hamming") {
+    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming = 12)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 3L)) == 0, "exact dup → identical simhash")
+    assert(m.contains((0L, 1L)), "one-word change → small hamming distance")
+  }
+
+  test("srp-bucketed ANN achieves high recall vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.srpBucketedTopK(emb, queries, 5, dim = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"SRP recall $recall too low")
+  }
+
+  test("cosine math matches an in-process oracle") {
+    val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = rows.crossJoin(rows.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .filter($"vec_id" < $"id2")
+      .select(Similarity.cosine($"embedding", $"e2")).as[Double].collect()(0)
+    assert(math.abs(got - 0.6) < 1e-6) // float32 inputs: ~1e-8 representation error
+  }
+
+  test("language id picks the max-stopword-hit language deterministically") {
+    val texts = Seq(
+      (1L, "the cat and the dog of it is that"),
+      (2L, "el perro y la casa de que los se no un"),
+      (3L, "le chien et la maison les des du une"),
+      (4L, "der hund und die katze den von zu das mit"),
+      (5L, "的 一 是 不 了")).toDF("doc_id", "text")
+    val out = texts.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("text functions handle empty and degenerate inputs") {
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "!!!"), (4L, "a")).toDF("doc_id", "text")
+    val out = weird.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("nt"),
+      TextAnalysis.punctRatio($"text").as("pr"),
+      TextAnalysis.stopwordRatio($"text").as("sr"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.fingerprintRolling($"text").as("fp"))
+      .collect()
+    assert(out.length == 4) // no NaN/ANSI crashes; values defined everywhere
+    out.foreach { r => assert(!r.anyNull || r.getLong(0) >= 3) }
+  }
+
+  test("rolling fingerprint is whitespace-normalization invariant") {
+    val t = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = t.select(TextAnalysis.fingerprintRolling($"text")).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal decode plumbing: stub codec through mapPartitions") {
+    val media = Multimodal.syntheticMediaTable(
+      Seq((1L, "hello"), (2L, "a much longer synthetic media payload")).toDF("doc_id", "text"))
+    val decoded = Multimodal.decodeAll(media).toDF()
+    assert(decoded.count() == 2)
+    val planned = Multimodal.frameSamplePlan(
+      Multimodal.resizePlan(decoded, maxSide = 512), stride = 2, maxFrames = 4)
+    val row = planned.filter($"media_id" === 2L)
+      .select($"n_bytes", $"out_width", $"frame_plan").collect()(0)
+    assert(row.getLong(0) == 37L)
+    assert(row.getInt(1) <= 512)
+    assert(row.getSeq[Int](2).nonEmpty)
+    // determinism: same bytes → same stub metadata
+    val twice = Multimodal.decodeAll(media).toDF().collect().toSet
+    assert(twice == decoded.collect().toSet)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.SegmentDef
+import graft.state.{MicroBatchPipeline, Retention, StateStorePaths}
+import graft.streaming.StreamingSegments
+
+class StateAndStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val seg = SegmentDef("BUTTON_CLICK", 2)
+
+  test("state compaction preserves membership and collapses to one row per user") {
+    val paths = StateStorePaths(tmpDir("compact"))
+    val pipe = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    // 3 batches, one event each for user A; one for user B
+    for (i <- 0 until 3) {
+      val batch = Seq(
+        Ev("A", "BUTTON_CLICK", ts(s"2023-01-0${i + 1} 00:00:00"), s"a$i"),
+        Ev("B", "BUTTON_CLICK", ts(s"2023-01-0${i + 1} 00:00:00"), "b0") // same id re-delivered
+      ).toDF()
+      pipe.processBatch(batch, ts(s"2023-01-0${i + 1} 00:00:00"),
+                        ts(s"2023-01-0${i + 1} 12:00:00"))
+    }
+    val before = pipe.members().select($"user_id").as[String].collect().sorted
+    assert(before.toSeq == Seq("A")) // A: 3 distinct ids; B: 1 distinct id
+    val stateRowsBefore = spark.read.parquet(paths.states).count()
+    assert(stateRowsBefore == 6)
+
+    pipe.compact(ts("2023-01-04 00:00:00"))
+    val stateRowsAfter = spark.read.parquet(paths.states).count()
+    assert(stateRowsAfter == 2, "one merged row per user after compaction")
+
+    // post-compaction batches still merge correctly with compacted sketches
+    val b4 = Seq(Ev("B", "BUTTON_CLICK", ts("2023-01-04 01:00:00"), "b1")).toDF()
+    pipe.processBatch(b4, ts("2023-01-04 01:00:00"), ts("2023-01-04 02:00:00"))
+    val after = pipe.members().select($"user_id").as[String].collect().sorted
+    assert(after.toSeq == Seq("A", "B"))
+  }
+
+  test("retention drops only partitions older than the horizon") {
+    val root = tmpDir("ttl")
+    val df = Seq(
+      ("u1", ts("2023-01-01 00:00:00")),
+      ("u2", ts("2023-03-01 00:00:00"))).toDF("user_id", "computed_at")
+      .withColumn("computed_date", to_date($"computed_at"))
+    df.write.partitionBy("computed_date").parquet(s"$root/log")
+    val dropped = Retention.expire(spark, s"$root/log",
+      asOf = java.time.LocalDate.parse("2023-03-10"), retentionDays = 30)
+    assert(dropped == Seq("2023-01-01"))
+    val left = spark.read.parquet(s"$root/log").select($"user_id").as[String].collect()
+    assert(left.toSeq == Seq("u2"))
+  }
+
+  test("foreachBatch streaming drives the same persisted-state pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val paths = StateStorePaths(tmpDir("stream"))
+    val pipe = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    val source = MemoryStream[Ev]
+    source.addData(
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"),
+      Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3"))
+    val q = StreamingSegments.foreachBatchPipeline(
+      source.toDF(), pipe,
+      epochToTs = id => ts(s"2023-01-02 00:00:0${id % 10}")).start()
+    q.processAllAvailable()
+    // second epoch: user 2's second distinct event
+    source.addData(Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:06:00"), "m4"))
+    q.processAllAvailable()
+    q.stop()
+    val members = pipe.members().select($"user_id").as[String].collect().sorted
+    assert(members.toSeq == Seq("1", "2"))
+  }
+
+  test("native watermarked streaming aggregation with dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val agg = StreamingSegments.watermarkedCounts(
+      source.toDF(), seg, eventTimeCol = "ts", watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_counts")
+      .outputMode("update").start()
+    source.addData(
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"),
+      Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3"),
+      Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3")) // duplicate delivery
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_counts")
+      .groupBy($"user_id").agg(max($"n_unique").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows("1") == 2)
+    assert(rows("2") == 1, "duplicate message_id must not double-count")
+  }
+}
