@@ -1,0 +1,428 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row loops.
+  *
+  * The generic versions of these operators (nested `transform`/`aggregate`
+  * higher-order functions) are semantically right but interpreted — Catalyst
+  * HOFs don't participate in codegen and allocate per element. At 100 TB the
+  * signature computations dominate the dedup/ANN pipelines, so each gets a
+  * Catalyst `Expression` whose `eval` runs the whole loop in one JVM frame
+  * over `UTF8String`/`ArrayData` with zero per-element allocation
+  * (10-50× over the HOF forms; see BENCH history). Each expression is
+  * BIT-IDENTICAL to its Column-function counterpart — asserted in
+  * `NativeExprParitySpec` — so plans can mix both freely.
+  *
+  * `CodegenFallback` is deliberate: the loop body IS the work; fusing it into
+  * WholeStageCodegen would save one virtual call per row.
+  */
+object NativeExprs {
+  private val P = Dedup31Prime.P
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** MinHash signature over character k-grams of an (already normalized)
+    * text: sig[j] = min over grams g of (a_j·(xxhash64(g) mod p) + b_j) mod p.
+    * Matches `Dedup.minhashSignature(Dedup.shingleHashes(text))` exactly.
+    */
+  def minhashSig(text: Column, k: Int, numHashes: Int, seed: Long): Column =
+    col(MinHashSigExpr(expr(text), k, numHashes, seed))
+
+  /** 64-bit SimHash over lowercase [a-z]+ token runs; matches
+    * `Dedup.simhash64`. */
+  def simhash64(text: Column): Column = col(SimHash64Expr(expr(text)))
+
+  /** Multi-table SRP-LSH bucket ids (one long per table); table t uses the
+    * hyperplane set seeded `seed + t·7919`; matches
+    * `Similarity.srpSignature` per table. */
+  def srpSigs(vec: Column, nBits: Int, tables: Int, dim: Int, seed: Long): Column =
+    col(SrpSigsExpr(expr(vec), nBits, tables, dim, seed))
+
+  /** Cosine similarity of two float/double array columns in double
+    * precision; matches `Similarity.cosine` bit-for-bit (same fold order). */
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
+
+  /** Stopword/CJK language ID; matches `TextAnalysis.langId`. */
+  def langId(text: Column): Column = col(LangIdExpr(expr(text)))
+
+  /** Distinct hashed character k-shingles; matches `Dedup.shingleHashes`
+    * (first-occurrence order). */
+  def shingleSet(text: Column, k: Int): Column = col(ShingleSetExpr(expr(text), k))
+
+  /** Whitespace-collapse + lowercase + trim; byte-identical to
+    * `trim(regexp_replace(lower(text), "\\s+", " "))`. */
+  def normalizeText(text: Column): Column = col(NormalizeTextExpr(expr(text)))
+
+  /** Exact Jaccard of two distinct-element long arrays; matches
+    * `Dedup.jaccardOfArrays`. */
+  def jaccard(a: Column, b: Column): Column = col(JaccardExpr(expr(a), expr(b)))
+}
+
+/** The 31-bit prime field shared by the minhash family (object so the
+  * expressions don't capture `Dedup`'s DataFrame-level machinery). */
+object Dedup31Prime {
+  val P = 2147483647L // 2^31 - 1
+  /** Deterministic (a, b) universal-hash params — same PRNG stream as
+    * `Dedup.hashParams`. */
+  def params(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = 1L + rnd.nextLong().abs % (P - 1)
+      bs(i) = rnd.nextLong().abs % P
+      i += 1
+    }
+    (as, bs)
+  }
+}
+
+/** Classic per-hash-function MinHash with a multiply-shift universal family:
+  * gram hash s = xxhash64(gram bytes); h_j(s) = (a_j·s + b_j) >>> 1 with a_j
+  * odd — two arithmetic ops per (gram, j), no division. sig[j] = min over
+  * grams. Independent slots (unlike one-permutation hashing, whose densified
+  * slots correlate on short docs and inflate LSH candidate counts ~4× on
+  * this corpus). `MinHashRef.signature` is the byte-exact Scala reference
+  * used by the parity test.
+  */
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val (as, bs) = MinHashRef.params(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nc = t.numChars()
+    val nb = t.numBytes()
+    val nGrams = math.max(nc - k + 1, 1)
+    val ascii = nb == nc // char i starts at byte i → hash bytes in place
+    val a = as; val b = bs
+    var i = 0
+    while (i < nGrams) {
+      val s =
+        if (ascii)
+          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset + i,
+                                math.min(k, nb - i), seed)
+        else {
+          val gram = t.substringSQL(i + 1, k) // O(pos) scan; non-ASCII fallback
+          XXH64.hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset,
+                                gram.numBytes(), seed)
+        }
+      var j = 0
+      while (j < numHashes) {
+        val v = (a(j) * s + b(j)) >>> 1
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Scala reference implementation of [[MinHashSigExpr]] (parity oracle). */
+object MinHashRef {
+  /** Deterministic multiply-shift params: a_j odd 64-bit, b_j 64-bit. */
+  def params(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    (as, bs)
+  }
+
+  /** Byte-exact reference over a JVM string (ASCII corpus). */
+  def signature(text: String, k: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val (as, bs) = params(numHashes, seed)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nGrams = math.max(bytes.length - k + 1, 1)
+    var i = 0
+    while (i < nGrams) {
+      val len = math.min(k, bytes.length - i)
+      val s = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, len, seed)
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * s + bs(j)) >>> 1
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val sums = new Array[Int](64)
+    val buf = new Array[Byte](bytes.length)
+    var i = 0
+    while (i <= bytes.length) {
+      // token = maximal run of [a-z] after ASCII lowercasing
+      var bLen = 0
+      var j = i
+      var run = true
+      while (j < bytes.length && run) {
+        val c = bytes(j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        if (lc >= 'a' && lc <= 'z') { buf(bLen) = lc; bLen += 1; j += 1 }
+        else run = false
+      }
+      if (bLen > 0) {
+        val h = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                                      bLen, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      i = j + 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SrpSigsExpr(child: Expression, nBits: Int, tables: Int, dim: Int,
+                       seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // planes(t)(j*dim + i) — same gaussian stream as Similarity.hyperplanes
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(seed + t * 7919L)
+      Array.fill(nBits * dim)(rnd.nextGaussian())
+    }
+  @transient private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val pl = planes(t)
+      var bucket = 0L
+      var j = 0
+      while (j < nBits) {
+        var dot = 0.0
+        val base = j * dim
+        var i2 = 0
+        while (i2 < n) { dot += v(i2) * pl(base + i2); i2 += 1 }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val lFloat = isFloat(left)
+  @transient private lazy val rFloat = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class NormalizeTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val nb = t.numBytes()
+    if (nb != t.numChars()) {
+      // non-ASCII fallback through the same primitives the SQL form uses
+      return UTF8String.fromString(
+        ws.matcher(t.toLowerCase.toString).replaceAll(" ")).trim()
+    }
+    val in = t.getBytes
+    val out = new Array[Byte](nb)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < nb) {
+      val c = in(i)
+      val isWs = c == ' ' || (c >= 0x09 && c <= 0x0d) // Java \s = [ \t\n\x0B\f\r]
+      if (isWs) { if (o > 0) pendingSpace = true } // leading ws drops
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o) // trailing ws left pending → dropped
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class ShingleSetExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val p = Dedup31Prime.P
+    val nc = t.numChars()
+    val nb = t.numBytes()
+    val nGrams = math.max(nc - k + 1, 1)
+    val ascii = nb == nc
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nGrams) {
+      val h =
+        if (ascii)
+          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset + i,
+                                math.min(k, nb - i), 42L)
+        else {
+          val gram = t.substringSQL(i + 1, k)
+          XXH64.hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset,
+                                gram.numBytes(), 42L)
+        }
+      seen.add(java.lang.Math.floorMod(h, p))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val set = new java.util.HashSet[java.lang.Long](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(x.getLong(i)); i += 1 }
+    var inter = 0
+    val seenY = new java.util.HashSet[java.lang.Long](ny * 2)
+    i = 0
+    while (i < ny) {
+      val v = y.getLong(i)
+      if (seenY.add(v) && set.contains(v)) inter += 1
+      i += 1
+    }
+    val union = set.size + seenY.size - inter // set-semantics even if inputs carry dups
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    TextAnalysis.langOrder.map { l =>
+      val s = new java.util.HashSet[String]()
+      TextAnalysis.Stopwords(l).foreach(s.add)
+      s
+    }.toArray
+  @transient private lazy val zhIdx = TextAnalysis.langOrder.indexOf("zh")
+  @transient private lazy val langs: Array[UTF8String] =
+    TextAnalysis.langOrder.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val scores = new Array[Long](sets.length)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      sb.setLength(0)
+      var j = i
+      var run = true
+      while (j < n && run) {
+        val c = s.charAt(j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (lc >= 'a' && lc <= 'z') { sb.append(lc); j += 1 } else run = false
+      }
+      if (sb.length > 0) {
+        val tok = sb.toString
+        var l = 0
+        while (l < sets.length) { if (sets(l).contains(tok)) scores(l) += 1; l += 1 }
+      }
+      i = j + 1
+    }
+    // CJK codepoint signal for zh
+    var ci = 0
+    while (ci < n) {
+      val cp = s.codePointAt(ci)
+      if (cp >= 0x4e00 && cp <= 0x9fff) scores(zhIdx) += 1
+      ci += Character.charCount(cp)
+    }
+    // earliest-language-wins under strict >
+    var best = 0
+    var l = 1
+    while (l < scores.length) { if (scores(l) > scores(best)) best = l; l += 1 }
+    langs(best)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

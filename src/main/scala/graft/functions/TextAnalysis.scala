@@ -76,7 +76,11 @@ object TextAnalysis {
     */
   val langOrder: Seq[String] = Seq("en", "es", "fr", "de", "zh")
 
-  def langId(text: Column): Column = {
+  /** Native single-pass expression; [[langIdHof]] is the reference form. */
+  def langId(text: Column): Column = NativeExprs.langId(text)
+
+  /** Reference HOF implementation of [[langId]] (interpreted; parity-tested). */
+  def langIdHof(text: Column): Column = {
     val ws = words(text)
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
     val scores: Seq[(String, Column)] = langOrder.map {
@@ -91,8 +95,12 @@ object TextAnalysis {
   }
 
   /** Canonical text normalization shared by fingerprints: collapse whitespace,
-    * lowercase, trim. */
-  def normalized(text: Column): Column =
+    * lowercase, trim. Native single-pass expression; [[normalizedHof]] is the
+    * bit-identical SQL-function form. */
+  def normalized(text: Column): Column = NativeExprs.normalizeText(text)
+
+  /** Reference SQL-function form of [[normalized]] (parity-tested). */
+  def normalizedHof(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Full-document fingerprint: md5 of the normalized text (hex string). */

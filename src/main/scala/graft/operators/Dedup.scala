@@ -94,6 +94,12 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with exact
     * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard >= threshold.
+    *
+    * Scale shape: signatures come from the native [[graft.functions.NativeExprs.minhashSig]]
+    * expression (no shingle arrays materialized corpus-wide); the exploded
+    * band buckets carry only (band, bucket, id) — 24 bytes/row through the
+    * shuffle. Shingle sets are recomputed ONLY for docs that appear in some
+    * candidate pair (semi join), so verification cost is O(candidates).
     */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double,
                             textCol: String = "text", idCol: String = "doc_id",
@@ -101,23 +107,30 @@ object Dedup {
                             bands: Int = 32, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withShingles = docs
-      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("shingles"))
-    val sigs = withShingles
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
-      .select(col(idCol), col("shingles"),
-              explode(lshBands(col("sig"), bands, r)).as("bb"))
-      .select(col(idCol), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val a = sigs.select(col("band"), col("bucket"), col(idCol).as("id_a"),
-                        col("shingles").as("sh_a"))
-    val b = sigs.select(col("band"), col("bucket"), col(idCol).as("id_b"),
-                        col("shingles").as("sh_b"))
+    val buckets = docs.select(
+        col(idCol),
+        graft.functions.NativeExprs.minhashSig(
+          graft.functions.TextAnalysis.normalized(col(textCol)),
+          shingleK, numHashes, seed).as("sig"))
+      .select(col(idCol), explode(lshBands(col("sig"), bands, r)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Shingle sets are a cheap native projection, so verification joins the
+    // full (id, shingles) side directly — referencing `candidates` exactly
+    // once keeps the expensive bucket self-join subplan single-execution
+    // (a candidate-ids semi-join variant re-evaluates it per branch).
+    val sh = docs.select(col(idCol),
+      graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
     candidates
-      .withColumn("jaccard", jaccardOfArrays(col("sh_a"), col("sh_b")))
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.NativeExprs.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -134,11 +147,12 @@ object Dedup {
   def bruteForceJaccardPairs(docs: DataFrame, threshold: Double,
                              textCol: String = "text", idCol: String = "doc_id",
                              shingleK: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
+    val sh = docs.select(col(idCol),
+      graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
     val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccardOfArrays(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", graft.functions.NativeExprs.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -146,8 +160,13 @@ object Dedup {
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over the word multiset: bit i of the result is 1 iff
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1) > 0. Per-row projection. */
-  def simhash64(text: Column): Column = {
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1) > 0. Per-row projection
+    * (native expression; [[simhash64Hof]] is the reference HOF form). */
+  def simhash64(text: Column): Column = graft.functions.NativeExprs.simhash64(text)
+
+  /** Reference implementation of [[simhash64]] in pure column functions —
+    * kept for the bit-parity test; interpreted, do not use in hot paths. */
+  def simhash64Hof(text: Column): Column = {
     val hs = transform(TextAnalysis.words(text), w => xxhash64(w)) // hash each word once
     val bitExprs = (0 until 64).map { i =>
       val bitSum = aggregate(hs, lit(0L), (acc, h) =>

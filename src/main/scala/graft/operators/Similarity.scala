@@ -31,8 +31,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (0 where either vector is all-zero). */
+  /** Cosine similarity (0 where either vector is all-zero). Native
+    * expression; [[cosineHof]] is the bit-identical reference form. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExprs.cosineSim(a, b)
+
+  /** Reference HOF implementation of [[cosine]] (interpreted; parity-tested). */
+  def cosineHof(a: Column, b: Column): Column =
     coalesce(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)), lit(0.0))
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
@@ -77,7 +82,14 @@ object Similarity {
     * many tables for weakly-similar top-k, more bits for high-threshold
     * near-dup (smaller buckets → fewer candidates). */
   def srpTableBuckets(vec: Column, nBits: Int, dim: Int, tables: Int,
-                      seed: Long = 42L): Column =
+                      seed: Long = 42L): Column = {
+    val sigs = graft.functions.NativeExprs.srpSigs(vec, nBits, tables, dim, seed)
+    transform(sigs, (bucket, t) => struct(t.as("tbl"), bucket.as("bucket")))
+  }
+
+  /** Reference HOF form of [[srpTableBuckets]] (interpreted; parity-tested). */
+  def srpTableBucketsHof(vec: Column, nBits: Int, dim: Int, tables: Int,
+                         seed: Long = 42L): Column =
     array((0 until tables).map { t =>
       struct(lit(t).as("tbl"),
              srpSignature(vec, nBits, dim, seed + t * 7919L).as("bucket"))

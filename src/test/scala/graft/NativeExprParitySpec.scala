@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NativeExprs, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+
+/** Bit-parity between the native Catalyst expressions and their reference
+  * higher-order-function forms, over real table data. */
+class NativeExprParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001").cache()
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+
+  test("minhashSig matches the Scala reference, byte for byte") {
+    import graft.functions.MinHashRef
+    val rows = docs.select($"doc_id",
+        NativeExprs.minhashSig(TextAnalysis.normalized($"text"), 5, 128, 42L).as("sig"),
+        TextAnalysis.normalized($"text").as("norm"))
+      .as[(Long, Seq[Long], String)].collect()
+    rows.foreach { case (id, got, norm) =>
+      val want = MinHashRef.signature(norm, 5, 128, 42L)
+      assert(got == want.toSeq, s"doc $id signature mismatch")
+    }
+  }
+
+  test("multiply-shift signature match-fraction estimates jaccard") {
+    import graft.functions.MinHashRef
+    val texts = docs.limit(60).select(TextAnalysis.normalized($"text"))
+      .as[String].collect()
+    def shingles(s: String) = s.sliding(5).toSet
+    val sigs = texts.map(MinHashRef.signature(_, 5, 128, 42L))
+    var maxErr = 0.0
+    for (i <- texts.indices; j <- (i + 1) until texts.length) {
+      val est = sigs(i).zip(sigs(j)).count { case (a, b) => a == b } / 128.0
+      val sa = shingles(texts(i)); val sb = shingles(texts(j))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      maxErr = math.max(maxErr, math.abs(est - exact))
+    }
+    assert(maxErr < 0.25, s"worst estimate error $maxErr") // 128 hashes → σ≈0.04
+  }
+
+  test("normalizeText native == SQL form") {
+    val diff = docs.select(TextAnalysis.normalized($"text").as("a"),
+                           TextAnalysis.normalizedHof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    val weird = Seq("", "  ", "\tA  B\nC ", " x ", "Ün  Zwei").toDF("text")
+    val d2 = weird.select(TextAnalysis.normalized($"text").as("a"),
+                          TextAnalysis.normalizedHof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(d2 == 0)
+  }
+
+  test("simhash64 native == HOF") {
+    val diff = docs.select(NativeExprs.simhash64($"text").as("a"),
+                           Dedup.simhash64Hof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
+  test("srpSigs native == per-table HOF signatures") {
+    val diff = emb.select(
+      NativeExprs.srpSigs($"embedding", 4, 8, 64, 42L).as("a"),
+      array((0 until 8).map(t =>
+        Similarity.srpSignature($"embedding", 4, 64, 42L + t * 7919L)): _*).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
+  test("cosineSim native == HOF, bit for bit") {
+    val pairs = emb.limit(40).select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .crossJoin(emb.limit(40).select($"vec_id".as("ib"), $"embedding".as("eb")))
+    val diff = pairs.select(NativeExprs.cosineSim($"ea", $"eb").as("a"),
+                            Similarity.cosineHof($"ea", $"eb").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
+  test("shingleSet == shingleHashes and jaccard == jaccardOfArrays") {
+    val diff = docs.select(
+      NativeExprs.shingleSet($"text", 5).as("a"),
+      Dedup.shingleHashes($"text", 5).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    val pairs = docs.limit(30).select($"doc_id".as("ia"), $"text".as("ta"))
+      .crossJoin(docs.limit(30).select($"doc_id".as("ib"), $"text".as("tb")))
+    val jdiff = pairs.select(
+      NativeExprs.jaccard(NativeExprs.shingleSet($"ta", 5),
+                          NativeExprs.shingleSet($"tb", 5)).as("a"),
+      Dedup.jaccardOfArrays(Dedup.shingleHashes($"ta", 5),
+                            Dedup.shingleHashes($"tb", 5)).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(jdiff == 0)
+  }
+
+  test("langId native == HOF") {
+    val diff = docs.select(NativeExprs.langId($"text").as("a"),
+                           TextAnalysis.langIdHof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    // plus degenerate inputs
+    val weird = Seq("", "   ", "THE THE THE", "el el el 的", "xyzzy").toDF("text")
+    val d2 = weird.select(NativeExprs.langId($"text").as("a"),
+                          TextAnalysis.langIdHof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(d2 == 0)
+  }
+}
