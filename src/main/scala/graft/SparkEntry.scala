@@ -198,6 +198,90 @@ object SparkEntry {
            dsum(col("value")).as("sum_value"))
       .orderBy("day")
 
+  private def eventsPropsExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy("event_type")
+
+  private def q6Revenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 10)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n"))
+
+  /** Q4-style: orders with at least one lineitem shipped more than 30 days
+    * after the order date (semi join with a non-equi conjunct + interval
+    * arithmetic, F5). */
+  private def q4LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    t(s, dir, "orders")
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+                col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"),
+            "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def cubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def setOpUsers(s: SparkSession, dir: String, op: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def users(tpe: String) =
+      ev.filter(col("event_type") === tpe).select(col("user_id")).distinct()
+    val (a, b) = (users("click"), users("purchase"))
+    (if (op == "intersect") a.intersect(b) else a.except(b)).orderBy("user_id")
+  }
+
+  private def top10Customers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Deterministic stddev: exact decimal Σx and Σx², double-combined with a
+    * fixed formula — reproducible regardless of partitioning (a plain
+    * `stddev` aggregate is float-order-dependent). */
+  private def aggValueStatsExt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value")).as("s1"),
+           dsum(col("value") * col("value")).as("s2"))
+      .select(col("event_type"), col("n"),
+              (col("s1") / col("n")).as("mean_value"),
+              sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+                .as("stddev_value"))
+      .orderBy("event_type")
+
+  /** Tumbling event-time windows (T8 generalization): Spark's `window()`
+    * operator; hourly buckets align with epoch so the oracle is
+    * date_trunc. */
+  private def eventsHourlyWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
   // ======================================================================
   // Training-data pipeline operators (documents / embeddings)
   // ======================================================================
@@ -306,6 +390,16 @@ object SparkEntry {
     "window_top2_orders"   -> (windowTop2Orders _),
     "agg_event_stats"      -> (aggEventStats _),
     "events_daily"         -> (eventsDaily _),
+    "events_props_extract" -> (eventsPropsExtract _),
+    "q6_revenue"           -> (q6Revenue _),
+    "q4_late_shipments"    -> (q4LateShipments _),
+    "rollup_pricing"       -> (rollupPricing _),
+    "cube_pricing"         -> (cubePricing _),
+    "intersect_users"      -> ((s: SparkSession, d: String) => setOpUsers(s, d, "intersect")),
+    "except_users"         -> ((s: SparkSession, d: String) => setOpUsers(s, d, "except")),
+    "top10_customers"      -> (top10Customers _),
+    "agg_value_stats_ext"  -> (aggValueStatsExt _),
+    "events_hourly_windows" -> (eventsHourlyWindows _),
     "dedup_exact_demo"     -> (dedupExactDemo _),
     "dedup_exact_stats"    -> (dedupExactStats _),
     "text_quality"         -> (textQuality _),
@@ -442,6 +536,73 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_users,
                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "events_props_extract" ->
+      """SELECT event_type,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                count(json_extract_string(props, '$.k')) AS n_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10""",
+
+    "q4_late_shipments" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+
+    "except_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+
+    "top10_customers" ->
+      """SELECT c_custkey, c_name,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "agg_value_stats_ext" ->
+      """WITH s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type)
+         SELECT event_type, n, s1 / n AS mean_value,
+                sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value
+         FROM s ORDER BY event_type""",
+
+    "events_hourly_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "dedup_exact_demo" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",

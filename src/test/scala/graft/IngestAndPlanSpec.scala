@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Ingest
+
+/** Ingest edge (S1/S8/T7) and plan-quality assertions (the physical plans we
+  * would want on a 1000-executor cluster: pushdown reaching the scan, small
+  * dims broadcast, whole-stage codegen active). */
+class IngestAndPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventSchema = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("event_name", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("message_id", StringType)))
+
+  test("JSONEachRow ingest with explicit schema, ISO-8601 timestamps") {
+    val lines = Seq(
+      """{"user_id":"1","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m1"}""",
+      """{"user_id":"1","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:05:00.123Z","message_id":"m2"}""",
+      """{"user_id":"2","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m3"}"""
+    ).toDS()
+    val df = Ingest.jsonLines(spark, lines, eventSchema)
+    assert(df.count() == 3)
+    val ts = df.filter($"message_id" === "m2")
+      .select(unix_timestamp($"timestamp")).as[Long].collect()(0)
+    assert(ts == java.sql.Timestamp.valueOf("2023-01-01 00:05:00").getTime / 1000)
+  }
+
+  test("duplicate delivery collapses via dedupByMessageId") {
+    val lines = Seq(
+      """{"user_id":"2","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m3"}""",
+      """{"user_id":"2","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m3"}"""
+    ).toDS()
+    val df = Ingest.dedupByMessageId(Ingest.jsonLines(spark, lines, eventSchema),
+                                     "message_id")
+    assert(df.count() == 1)
+  }
+
+  test("sorted day-partitioned append: partition pruning + row-group stats layout") {
+    val root = tmpDir("ingest")
+    val df = Seq(
+      ("u2", "click", java.sql.Timestamp.valueOf("2023-01-01 10:00:00"), "2023-01-01"),
+      ("u1", "click", java.sql.Timestamp.valueOf("2023-01-01 09:00:00"), "2023-01-01"),
+      ("u3", "view", java.sql.Timestamp.valueOf("2023-01-02 09:00:00"), "2023-01-02"))
+      .toDF("user_id", "event_name", "ts", "day")
+    Ingest.appendSorted(df, s"$root/ev", Seq("user_id", "event_name", "ts"), Some("day"))
+    val back = spark.read.parquet(s"$root/ev")
+    assert(back.count() == 3)
+    // partition pruning visible in the plan
+    val pruned = back.filter($"day" === "2023-01-01")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("2023-01-02"), "pruned partition must not be scanned")
+  }
+
+  test("predicate pushdown reaches the parquet scan (S6 minmax skipping)") {
+    val plan = SparkEntry.queries("seg_naive")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,click)"),
+      s"filter must be pushed to the scan:\n$plan")
+  }
+
+  test("column pruning: 2-column query reads a 2-column schema") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_returnflag", $"l_quantity")
+      .groupBy($"l_returnflag").agg(sum($"l_quantity"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      s"scan must read only the two referenced columns:\n$scan")
+  }
+
+  test("small dimension joins broadcast; flagship aggregate is codegen'd") {
+    val q5 = SparkEntry.queries("q5_revenue")(spark, "/root/testdata/sf0.001")
+    val p5 = q5.queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")
+    assert(!p5.contains("SortMergeJoin"), s"no sort-merge join expected at q5:\n$p5")
+    val naive = SparkEntry.queries("seg_naive")(spark, "/root/testdata/sf0.001")
+    naive.collect() // finalize THIS df's adaptive plan (count() would plan a new query)
+    val formatted = naive.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("codegen id"), s"no codegen span:\n$formatted")
+  }
+
+  test("parameterized SQL (F8): named parameters bind into the flagship query") {
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev_param")
+    val out = spark.sql(
+      "SELECT user_id, count(*) AS n FROM ev_param WHERE event_type = :tpe " +
+      "GROUP BY user_id HAVING count(*) >= :minCount ORDER BY user_id",
+      Map("tpe" -> "click", "minCount" -> 2))
+    assert(out.count() > 0)
+  }
+}
