@@ -7,7 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine defaults: AQE replans skew/small shuffles at runtime; a
+      // raised broadcast ceiling keeps every dimension table on the hash
+      // side (orders at bench scale is ~15 MB — well worth shipping to all
+      // executors instead of shuffling lineitem)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -308,10 +308,23 @@ object SparkEntry {
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       size(TextAnalysis.words(col("text"))).as("n_words"),
+      TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpe_tokens"),
       TextAnalysis.charCount(col("text")).as("n_chars_m"),
       TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
       TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
       .orderBy("doc_id")
+
+  private def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(t(s, dir, "embeddings"))
+      .orderBy("label", "pos")
+
+  /** Near-dup connected components over the MinHash pair list (canonical-doc
+    * assignment). Iterative — rows-only, validated against union-find in
+    * tests. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterNearDuplicates(
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5))
+      .orderBy("id")
 
   private def textLangDist(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -403,6 +416,8 @@ object SparkEntry {
     "dedup_exact_demo"     -> (dedupExactDemo _),
     "dedup_exact_stats"    -> (dedupExactStats _),
     "text_quality"         -> (textQuality _),
+    "embedding_centroids"  -> (embeddingCentroids _),
+    "dedup_clusters"       -> (dedupClusters _),
     "text_lang_dist"       -> (textLangDist _),
     "doc_fingerprints"     -> (docFingerprints _),
     "doc_fingerprints_ext" -> (docFingerprintsExt _),
@@ -613,10 +628,22 @@ object SparkEntry {
                 sum(n_chars) AS sum_chars
          FROM documents GROUP BY source ORDER BY source""",
 
+    "embedding_centroids" ->
+      """WITH f AS (
+           SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding) AS e
+           FROM embeddings)
+         SELECT label, pos,
+                CAST(sum(CAST(CAST(e AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
+                  / count(*) AS centroid,
+                count(*) AS n_vectors
+         FROM f GROUP BY label, pos ORDER BY label, pos""",
+
     "text_quality" ->
       s"""SELECT doc_id,
                  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                 len(regexp_extract_all(lower(text), '${TextAnalysis.BpeIshPattern.replace("'", "''")}')) AS n_bpe_tokens,
                  length(text) AS n_chars_m,
                  coalesce(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
                           / nullif(length(text), 0), 0.0) AS punct_ratio,

@@ -25,6 +25,16 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
   def charCount(text: Column): Column  = length(text)
 
+  /** BPE-style pre-tokenizer count: the GPT-2-family split pattern
+    * (contraction suffixes, space-prefixed letter/digit/punct runs, residual
+    * whitespace), restricted to RE2-compatible syntax (no lookahead) so the
+    * same pattern runs in any engine. Proxy for LLM token budgeting. */
+  val BpeIshPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeIshPattern), lit(0)))
+
   /** Punctuation characters per text character (0 for empty text). */
   def punctRatio(text: Column): Column = {
     val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))

@@ -157,6 +157,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- clustering
+
+  /** Connected components over a near-duplicate pair list → (id, cluster_id)
+    * with cluster_id = min id of the component (the canonical document).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbours; converges in
+    * O(component diameter) rounds. Each round is one shuffle join;
+    * `localCheckpoint` truncates lineage so plans stay O(1) per round —
+    * the standard Spark pattern for iterative graph algorithms at scale
+    * (near-dup components are shallow: diameter rarely exceeds ~10).
+    */
+  def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over the word multiset: bit i of the result is 1 iff

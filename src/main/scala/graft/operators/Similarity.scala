@@ -58,6 +58,23 @@ object Similarity {
               round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Per-label centroids in flat (label, pos, centroid) form: posexplode the
+    * vectors, aggregate exactly per dimension (decimal sum → double divide,
+    * deterministic under any partitioning). The explode is a narrow 64×
+    * row multiplication — no extra shuffle beyond the one the groupBy needs;
+    * flat output keeps the oracle SQL-expressible and avoids array
+    * reassembly. */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .groupBy(col(labelCol), col("pos"))
+      // float → shortest string → DECIMAL(27,12): a float's shortest repr has
+      // ≤9 significant digits, so the decimal cast is EXACT (no rounding step
+      // for engines to disagree on) and the sum is order-independent
+      .agg((sum(col("e").cast("string").cast("decimal(27,12)")).cast("double")
+              / count(lit(1))).as("centroid"),
+           count(lit(1)).as("n_vectors"))
+
   /** Deterministic pseudo-random hyperplanes: `nBits` unit-free direction
     * vectors of dimension `dim`, from a fixed-seed PRNG (gaussian). */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -110,6 +110,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("near-dup clustering == union-find oracle") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterNearDuplicates(pairs)
+      .as[(Long, Long)].collect().toMap
+    // oracle: scala union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = got.keys.map(k => k -> find(k)).toMap
+    assert(got == want) // components {1,2,3,8,9} -> 1 and {5,6} -> 5
+    assert(got(9L) == 1L && got(5L) == 5L)
+  }
+
+  test("label centroids match an in-process exact mean") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.labelCentroids(emb)
+      .filter($"label" === 0 && $"pos" === 0)
+      .select($"centroid", $"n_vectors").as[(Double, Long)].collect()(0)
+    val rows = emb.filter($"label" === 0)
+      .select($"embedding").as[Seq[Float]].collect()
+    val want = rows.map(r => BigDecimal(r(0).toString)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rows.length
+    assert(math.abs(got._1 - want) < 1e-9)
+    assert(got._2 == rows.length)
+  }
+
   test("multimodal decode plumbing: stub codec through mapPartitions") {
     val media = Multimodal.syntheticMediaTable(
       Seq((1L, "hello"), (2L, "a much longer synthetic media payload")).toDF("doc_id", "text"))

@@ -77,6 +77,25 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(members.toSeq == Seq("1", "2"))
   }
 
+  test("session windows (T8 generalization): gap-based sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = source.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    source.addData(
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:03:00"), "m2"), // same session
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:20:00"), "m3")) // new session
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").select($"n").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L), "5-min gap splits user 1 into 2 sessions")
+  }
+
   test("native watermarked streaming aggregation with dedup") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
