@@ -128,8 +128,11 @@ object Similarity {
       .select(col("query_id"), col("q_vec"), col("tb.tbl"), col("tb.bucket"))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // score BEFORE the dedup exchange: the shuffle then carries
+      // (query, neighbor, cosine) — 24 bytes — instead of two 64-float vectors
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("q_vec"), col("c_vec")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -155,9 +158,9 @@ object Similarity {
                            col(vecCol).as("v_b"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold) // score+filter pre-shuffle: dedup sees survivors only
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 }
