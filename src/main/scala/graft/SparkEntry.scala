@@ -220,8 +220,9 @@ object SparkEntry {
   private def q4LateShipments(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     t(s, dir, "orders")
-      .join(li, col("l_orderkey") === col("o_orderkey") &&
-                col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"),
+      .join(li.select(col("l_orderkey"), col("l_shipdate")),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"),
             "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
@@ -281,6 +282,57 @@ object SparkEntry {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
+
+  private def outerJoinNationSuppliers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("n_name")
+
+  /** FULL OUTER: daily click vs purchase activity — days where either side is
+    * absent surface as nulls/zeros. */
+  private def fullOuterDailyActivity(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def daily(tpe: String, as: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(as))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+              coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("day")
+  }
+
+  /** lag/lead analytics: days since each customer's previous order. */
+  private def windowOrderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact percentiles (continuous interpolation) per event type. */
+  private def pctValueByType(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+           expr("percentile(value, 0.9)").as("p90"))
+      .orderBy("event_type")
+
+  /** Correlated scalar subquery through the SQL surface. */
+  private def sqlOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer_v c ORDER BY c_custkey""")
+  }
 
   // ======================================================================
   // Training-data pipeline operators (documents / embeddings)
@@ -413,6 +465,11 @@ object SparkEntry {
     "top10_customers"      -> (top10Customers _),
     "agg_value_stats_ext"  -> (aggValueStatsExt _),
     "events_hourly_windows" -> (eventsHourlyWindows _),
+    "outer_nation_suppliers" -> (outerJoinNationSuppliers _),
+    "full_outer_daily"     -> (fullOuterDailyActivity _),
+    "window_order_gaps"    -> (windowOrderGaps _),
+    "pct_value_by_type"    -> (pctValueByType _),
+    "sql_orders_per_customer" -> (sqlOrdersPerCustomer _),
     "dedup_exact_demo"     -> (dedupExactDemo _),
     "dedup_exact_stats"    -> (dedupExactStats _),
     "text_quality"         -> (textQuality _),
@@ -618,6 +675,37 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "outer_nation_suppliers" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+         FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "full_outer_daily" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_clicks
+                    FROM events WHERE event_type = 'click' GROUP BY 1),
+              p AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchases
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT coalesce(c.day, p.day) AS day,
+                coalesce(n_clicks, 0) AS n_clicks,
+                coalesce(n_purchases, 0) AS n_purchases
+         FROM c FULL OUTER JOIN p ON c.day = p.day ORDER BY day""",
+
+    "window_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+                datediff('day', lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "pct_value_by_type" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.9) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "sql_orders_per_customer" ->
+      """SELECT c_custkey,
+                (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c ORDER BY c_custkey""",
 
     "dedup_exact_demo" ->
       """SELECT doc_id, source FROM documents ORDER BY doc_id""",

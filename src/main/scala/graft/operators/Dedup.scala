@@ -169,9 +169,37 @@ object Dedup {
     * the standard Spark pattern for iterative graph algorithms at scale
     * (near-dup components are shallow: diameter rarely exceeds ~10).
     */
-  def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 20,
+                            driverSideLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgePairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // Scale-adaptive: near-dup pair lists are usually tiny relative to the
+    // corpus. Below the limit, union-find on the driver costs one collect
+    // instead of O(diameter) shuffle rounds; above it, fall through to the
+    // distributed propagation loop.
+    val nPairs = edgePairs.count()
+    if (nPairs <= driverSideLimit) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      val collected = edgePairs.collect()
+      val ids = scala.collection.mutable.SortedSet[Long]()
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        ids += a; ids += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      import spark.implicits._
+      return ids.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
+    val edges = edgePairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edgePairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

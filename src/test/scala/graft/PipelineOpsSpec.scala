@@ -115,6 +115,9 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("id_a", "id_b")
     val got = Dedup.clusterNearDuplicates(pairs)
       .as[(Long, Long)].collect().toMap
+    val gotDistributed = Dedup.clusterNearDuplicates(pairs, driverSideLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == gotDistributed, "driver-side and distributed paths must agree")
     // oracle: scala union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
