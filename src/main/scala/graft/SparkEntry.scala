@@ -283,6 +283,36 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** End-to-end STREAMING correctness through the oracle gate: the events
+    * table is replayed through a real file-stream source into the
+    * foreachBatch persisted-state pipeline (fresh state dir per run), and the
+    * resulting segment read-back must equal the global batch aggregate the
+    * DuckDB oracle computes. Trigger.AvailableNow = the reference's
+    * "drain everything in micro-batches, then stop" loop. */
+  private def segStreamEquiv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val pipe = new graft.state.MicroBatchPipeline(
+      s, ClickSeg, graft.state.StateStorePaths(tmp), procTimeCol = "ts")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
+        stream, pipe,
+        epochToTs = id => java.sql.Timestamp.valueOf(s"2030-01-01 00:00:${"%02d".format(id % 60)}"),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      .start()
+    q.awaitTermination()
+    pipe.members().orderBy("user_id")
+  }
+
   private def outerJoinNationSuppliers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_outer")
@@ -446,6 +476,7 @@ object SparkEntry {
     "seg_latest_event"     -> (segLatestEvent _),
     "seg_eventtime"        -> (segEventTime _),
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
+    "seg_stream_equiv"     -> (segStreamEquiv _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
     "q3_revenue"           -> (q3Revenue _),
@@ -546,6 +577,12 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "seg_stream_equiv" ->
+      s"""SELECT user_id, CAST(1 AS BOOLEAN) AS latest_value
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id HAVING count(DISTINCT event_id) >= ${ClickSeg.minCount}
+          ORDER BY user_id""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -60,6 +60,16 @@ class InvariantSpec extends SparkSpec {
     events.unpersist()
   }
 
+  test("HLL sketch error stays within bound at high cardinality") {
+    // 200k distinct ids across 4 merged partial sketches; lgK=12 → rel. error
+    // ~1.6% (1.04/sqrt(2^12)); assert a 3σ bound
+    val ids = spark.range(200000).selectExpr("cast(id as string) as event_id",
+      "cast(id % 4 as int) as part")
+    val merged = ids.groupBy($"part").agg(Sketches.uniqState($"event_id").as("st"))
+      .agg(Sketches.uniqMerge($"st").as("n")).as[Long].collect()(0)
+    assert(math.abs(merged - 200000.0) / 200000.0 < 0.05, s"estimate $merged")
+  }
+
   test("duplicate injection never changes idempotent membership") {
     val base = randomEvents(400, users = 15, ids = 300)
     val seg = SegmentDef("BUTTON_CLICK", 5)
