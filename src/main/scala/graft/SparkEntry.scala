@@ -283,6 +283,12 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** N segment definitions in one scan (conditional aggregation). */
+  private def segMulti(s: SparkSession, dir: String): DataFrame =
+    Segments.evaluateMany(t(s, dir, "events"),
+      Seq(SegmentDef("click", 12), SegmentDef("purchase", 8), SegmentDef("view", 10)))
+      .orderBy("user_id")
+
   /** End-to-end STREAMING correctness through the oracle gate: the events
     * table is replayed through a real file-stream source into the
     * foreachBatch persisted-state pipeline (fresh state dir per run), and the
@@ -477,6 +483,7 @@ object SparkEntry {
     "seg_eventtime"        -> (segEventTime _),
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
     "seg_stream_equiv"     -> (segStreamEquiv _),
+    "seg_multi"            -> (segMulti _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
     "q3_revenue"           -> (q3Revenue _),
@@ -577,6 +584,17 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "seg_multi" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click_n,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+                count(*) FILTER (WHERE event_type = 'view') AS view_n,
+                count(*) FILTER (WHERE event_type = 'click') >= 12 AS click_in,
+                count(*) FILTER (WHERE event_type = 'purchase') >= 8 AS purchase_in,
+                count(*) FILTER (WHERE event_type = 'view') >= 10 AS view_in
+         FROM events WHERE event_type IN ('click', 'purchase', 'view')
+         GROUP BY user_id ORDER BY user_id""",
 
     "seg_stream_equiv" ->
       s"""SELECT user_id, CAST(1 AS BOOLEAN) AS latest_value

@@ -53,6 +53,24 @@ object Segments {
       .agg(Sketches.uniq(col(idCol)).as("n_unique"))
       .withColumn("in_segment", col("n_unique") >= seg.minCount)
 
+  /** Evaluate MANY segment definitions in ONE pass over the event log —
+    * conditional aggregation instead of one scan per segment. At 100 TB the
+    * scan dominates, so N segments for the price of one shuffle. Output is
+    * wide: per user, `<eventType>_n` and `<eventType>_in` per definition. */
+  def evaluateMany(events: DataFrame, segs: Seq[SegmentDef],
+                   userCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    require(segs.nonEmpty)
+    val counts = segs.map(sg =>
+      count(when(col(typeCol) === sg.eventType, 1)).as(s"${sg.eventType}_n"))
+    val withFlags = segs.foldLeft(
+      events.filter(col(typeCol).isin(segs.map(_.eventType): _*))
+        .groupBy(col(userCol))
+        .agg(counts.head, counts.tail: _*)) { (df, sg) =>
+      df.withColumn(s"${sg.eventType}_in", col(s"${sg.eventType}_n") >= sg.minCount)
+    }
+    withFlags
+  }
+
   /** The W4 semantic pair (SURVEY.md §2.4): given an append-only assignment
     * log (user, value, assigned_at), the naive read filters `value = true`
     * BEFORE reconciliation — returning users whose ANY historical assignment

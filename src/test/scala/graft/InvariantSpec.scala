@@ -104,6 +104,35 @@ class InvariantSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("evaluateMany == independent per-segment evaluation") {
+    val events = randomEvents(400, users = 12, ids = 400)
+      .map(e => if (e.event_id.hashCode % 3 == 0) e.copy(event_type = "OTHER") else e)
+    val df = events.toDF().cache()
+    val segs = Seq(SegmentDef("BUTTON_CLICK", 10), SegmentDef("OTHER", 5))
+    val wide = Segments.evaluateMany(df, segs)
+      .select($"user_id", $"BUTTON_CLICK_in", $"OTHER_in")
+      .as[(String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    segs.foreach { sg =>
+      val solo = Segments.naive(df, sg).filter($"in_segment")
+        .select($"user_id").as[String].collect().toSet
+      val fromWide = wide.filter { case (_, (a, b)) =>
+        if (sg.eventType == "BUTTON_CLICK") a else b }.keySet
+      assert(fromWide == solo, s"segment ${sg.eventType} diverged")
+    }
+    df.unpersist()
+  }
+
+  test("salted aggregation == plain groupBy under a hot key") {
+    val skewed = (0 until 5000).map(i =>
+      (if (i % 10 == 0) "hot" else s"u${i % 50}", i.toLong)).toDF("k", "v")
+    val plain = skewed.groupBy($"k").count()
+      .as[(String, Long)].collect().toMap
+    val salted = operators.Skew.saltedCount(skewed, Seq("k"), salt = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
   test("incremental pipeline over random batches == one-shot batch result") {
     val events = randomEvents(300, users = 10, ids = 150)
       .sortBy(_.ts.getTime)
