@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions._
+
+/** SQL-surface registration of the engine's native expressions, so every
+  * operator is reachable from plain `spark.sql(...)` — the reference's whole
+  * API is SQL text, and a Spark-native replacement should accept SQL too.
+  *
+  * Two deployment forms:
+  *  - [[GraftFunctions.register]]: imperative, for an existing session
+  *    (tests, notebooks);
+  *  - [[GraftExtensions]]: `spark.sql.extensions=graft.GraftExtensions` on a
+  *    cluster — functions exist in every session from startup.
+  */
+object GraftFunctions {
+
+  /** (name, arity check + constructor) for each native function. */
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sig" -> { es =>
+      require(es.length == 4, "graft_minhash_sig(text, k, numHashes, seed)")
+      MinHashSigExpr(es.head, intLit(es(1)), intLit(es(2)), longLit(es(3)))
+    },
+    "graft_simhash64" -> { es => SimHash64Expr(es.head) },
+    "graft_shingle_set" -> { es =>
+      require(es.length == 2, "graft_shingle_set(text, k)")
+      ShingleSetExpr(es.head, intLit(es(1)))
+    },
+    "graft_jaccard" -> { es => JaccardExpr(es.head, es(1)) },
+    "graft_cosine" -> { es => CosineSimExpr(es.head, es(1)) },
+    "graft_lang_id" -> { es => LangIdExpr(es.head) },
+    "graft_normalize_text" -> { es => NormalizeTextExpr(es.head) },
+    "graft_srp_sigs" -> { es =>
+      require(es.length == 5, "graft_srp_sigs(vec, nBits, tables, dim, seed)")
+      SrpSigsExpr(es.head, intLit(es(1)), intLit(es(2)), intLit(es(3)), longLit(es(4)))
+    })
+
+  private def intLit(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+  private def longLit(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"expected long literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+           "graft", name),
+         builder))
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteLatestWinsWindow)
+  }
+}

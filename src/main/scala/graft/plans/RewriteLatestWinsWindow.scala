@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the latest-wins window idiom
+  *
+  *   Filter(row_number() OVER (PARTITION BY k ORDER BY o DESC) = 1)
+  *
+  * into a hash aggregate `groupBy(k).agg(max_by(payload, o) …)`.
+  *
+  * Why: the window form sorts every partition of the shuffled data; the
+  * aggregate form gets map-side partial aggregation and no sort — at 100 TB
+  * the shuffle carries one row per (key × map partition) instead of the whole
+  * log. This is the read path of every ReplacingMergeTree-style reconciliation
+  * (/root/reference/src/1-naive.test.ts:82-89), so it is worth a planner rule
+  * rather than asking users to hand-pick `LatestWins.maxBy`.
+  *
+  * Safety guards (the rewrite is skipped unless ALL hold):
+  *  - the only window expression is a single `row_number()` and the filter is
+  *    exactly `rn = 1` with `rn` unreferenced elsewhere (enforced by matching
+  *    the Project/Filter shapes below);
+  *  - all sort keys share one direction and are NON-NULLABLE — with nulls,
+  *    `row_number`'s null ordering and `max_by`'s null skipping diverge;
+  *  - partition keys are plain attributes.
+  *
+  * Ties: `row_number() = 1` picks an arbitrary peer, as does `max_by`; both
+  * forms are only deterministic under a total order, which callers establish
+  * via tie-break keys (`LatestWins` always does).
+  *
+  * Deployment: `spark.experimental.extraOptimizations ++= Seq(RewriteLatestWinsWindow)`
+  * on a live session, or `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object RewriteLatestWinsWindow extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, f @ Filter(cond, w: Window)) =>
+      rewrite(w, cond).map(agg => p.copy(child = agg)).getOrElse(p)
+    case f @ Filter(cond, w: Window) =>
+      rewrite(w, cond).map(identity[LogicalPlan]).getOrElse(f)
+  }
+
+  private def rewrite(w: Window, cond: Expression): Option[Aggregate] = {
+    // single row_number window expression
+    val (rnAlias, order) = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(), spec), _)) =>
+        (a, spec.orderSpec)
+      case _ => return None
+    }
+    // filter is exactly rn = 1
+    val rnId = rnAlias.exprId
+    val isRnEq1 = cond match {
+      case EqualTo(a: AttributeReference, Literal(1, IntegerType)) => a.exprId == rnId
+      case EqualTo(Literal(1, IntegerType), a: AttributeReference) => a.exprId == rnId
+      case _ => false
+    }
+    if (!isRnEq1 || order.isEmpty) return None
+    // one direction, non-nullable sort keys
+    val dirs = order.map(_.direction).distinct
+    if (dirs.length != 1 || order.exists(_.child.nullable)) return None
+    // partition keys must be plain attributes of the child
+    val partRefs = w.partitionSpec.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val ordExpr =
+      if (order.length == 1) order.head.child
+      else CreateStruct(order.map(_.child))
+    def pick(value: Expression): AggregateExpression =
+      (if (dirs.head == Descending) MaxBy(value, ordExpr) else MinBy(value, ordExpr))
+        .toAggregateExpression()
+    // Spark's InferWindowGroupLimit may already have inserted a per-partition
+    // top-1 pre-filter below the window; the aggregate subsumes it
+    val child = w.child match {
+      case WindowGroupLimit(_, _, RowNumber(), 1, grandChild) => grandChild
+      case other => other
+    }
+    // aggregate output mirrors the window output (child cols + rn), keeping
+    // every exprId so parent operators resolve unchanged
+    val partIds = partRefs.map(_.exprId).toSet
+    val aggExprs: Seq[NamedExpression] = child.output.map { a =>
+      if (partIds.contains(a.exprId)) a
+      else Alias(pick(a), a.name)(exprId = a.exprId)
+    } :+ Alias(Literal(1), rnAlias.name)(exprId = rnId)
+    Some(Aggregate(partRefs, aggExprs, child))
+  }
+}

@@ -84,6 +84,23 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), s"no codegen span:\n$formatted")
   }
 
+  test("native functions reachable from plain SQL after registration") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_lang_id(text) AS lang_pred,
+                graft_simhash64(text) AS sh,
+                graft_jaccard(graft_shingle_set(text, 5), graft_shingle_set(text, 5)) AS self_j
+         FROM docs_sql ORDER BY doc_id LIMIT 20""")
+    val rows = viaSql.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getDouble(3) == 1.0), "self-jaccard must be 1")
+    val viaApi = Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(20)
+      .select(graft.functions.NativeExprs.langId($"text")).as[String].collect()
+    assert(rows.map(_.getString(1)).toSeq == viaApi.toSeq)
+  }
+
   test("parameterized SQL (F8): named parameters bind into the flagship query") {
     Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev_param")
     val out = spark.sql(

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LatestWins
+import graft.plans.RewriteLatestWinsWindow
+
+/** The latest-wins window→aggregate optimizer rule: fires on the idiom with
+  * non-nullable sort keys, stays away otherwise, preserves results. */
+class RewriteRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(RewriteLatestWinsWindow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteLatestWinsWindow
+  }
+
+  // toDF over Long/Boolean primitives → non-nullable sort key (rule eligible)
+  private def log = Seq(
+    ("u1", true, 10L, 1L), ("u1", false, 20L, 2L),
+    ("u2", true, 20L, 3L), ("u2", false, 20L, 4L),
+    ("u3", true, 5L, 5L)).toDF("user_id", "value", "assigned_at", "seq")
+
+  test("rule rewrites row_number()=1 window into max_by aggregate") {
+    val df = LatestWins.latestRows(log, Seq("user_id"), col("assigned_at"),
+                                   tieBreak = Seq(col("seq")))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), s"window should be rewritten:\n$optimized")
+    assert(optimized.contains("max_by"), s"expected max_by aggregate:\n$optimized")
+    val rows = df.select($"user_id", $"value").as[(String, Boolean)]
+      .collect().toMap
+    assert(rows == Map("u1" -> false, "u2" -> false, "u3" -> true))
+  }
+
+  test("results identical with and without the rule") {
+    val withRule = LatestWins.latestRows(log, Seq("user_id"), col("assigned_at"),
+        tieBreak = Seq(col("seq"))).collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteLatestWinsWindow)
+    try {
+      val without = LatestWins.latestRows(log, Seq("user_id"), col("assigned_at"),
+          tieBreak = Seq(col("seq"))).collect().toSet
+      assert(withRule == without)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteLatestWinsWindow
+    }
+  }
+
+  test("rule does NOT fire on nullable sort keys or other window functions") {
+    // nullable key: route through an explicit nullable projection
+    val nullable = log.select($"user_id", $"value",
+      when($"assigned_at" > 0, $"assigned_at").as("assigned_at"))
+    val df = LatestWins.latestRows(nullable, Seq("user_id"), col("assigned_at"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("Window"),
+      "nullable sort key must keep the window form")
+    // rank() instead of row_number(): not eligible
+    val ranked = log.withColumn("r",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"assigned_at".desc)))
+      .filter($"r" === 1).drop("r")
+    assert(ranked.queryExecution.optimizedPlan.toString.contains("Window"))
+    ranked.collect() // and still executes fine
+  }
+}
