@@ -17,6 +17,8 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteLatestWinsWindow
     // untimed warmup: file listing, parquet footer reads, codegen/JIT — so the
     // first measured query doesn't absorb session start-up cost
     Seq("lineitem", "events", "documents", "embeddings", "orders", "customer")

@@ -283,6 +283,12 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** Salted two-phase aggregation through the oracle gate (hot-key safety at
+    * scale; must equal the plain count). */
+  private def skewSaltedCounts(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(t(s, dir, "events"), Seq("event_type"))
+      .orderBy("event_type")
+
   /** N segment definitions in one scan (conditional aggregation). */
   private def segMulti(s: SparkSession, dir: String): DataFrame =
     Segments.evaluateMany(t(s, dir, "events"),
@@ -484,6 +490,7 @@ object SparkEntry {
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
     "seg_stream_equiv"     -> (segStreamEquiv _),
     "seg_multi"            -> (segMulti _),
+    "skew_salted_counts"   -> (skewSaltedCounts _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
     "q3_revenue"           -> (q3Revenue _),
@@ -584,6 +591,10 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "skew_salted_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY event_type""",
 
     "seg_multi" ->
       """SELECT user_id,

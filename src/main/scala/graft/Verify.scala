@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteLatestWinsWindow
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
