@@ -283,6 +283,23 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** As-of join: each purchase event picks up the user's latest daily
+    * click-segment assignment at-or-before the purchase time. Oracled by
+    * DuckDB's native ASOF JOIN. */
+  private def asofAssignment(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val assignments = dailyAssignments(s, dir)
+      .select(col("user_id"), col("assigned_at").cast("timestamp").as("assigned_ts"),
+              col("value"))
+    AsOf.joinAsOf(purchases, assignments, Seq("user_id"),
+                  leftTime = "ts", rightTime = "assigned_ts",
+                  payload = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("value").as("seg_value"))
+      .orderBy("event_id")
+  }
+
   /** Salted two-phase aggregation through the oracle gate (hot-key safety at
     * scale; must equal the plain count). */
   private def skewSaltedCounts(s: SparkSession, dir: String): DataFrame =
@@ -491,6 +508,7 @@ object SparkEntry {
     "seg_stream_equiv"     -> (segStreamEquiv _),
     "seg_multi"            -> (segMulti _),
     "skew_salted_counts"   -> (skewSaltedCounts _),
+    "asof_assignment"      -> (asofAssignment _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
     "q3_revenue"           -> (q3Revenue _),
@@ -591,6 +609,17 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "asof_assignment" ->
+      s"""WITH a AS (
+            SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS assigned_ts,
+                   count(*) >= $DailySeg AS value
+            FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2),
+          p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id, a.value AS seg_value
+          FROM p ASOF LEFT JOIN a
+            ON p.user_id = a.user_id AND p.ts >= a.assigned_ts
+          ORDER BY p.event_id""",
 
     "skew_salted_counts" ->
       """SELECT event_type, count(*) AS n FROM events

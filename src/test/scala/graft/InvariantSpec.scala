@@ -104,6 +104,27 @@ class InvariantSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("as-of join == brute-force latest-at-or-before oracle") {
+    val left = (0 until 300).map { i =>
+      (s"k${rnd.nextInt(8)}", 1000L + rnd.nextInt(1000), i.toLong)
+    }.toDF("k", "t", "left_id")
+    val rightRows = (0 until 120).map { i =>
+      (s"k${rnd.nextInt(10)}", 1000L + rnd.nextInt(1000) /*overlapping*/, s"p$i")
+    }
+    // dedupe (k,t) so latest-at-t is well-defined for the oracle
+    val rightDistinct = rightRows.groupBy(r => (r._1, r._2)).map(_._2.last).toSeq
+    val right = rightDistinct.toDF("k", "rt", "payload")
+    val got = operators.AsOf.joinAsOf(left, right, Seq("k"),
+        leftTime = "t", rightTime = "rt", payload = Seq("payload"))
+      .select($"left_id", $"payload").as[(Long, Option[String])].collect().toMap
+    val byKey = rightDistinct.groupBy(_._1)
+    val want = left.as[(String, Long, Long)].collect().map { case (k, t, id) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
+
   test("evaluateMany == independent per-segment evaluation") {
     val events = randomEvents(400, users = 12, ids = 400)
       .map(e => if (e.event_id.hashCode % 3 == 0) e.copy(event_type = "OTHER") else e)
