@@ -283,6 +283,35 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** Gap-based batch sessionization → per-user session stats. */
+  private def sessionsStats(s: SparkSession, dir: String): DataFrame = {
+    val sess = EventAnalytics.sessionize(t(s, dir, "events"), gapSeconds = 3600)
+    EventAnalytics.sessionStats(sess)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           max(col("n_events")).as("max_session_events"),
+           sum(col("duration_s")).as("total_duration_s"))
+      .orderBy("user_id")
+  }
+
+  private val FunnelSteps = Seq("click", "purchase", "signup")
+  private val FunnelWindowS = 3L * 86400L
+
+  /** ClickHouse windowFunnel: deepest step chain within 3 days, per user. */
+  private def funnelLevels(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.windowFunnel(t(s, dir, "events"), FunnelSteps, FunnelWindowS)
+      .orderBy("user_id")
+
+  /** ClickHouse retention: weekly cohort counts anchored on week 1. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    def week(i: Int): Column = {
+      val lo = lit(s"2024-01-${"%02d".format(1 + 7 * i)}").cast("timestamp")
+      val hi = lit(s"2024-01-${"%02d".format(8 + 7 * i)}").cast("timestamp")
+      col("ts") >= lo && col("ts") < hi
+    }
+    EventAnalytics.retention(t(s, dir, "events"), (0 until 4).map(week))
+  }
+
   /** As-of join: each purchase event picks up the user's latest daily
     * click-segment assignment at-or-before the purchase time. Oracled by
     * DuckDB's native ASOF JOIN. */
@@ -509,6 +538,9 @@ object SparkEntry {
     "seg_multi"            -> (segMulti _),
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
+    "sessions_stats"       -> (sessionsStats _),
+    "funnel_levels"        -> (funnelLevels _),
+    "cohort_retention"     -> (cohortRetention _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
     "q3_revenue"           -> (q3Revenue _),
@@ -609,6 +641,66 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "sessions_stats" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                  event_id
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  sum(CASE WHEN prev IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(prev)) AS BIGINT) > 3600
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM o),
+         g AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  CAST(floor(epoch(max(ts))) AS BIGINT)
+                    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+                sum(duration_s) AS total_duration_s
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "funnel_levels" -> {
+      val w = FunnelWindowS
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type IN ('click', 'purchase', 'signup')),
+          e AS (SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+          SELECT u.user_id,
+            CASE
+              WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND c.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND c.event_type = 'signup'
+                             AND a.t <= b.t AND b.t <= c.t AND c.t - a.t <= $w) THEN 3
+              WHEN EXISTS (SELECT 1 FROM e a, e b
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND a.t <= b.t AND b.t - a.t <= $w) THEN 2
+              WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                             AND a.event_type = 'click') THEN 1
+              ELSE 0 END AS funnel_level
+          FROM u ORDER BY u.user_id"""
+    },
+
+    "cohort_retention" -> {
+      def wk(i: Int) =
+        s"ts >= TIMESTAMP '2024-01-${"%02d".format(1 + 7 * i)}' AND ts < TIMESTAMP '2024-01-${"%02d".format(8 + 7 * i)}'"
+      s"""WITH p AS (
+            SELECT user_id,
+                   ${(0 until 4).map(i => s"max(CASE WHEN ${wk(i)} THEN 1 ELSE 0 END) AS r$i").mkString(", ")}
+            FROM events GROUP BY user_id)
+          SELECT ${(0 until 4).map(i =>
+              s"sum(CASE WHEN r0 = 1 AND r$i = 1 THEN 1 ELSE 0 END) AS retained_$i").mkString(", ")}
+          FROM p"""
+    },
 
     "asof_assignment" ->
       s"""WITH a AS (

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics beyond plain counting — the operators ClickHouse
+  * ships as `windowFunnel`, `retention`, and sessionization, re-expressed
+  * Spark-first.
+  */
+object EventAnalytics {
+
+  /** Gap-based batch sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapSeconds`. session_id = running count
+    * of session starts per user — the lag+cumsum idiom: one shuffle on the
+    * key, per-partition sort, no state blow-up. (Streaming twin:
+    * `session_window()`, see StreamingSegments.) */
+  def sessionize(events: DataFrame, gapSeconds: Long,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(c => c.asc)
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isStart = when(prevTs.isNull ||
+      unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds, 1L).otherwise(0L)
+    events.withColumn("session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats over [[sessionize]] output. */
+  def sessionStats(sessionized: DataFrame, userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame =
+    sessionized.groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+             .as("duration_s"))
+
+  /** ClickHouse-style `windowFunnel(window)(ts, cond1, cond2, …)`: the
+    * deepest funnel level reachable per user — the largest k such that events
+    * matching steps 1..k exist at t1 ≤ t2 ≤ … ≤ tk with tk − t1 ≤
+    * `windowSeconds`.
+    *
+    * DP over each user's time-sorted events: `best(s)` = the LATEST possible
+    * chain-start time among chains reaching level s (a later start can only
+    * extend further — keeping the max is the optimal greedy). One shuffle;
+    * the grouped scan carries (epoch, stepIdx) pairs only.
+    */
+  def windowFunnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = typedLit(steps.zipWithIndex.toMap)
+    val tagged = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long").as("user_id"),
+              unix_timestamp(col(tsCol)).as("t"),
+              element_at(stepIdx, col(typeCol)).as("step"))
+    tagged.as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val sorted = rows.map(r => (r._2, r._3 + 1)).toArray.sorted // (t, 1-based step)
+        val n = steps.length
+        val best = Array.fill(n + 1)(Long.MinValue)
+        var level = 0
+        for ((t, s) <- sorted) {
+          if (s == 1) {
+            if (t > best(1)) best(1) = t
+            if (level < 1) level = 1
+          } else if (best(s - 1) != Long.MinValue && t - best(s - 1) <= windowSeconds) {
+            if (best(s - 1) > best(s)) best(s) = best(s - 1)
+            if (level < s) level = s
+          }
+        }
+        (user, level)
+      }
+      .toDF("user_id", "funnel_level")
+  }
+
+  /** ClickHouse-style `retention(cond0, cond1, …)`: per user, whether the
+    * anchor condition held, and for each subsequent condition whether BOTH it
+    * and the anchor held — aggregated to cohort counts. Conditions are
+    * arbitrary boolean Columns over the event row. */
+  def retention(events: DataFrame, conds: Seq[Column],
+                userCol: String = "user_id"): DataFrame = {
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1).otherwise(0)).as(s"r$i")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(flags.head, flags.tail: _*)
+    val outs = conds.indices.map { i =>
+      sum(when(col("r0") === 1 && col(s"r$i") === 1, 1L).otherwise(0L)).as(s"retained_$i")
+    }
+    perUser.agg(outs.head, outs.tail: _*)
+  }
+}

@@ -104,6 +104,45 @@ class InvariantSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("windowFunnel == brute-force chain-existence oracle") {
+    val steps = Seq("A", "B", "C")
+    val w = 100L
+    val events = (0 until 600).map { i =>
+      (rnd.nextInt(25).toLong, 10000L + rnd.nextInt(500),
+       steps(rnd.nextInt(3)), i.toLong)
+    }
+    val df = events.map { case (u, t, tp, id) =>
+      (u, new Timestamp(t * 1000L), tp, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = operators.EventAnalytics.windowFunnel(df, steps, w)
+      .as[(Long, Int)].collect().toMap
+    // oracle: explicit chain search
+    val byUser = events.groupBy(_._1)
+    val want = byUser.map { case (u, evs) =>
+      val of = (s: String) => evs.filter(_._3 == s).map(_._2).sorted
+      val (as, bs, cs) = (of("A"), of("B"), of("C"))
+      val l3 = as.exists(a => bs.exists(b => b >= a && cs.exists(c =>
+        c >= b && c - a <= w)))
+      val l2 = as.exists(a => bs.exists(b => b >= a && b - a <= w))
+      u -> (if (l3) 3 else if (l2) 2 else if (as.nonEmpty) 1 else 0)
+    }
+    assert(got == want)
+  }
+
+  test("sessionize: gap splits, session stats correct") {
+    def ev(u: String, t: Long, id: Long) =
+      Ev(u, "click", new Timestamp(t * 1000L), s"m$id")
+    val df = Seq(
+      ev("u1", 1000, 1), ev("u1", 1100, 2), ev("u1", 5000, 3), // gap > 1800 → split
+      ev("u2", 2000, 4)).toDF()
+    val sess = operators.EventAnalytics.sessionize(df, gapSeconds = 1800,
+      tieBreak = Seq("event_id"))
+    val stats = operators.EventAnalytics.sessionStats(sess)
+      .select($"user_id", $"session_id", $"n_events", $"duration_s")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats == Set(("u1", 1L, 2L, 100L), ("u1", 2L, 1L, 0L), ("u2", 1L, 1L, 0L)))
+  }
+
   test("as-of join == brute-force latest-at-or-before oracle") {
     val left = (0 until 300).map { i =>
       (s"k${rnd.nextInt(8)}", 1000L + rnd.nextInt(1000), i.toLong)
