@@ -251,14 +251,46 @@ case class SrpSigsExpr(child: Expression, nBits: Int, tables: Int, dim: Int,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Cosine over two array columns. Implements `doGenCode` (not
+  * CodegenFallback): this expression sits inside candidate-scoring loops, and
+  * falling back would split the surrounding WholeStageCodegen span and pay a
+  * per-row interpreted dispatch. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   private def isFloat(e: Expression) =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val lFloat = isFloat(left)
   @transient private lazy val rFloat = isFloat(right)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      val getX = if (lFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (rFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getX;
+         |  double $yi = $getY;
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
