@@ -42,6 +42,23 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq("A", "B"))
   }
 
+  test("state survives engine restart: a fresh pipeline instance continues") {
+    val paths = StateStorePaths(tmpDir("restart"))
+    val pipe1 = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    pipe1.processBatch(
+      Seq(Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1")).toDF(),
+      ts("2023-01-01 00:00:00"), ts("2023-01-01 01:00:00"))
+    // "restart": a brand-new pipeline object over the same table paths — all
+    // state lives in parquet (the AggregatingMergeTree durability model), so
+    // nothing is lost with the first instance
+    val pipe2 = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    pipe2.processBatch(
+      Seq(Ev("1", "BUTTON_CLICK", ts("2023-01-01 01:30:00"), "m2")).toDF(),
+      ts("2023-01-01 01:00:00"), ts("2023-01-01 02:00:00"))
+    val members = pipe2.members().select($"user_id").as[String].collect()
+    assert(members.toSeq == Seq("1"), "counts must accumulate across instances")
+  }
+
   test("retention drops only partitions older than the horizon") {
     val root = tmpDir("ttl")
     val df = Seq(
