@@ -23,15 +23,30 @@ object GraftFunctions {
       require(es.length == 4, "graft_minhash_sig(text, k, numHashes, seed)")
       MinHashSigExpr(es.head, intLit(es(1)), intLit(es(2)), longLit(es(3)))
     },
-    "graft_simhash64" -> { es => SimHash64Expr(es.head) },
+    "graft_simhash64" -> { es =>
+      require(es.length == 1, "graft_simhash64(text)")
+      SimHash64Expr(es.head)
+    },
     "graft_shingle_set" -> { es =>
       require(es.length == 2, "graft_shingle_set(text, k)")
-      ShingleSetExpr(es.head, intLit(es(1)))
+      ShingleSetExpr(NormalizeTextExpr(es.head), intLit(es(1)))
     },
-    "graft_jaccard" -> { es => JaccardExpr(es.head, es(1)) },
-    "graft_cosine" -> { es => CosineSimExpr(es.head, es(1)) },
-    "graft_lang_id" -> { es => LangIdExpr(es.head) },
-    "graft_normalize_text" -> { es => NormalizeTextExpr(es.head) },
+    "graft_jaccard" -> { es =>
+      require(es.length == 2, "graft_jaccard(arrayA, arrayB)")
+      JaccardExpr(es.head, es(1))
+    },
+    "graft_cosine" -> { es =>
+      require(es.length == 2, "graft_cosine(vecA, vecB)")
+      CosineSimExpr(es.head, es(1))
+    },
+    "graft_lang_id" -> { es =>
+      require(es.length == 1, "graft_lang_id(text)")
+      LangIdExpr(es.head)
+    },
+    "graft_normalize_text" -> { es =>
+      require(es.length == 1, "graft_normalize_text(text)")
+      NormalizeTextExpr(es.head)
+    },
     "graft_srp_sigs" -> { es =>
       require(es.length == 5, "graft_srp_sigs(vec, nBits, tables, dim, seed)")
       SrpSigsExpr(es.head, intLit(es(1)), intLit(es(2)), intLit(es(3)), longLit(es(4)))

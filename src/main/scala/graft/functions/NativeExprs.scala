@@ -16,9 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature computations dominate the dedup/ANN pipelines, so each gets a
   * Catalyst `Expression` whose `eval` runs the whole loop in one JVM frame
   * over `UTF8String`/`ArrayData` with zero per-element allocation
-  * (10-50× over the HOF forms; see BENCH history). Each expression is
-  * BIT-IDENTICAL to its Column-function counterpart — asserted in
-  * `NativeExprParitySpec` — so plans can mix both freely.
+  * (10-50× over the HOF forms; see BENCH history). Except where a doc says
+  * otherwise (minhashSig uses a different hash family than the classic
+  * `Dedup.minhashSignature`), each expression is bit-identical to its
+  * Column-function counterpart — asserted in `NativeExprParitySpec`.
   *
   * `CodegenFallback` is deliberate: the loop body IS the work; fusing it into
   * WholeStageCodegen would save one virtual call per row.
@@ -30,8 +31,11 @@ object NativeExprs {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
   /** MinHash signature over character k-grams of an (already normalized)
-    * text: sig[j] = min over grams g of (a_j·(xxhash64(g) mod p) + b_j) mod p.
-    * Matches `Dedup.minhashSignature(Dedup.shingleHashes(text))` exactly.
+    * text, using a multiply-shift hash family: sig[j] = min over grams g of
+    * (a_j·xxhash64(g) + b_j) >>> 1. NOT interchangeable with the classic
+    * mod-prime `Dedup.minhashSignature` — both estimate Jaccard over the same
+    * shingle space, but their signature VALUES differ; never band one form
+    * against the other. Byte-exact Scala reference: `MinHashRef.signature`.
     */
   def minhashSig(text: Column, k: Int, numHashes: Int, seed: Long): Column =
     col(MinHashSigExpr(expr(text), k, numHashes, seed))
@@ -53,9 +57,11 @@ object NativeExprs {
   /** Stopword/CJK language ID; matches `TextAnalysis.langId`. */
   def langId(text: Column): Column = col(LangIdExpr(expr(text)))
 
-  /** Distinct hashed character k-shingles; matches `Dedup.shingleHashes`
-    * (first-occurrence order). */
-  def shingleSet(text: Column, k: Int): Column = col(ShingleSetExpr(expr(text), k))
+  /** Distinct hashed character k-shingles of the NORMALIZED text; matches
+    * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
+    * Normalization is composed here so the two forms agree on raw input. */
+  def shingleSet(text: Column, k: Int): Column =
+    col(ShingleSetExpr(NormalizeTextExpr(expr(text)), k))
 
   /** Whitespace-collapse + lowercase + trim; byte-identical to
     * `trim(regexp_replace(lower(text), "\\s+", " "))`. */
@@ -64,26 +70,17 @@ object NativeExprs {
   /** Exact Jaccard of two distinct-element long arrays; matches
     * `Dedup.jaccardOfArrays`. */
   def jaccard(a: Column, b: Column): Column = col(JaccardExpr(expr(a), expr(b)))
+
+  /** windowFunnel DP over a time-sorted array<struct<t:long, step:int>>
+    * (see `EventAnalytics.windowFunnel`). */
+  def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
+    col(FunnelLevelExpr(expr(seq), nSteps, windowSeconds))
 }
 
-/** The 31-bit prime field shared by the minhash family (object so the
+/** The 31-bit prime field shared by the shingle-hash domain (object so the
   * expressions don't capture `Dedup`'s DataFrame-level machinery). */
 object Dedup31Prime {
   val P = 2147483647L // 2^31 - 1
-  /** Deterministic (a, b) universal-hash params — same PRNG stream as
-    * `Dedup.hashParams`. */
-  def params(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      as(i) = 1L + rnd.nextLong().abs % (P - 1)
-      bs(i) = rnd.nextLong().abs % P
-      i += 1
-    }
-    (as, bs)
-  }
 }
 
 /** Classic per-hash-function MinHash with a multiply-shift universal family:
@@ -280,22 +277,27 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val getX = if (lFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (rFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $getX;
-         |  double $yi = $getY;
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.value} = 0.0; // malformed pair — same policy as the HOF form
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $getX;
+         |    double $yi = $getY;
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
          |}
-         |double $denom = Math.sqrt($nx) * Math.sqrt($ny);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return 0.0 // matches the HOF form
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -342,6 +344,37 @@ case class NormalizeTextExpr(child: Expression)
       i += 1
     }
     UTF8String.fromBytes(out, 0, o) // trailing ws left pending → dropped
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Deepest-funnel-level DP (see `EventAnalytics.windowFunnel` for the
+  * semantics): input is a (t, step)-sorted array of struct<t:long, step:int>;
+  * `best(s)` tracks the latest chain-start time reaching level s. */
+case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val best = Array.fill(nSteps + 1)(Long.MinValue)
+    var level = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getLong(0)
+      val s = row.getInt(1)
+      if (s == 1) {
+        if (t > best(1)) best(1) = t
+        if (level < 1) level = 1
+      } else if (best(s - 1) != Long.MinValue && t - best(s - 1) <= windowSeconds) {
+        if (best(s - 1) > best(s)) best(s) = best(s - 1)
+        if (level < s) level = s
+      }
+      i += 1
+    }
+    level
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

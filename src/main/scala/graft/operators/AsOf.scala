@@ -29,24 +29,28 @@ object AsOf {
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
     val leftOther = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
-    // common time axis + side tag: right (tag 0) sorts before left (tag 1) at
-    // equal timestamps, so an exactly-simultaneous right row IS visible
+    // The payload travels as ONE struct per right row: left-row placeholders
+    // are a null STRUCT, while a right row whose payload fields are null is a
+    // non-null struct of nulls — so `last(…, ignoreNulls)` skips placeholders
+    // but honours genuine nulls, and all carried fields come from the SAME
+    // right row (no cross-row mixing).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.select(payload.map(col): _*).schema.fields)
     val r = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
-        payload.map(col) ++
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
+        struct(payload.map(col): _*).as("__p")) ++
         leftOther.map(c => lit(null).as(c)): _*)
     val l = left.select(
-      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__tag")) ++
-        payload.map(c => lit(null).as(c)) ++
+      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__tag") :+
+        lit(null).cast(payloadType).as("__p")) ++
         leftOther.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(r.unionByName(l)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val filled = r.unionByName(l)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
       .withColumnRenamed("__t", leftTime)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

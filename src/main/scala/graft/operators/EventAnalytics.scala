@@ -48,33 +48,19 @@ object EventAnalytics {
   def windowFunnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
                    userCol: String = "user_id", typeCol: String = "event_type",
                    tsCol: String = "ts"): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val stepIdx = typedLit(steps.zipWithIndex.toMap)
     val tagged = events
       .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol).cast("long").as("user_id"),
-              unix_timestamp(col(tsCol)).as("t"),
-              element_at(stepIdx, col(typeCol)).as("step"))
-    tagged.as[(Long, Long, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (user, rows) =>
-        val sorted = rows.map(r => (r._2, r._3 + 1)).toArray.sorted // (t, 1-based step)
-        val n = steps.length
-        val best = Array.fill(n + 1)(Long.MinValue)
-        var level = 0
-        for ((t, s) <- sorted) {
-          if (s == 1) {
-            if (t > best(1)) best(1) = t
-            if (level < 1) level = 1
-          } else if (best(s - 1) != Long.MinValue && t - best(s - 1) <= windowSeconds) {
-            if (best(s - 1) > best(s)) best(s) = best(s - 1)
-            if (level < s) level = s
-          }
-        }
-        (user, level)
-      }
-      .toDF("user_id", "funnel_level")
+      .select(col(userCol),
+              unix_timestamp(col(tsCol)).as("__t"),
+              (element_at(stepIdx, col(typeCol)) + 1).as("__step")) // 1-based
+    // the key keeps its original type/name; the DP runs as an expression over
+    // the sorted (t, step) array, so the shuffle carries 12-byte pairs
+    tagged.groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__step")))).as("__seq"))
+      .select(col(userCol),
+              graft.functions.NativeExprs.funnelLevel(
+                col("__seq"), steps.length, windowSeconds).as("funnel_level"))
   }
 
   /** ClickHouse-style `retention(cond0, cond1, …)`: per user, whether the

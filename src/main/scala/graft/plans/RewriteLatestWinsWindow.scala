@@ -69,21 +69,26 @@ object RewriteLatestWinsWindow extends Rule[LogicalPlan] {
     val ordExpr =
       if (order.length == 1) order.head.child
       else CreateStruct(order.map(_.child))
-    def pick(value: Expression): AggregateExpression =
-      (if (dirs.head == Descending) MaxBy(value, ordExpr) else MinBy(value, ordExpr))
-        .toAggregateExpression()
     // Spark's InferWindowGroupLimit may already have inserted a per-partition
     // top-1 pre-filter below the window; the aggregate subsumes it
     val child = w.child match {
       case WindowGroupLimit(_, _, RowNumber(), 1, grandChild) => grandChild
       case other => other
     }
-    // aggregate output mirrors the window output (child cols + rn), keeping
-    // every exprId so parent operators resolve unchanged
+    // ONE max_by over a struct of all non-key columns: every output value
+    // comes from the SAME winning row, preserving row coherence under
+    // ordering ties exactly like row_number()=1 does (per-column independent
+    // max_by could mix values from different tied rows).
     val partIds = partRefs.map(_.exprId).toSet
+    val payloadAttrs = child.output.filterNot(a => partIds.contains(a.exprId))
+    val rowStruct = CreateStruct(payloadAttrs)
+    val picked =
+      (if (dirs.head == Descending) MaxBy(rowStruct, ordExpr)
+       else MinBy(rowStruct, ordExpr)).toAggregateExpression()
     val aggExprs: Seq[NamedExpression] = child.output.map { a =>
       if (partIds.contains(a.exprId)) a
-      else Alias(pick(a), a.name)(exprId = a.exprId)
+      else Alias(GetStructField(picked, payloadAttrs.indexWhere(_.exprId == a.exprId),
+                                Some(a.name)), a.name)(exprId = a.exprId)
     } :+ Alias(Literal(1), rnAlias.name)(exprId = rnId)
     Some(Aggregate(partRefs, aggExprs, child))
   }

@@ -137,10 +137,16 @@ class MicroBatchPipeline(
       .withColumn("computed_at", lit(compactTs))
       .withColumn("computed_date", to_date(lit(compactTs)))
       .write.mode("overwrite").partitionBy("computed_date").parquet(tmp)
-    // swap: never overwrite the table we are still reading from
+    // swap with no lost-table window: park the live dir, promote the new one,
+    // THEN delete — a crash between steps leaves either the old or the new
+    // table at a recoverable path, never neither
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(paths.states), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(paths.states))
+    val statesPath = new org.apache.hadoop.fs.Path(paths.states)
+    val fs = statesPath.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"${paths.states}__old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    fs.rename(statesPath, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), statesPath)
+    fs.delete(old, true)
   }
 }

@@ -48,10 +48,14 @@ object StreamingSegments {
       }
   }
 
-  /** Native watermarked streaming aggregation: running exact distinct-id count
-    * + max event time per user. `withWatermark` bounds state retention; late
-    * rows within the delay still update their user (T6). Output mode Update —
-    * each trigger emits changed users only, the streaming analogue of the
+  /** Native watermarked streaming aggregation: per-user event count after
+    * duplicate-id suppression, + max event time. `withWatermark` bounds BOTH
+    * the aggregate state and the dedup state: a duplicate `message_id`
+    * redelivered after its event time falls behind the watermark is counted
+    * again (bounded-horizon idempotency — the price of bounded state; size
+    * the delay to the maximum redelivery lag, exactly as the reference's
+    * processing-time cursor assumes bounded skew). Output mode Update — each
+    * trigger emits changed users only, the streaming analogue of the
     * change-log-restricted merge (T4).
     */
   def watermarkedCounts(

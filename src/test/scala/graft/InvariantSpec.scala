@@ -164,6 +164,17 @@ class InvariantSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("as-of join honours genuine nulls in the newest right row") {
+    val left = Seq(("k", 30L, 1L)).toDF("k", "t", "left_id")
+    val right = Seq(("k", 10L, Some("old")), ("k", 20L, None))
+      .toDF("k", "rt", "payload")
+    val got = operators.AsOf.joinAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"))
+      .select($"payload").as[Option[String]].collect()
+    assert(got.toSeq == Seq(None),
+      "newest right row has payload NULL — must not fall back to the older value")
+  }
+
   test("evaluateMany == independent per-segment evaluation") {
     val events = randomEvents(400, users = 12, ids = 400)
       .map(e => if (e.event_id.hashCode % 3 == 0) e.copy(event_type = "OTHER") else e)

@@ -83,6 +83,13 @@ class NativeExprParitySpec extends SparkSpec {
       Dedup.shingleHashes($"text", 5).as("b"))
       .filter(not($"a" <=> $"b")).count()
     assert(diff == 0)
+    // non-normalized raw input: both forms must normalize before shingling
+    val raw = Seq("Hello   World FOO", "hello world foo", "  A  B  ").toDF("text")
+    val rawDiff = raw.select(
+      NativeExprs.shingleSet($"text", 5).as("a"),
+      Dedup.shingleHashes($"text", 5).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(rawDiff == 0, "shingleSet must normalize like shingleHashes does")
     val pairs = docs.limit(30).select($"doc_id".as("ia"), $"text".as("ta"))
       .crossJoin(docs.limit(30).select($"doc_id".as("ib"), $"text".as("tb")))
     val jdiff = pairs.select(

@@ -48,6 +48,17 @@ class RewriteRuleSpec extends SparkSpec {
     }
   }
 
+  test("rewritten plan emits one coherent row under ordering ties") {
+    // two rows tied on the full sort key — whichever wins, the output pair
+    // must be a REAL row, never a cross-row mix
+    val tied = Seq(("u1", "click", 1L, 10L), ("u1", "view", 2L, 10L))
+      .toDF("user_id", "etype", "v", "ord")
+    val out = LatestWins.latestRows(tied, Seq("user_id"), col("ord"))
+      .select($"etype", $"v").as[(String, Long)].collect().toSet
+    assert(out.subsetOf(Set(("click", 1L), ("view", 2L))) && out.size == 1,
+      s"must be one original row, got $out")
+  }
+
   test("rule does NOT fire on nullable sort keys or other window functions") {
     // nullable key: route through an explicit nullable projection
     val nullable = log.select($"user_id", $"value",
