@@ -283,6 +283,35 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** Higher moments with deterministic math: skewness/kurtosis from exact
+    * decimal power sums combined by a fixed double formula (the built-in
+    * `skewness`/`kurtosis` aggregates are float-order-dependent). */
+  private def aggMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value")).as("s1"),
+           dsum(col("value") * col("value")).as("s2"),
+           dsum(col("value") * col("value") * col("value")).as("s3"))
+      .select(col("event_type"), col("n"),
+              (col("s1") / col("n")).as("mean"), col("s2"), col("s3"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n") - lit(3.0) * col("mean") * col("s2") / col("n")
+                          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .select(col("event_type"), col("n"), col("mean"),
+              (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"))
+      .orderBy("event_type")
+
+  /** Pipeline composition: quality-gate the corpus, then aggregate — the
+    * filter predicates reuse the text metrics the oracle recomputes in SQL. */
+  private def docsFilteredStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+              TextAnalysis.tokenCount(col("text")) >= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   /** Gap-based batch sessionization → per-user session stats. */
   private def sessionsStats(s: SparkSession, dir: String): DataFrame = {
     val sess = EventAnalytics.sessionize(t(s, dir, "events"), gapSeconds = 3600)
@@ -539,6 +568,8 @@ object SparkEntry {
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
     "sessions_stats"       -> (sessionsStats _),
+    "agg_moments"          -> (aggMoments _),
+    "docs_filtered_stats"  -> (docsFilteredStats _),
     "funnel_levels"        -> (funnelLevels _),
     "cohort_retention"     -> (cohortRetention _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
@@ -641,6 +672,33 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "agg_moments" ->
+      """WITH s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(value * value * value AS DECIMAL(27,6))) AS DOUBLE) AS s3
+           FROM events GROUP BY event_type),
+         m AS (
+           SELECT event_type, n, s1 / n AS mean, s2, s3 FROM s),
+         mm AS (
+           SELECT event_type, n, mean,
+                  s2 / n - mean * mean AS m2,
+                  s3 / n - 3.0 * mean * s2 / n + 2.0 * mean * mean * mean AS m3
+           FROM m)
+         SELECT event_type, n, mean, m3 / (m2 * sqrt(m2)) AS skewness
+         FROM mm ORDER BY event_type""",
+
+    "docs_filtered_stats" -> {
+      val toks = "regexp_extract_all(lower(text), '[a-z]+')"
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          FROM documents
+          WHERE coalesce(len(list_filter($toks, w -> list_contains([$EnStop], w)))::DOUBLE
+                         / nullif(len($toks), 0), 0.0) >= 0.05
+            AND len(regexp_extract_all(text, '\\S+')) >= 20
+          GROUP BY lang ORDER BY lang"""
+    },
 
     "sessions_stats" ->
       """WITH o AS (
