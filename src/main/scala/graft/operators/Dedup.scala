@@ -116,16 +116,22 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    // Materialize the candidate list eagerly (localCheckpoint): the bucket
+    // self-join subplan executes exactly once, and the later semi-join /
+    // verification branches read the materialized pairs instead of
+    // re-deriving signatures per branch.
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Shingle sets are a cheap native projection, so verification joins the
-    // full (id, shingles) side directly — referencing `candidates` exactly
-    // once keeps the expensive bucket self-join subplan single-execution
-    // (a candidate-ids semi-join variant re-evaluates it per branch).
-    val sh = docs.select(col(idCol),
-      graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
+      .localCheckpoint(true)
+    // shingle sets only for docs that appear in some candidate pair —
+    // verification cost is O(candidates), independent of corpus size
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
