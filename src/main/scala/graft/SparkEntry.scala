@@ -283,6 +283,23 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** Fixed-size token chunking with overlap (sequence prep). */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    TextChunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Deterministic multiplicative-hash sample (~7%). */
+  private def sampleEventsHash(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(t(s, dir, "events"), "event_id", pct = 7)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  /** Deterministic stratified sample: 5 representatives per event type. */
+  private def stratifiedSampleEvents(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "events"), "event_type", "event_id", 5)
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .orderBy("event_type", "event_id")
+
   /** Higher moments with deterministic math: skewness/kurtosis from exact
     * decimal power sums combined by a fixed double formula (the built-in
     * `skewness`/`kurtosis` aggregates are float-order-dependent). */
@@ -569,6 +586,9 @@ object SparkEntry {
     "asof_assignment"      -> (asofAssignment _),
     "sessions_stats"       -> (sessionsStats _),
     "agg_moments"          -> (aggMoments _),
+    "doc_chunks"           -> (docChunks _),
+    "sample_events_hash"   -> (sampleEventsHash _),
+    "stratified_sample"    -> (stratifiedSampleEvents _),
     "docs_filtered_stats"  -> (docsFilteredStats _),
     "funnel_levels"        -> (funnelLevels _),
     "cohort_retention"     -> (cohortRetention _),
@@ -672,6 +692,29 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                    FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0)
+         SELECT doc_id,
+                CAST(s.start / 48 AS INT) AS chunk_idx,
+                array_to_string(list_slice(toks, s.start + 1, s.start + 64), ' ') AS chunk_text,
+                len(list_slice(toks, s.start + 1, s.start + 64)) AS n_chunk_tokens
+         FROM d, LATERAL (SELECT unnest(range(0, len(toks), 48)) AS start) s
+         ORDER BY doc_id, chunk_idx""",
+
+    "sample_events_hash" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+          WHERE (event_id * ${Sampling.Knuth}) % 100 < 7
+          ORDER BY event_id""",
+
+    "stratified_sample" ->
+      s"""SELECT event_type, event_id, user_id
+          FROM (SELECT event_type, event_id, user_id,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY (event_id * ${Sampling.Knuth}) % 1000000007, event_id) AS rn
+                FROM events)
+          WHERE rn <= 5 ORDER BY event_type, event_id""",
 
     "agg_moments" ->
       """WITH s AS (

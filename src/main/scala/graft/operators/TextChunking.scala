@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Sequence-prep operators for training pipelines: fixed-size token chunking
+  * with overlap, and deterministic hash sampling.
+  */
+object TextChunking {
+
+  /** Split each document into token chunks of `chunkTokens` with `overlap`
+    * tokens shared between consecutive chunks. Pure per-row explode — no
+    * shuffle; output is (id, chunk_idx, chunk_text, n_chunk_tokens).
+    * Empty documents produce no chunks. */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+    val step = chunkTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+              posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(step)))
+                .as(Seq("chunk_idx", "start")),
+              col("__toks"))
+      .select(col(idCol), col("chunk_idx"),
+              array_join(slice(col("__toks"), col("start") + 1, lit(chunkTokens)), " ")
+                .as("chunk_text"),
+              size(slice(col("__toks"), col("start") + 1, lit(chunkTokens)))
+                .as("n_chunk_tokens"))
+  }
+}
+
+/** Reproducible corpus sampling: engine-agnostic multiplicative hashing, so
+  * the SAME sample comes out of any engine and any partitioning (unlike
+  * `df.sample`, whose RNG is partition-dependent, and unlike engine hash
+  * functions, which differ between systems). */
+object Sampling {
+  val Knuth = 2654435761L // 2^32 · φ⁻¹, the classic multiplicative constant
+
+  /** Keep ~pct% of rows: (id·K) mod 100 < pct. `idCol` must be integral and
+    * below ~2^30 to stay ANSI-overflow-safe (id·K < 2^62). */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(pmod(col(idCol) * lit(Knuth), lit(100L)) < pct)
+
+  /** Deterministic stratified sample: the `perGroup` rows with the smallest
+    * hash within each group — reproducible "random" representatives. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       perGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(pmod(col(idCol) * lit(Knuth), lit(1000000007L)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup)
+      .drop("__rn")
+  }
+}

@@ -146,6 +146,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got._2 == rows.length)
   }
 
+  test("chunking: zero-overlap chunks reassemble the document exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val chunks = operators.TextChunking.chunk(docs, chunkTokens = 32, overlap = 0)
+    val reassembled = chunks.orderBy($"doc_id", $"chunk_idx")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", collect_list($"chunk_text")).as("re"),
+           sum($"n_chunk_tokens").as("n"))
+    val joined = docs.select($"doc_id",
+        concat_ws(" ", graft.functions.TextAnalysis.tokens($"text")).as("orig"),
+        size(graft.functions.TextAnalysis.tokens($"text")).as("n_orig"))
+      .join(reassembled, "doc_id")
+    assert(joined.filter($"re" =!= $"orig" || $"n" =!= $"n_orig").count() == 0)
+    // overlap: consecutive chunks share exactly `overlap` tokens
+    val ov = operators.TextChunking.chunk(docs, chunkTokens = 16, overlap = 4)
+      .filter($"doc_id" === 0)
+      .orderBy($"chunk_idx").select($"chunk_text").as[String].collect()
+    if (ov.length >= 2) {
+      val first = ov(0).split(" "); val second = ov(1).split(" ")
+      assert(first.takeRight(4).toSeq == second.take(4).toSeq)
+    }
+  }
+
+  test("hash sampling is partitioning-independent and reproducible") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = operators.Sampling.hashSample(ev, "event_id", 10)
+      .select($"event_id").as[Long].collect().toSet
+    val b = operators.Sampling.hashSample(ev.repartition(13), "event_id", 10)
+      .select($"event_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < 200, s"sample size ${a.size}")
+  }
+
   test("multimodal decode plumbing: stub codec through mapPartitions") {
     val media = Multimodal.syntheticMediaTable(
       Seq((1L, "hello"), (2L, "a much longer synthetic media payload")).toDF("doc_id", "text"))
