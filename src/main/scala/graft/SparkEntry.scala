@@ -283,6 +283,33 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** Relational pivot: per-user wide activity counts (explicit value list —
+    * at scale an implicit pivot would scan once just to discover columns). */
+  private def pivotUserActivity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Unpivot (melt): the wide activity table back to long form. */
+  private def unpivotUserActivity(s: SparkSession, dir: String): DataFrame =
+    pivotUserActivity(s, dir)
+      .unpivot(Array(col("user_id")), Array(col("click"), col("purchase"), col("view")),
+               "event_type", "n")
+      .orderBy("user_id", "event_type")
+
+  /** ntile quartiles by order value. */
+  private def ntileOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("quartile")
+  }
+
   /** Fixed-size token chunking with overlap (sequence prep). */
   private def docChunks(s: SparkSession, dir: String): DataFrame =
     TextChunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16)
@@ -587,6 +614,9 @@ object SparkEntry {
     "sessions_stats"       -> (sessionsStats _),
     "agg_moments"          -> (aggMoments _),
     "doc_chunks"           -> (docChunks _),
+    "pivot_user_activity"  -> (pivotUserActivity _),
+    "unpivot_user_activity" -> (unpivotUserActivity _),
+    "ntile_orders"         -> (ntileOrders _),
     "sample_events_hash"   -> (sampleEventsHash _),
     "stratified_sample"    -> (stratifiedSampleEvents _),
     "docs_filtered_stats"  -> (docsFilteredStats _),
@@ -692,6 +722,34 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "pivot_user_activity" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'view') AS "view"
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "unpivot_user_activity" ->
+      """WITH w AS (
+           SELECT user_id,
+                  count(*) FILTER (WHERE event_type = 'click') AS click,
+                  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                  count(*) FILTER (WHERE event_type = 'view') AS "view"
+           FROM events GROUP BY user_id)
+         SELECT user_id, event_type, n FROM (
+           SELECT user_id, 'click' AS event_type, click AS n FROM w
+           UNION ALL SELECT user_id, 'purchase', purchase FROM w
+           UNION ALL SELECT user_id, 'view', "view" FROM w)
+         ORDER BY user_id, event_type""",
+
+    "ntile_orders" ->
+      """SELECT quartile, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+         FROM (SELECT o_totalprice,
+                      ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+               FROM orders)
+         GROUP BY quartile ORDER BY quartile""",
 
     "doc_chunks" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
