@@ -107,6 +107,9 @@ object Dedup {
                             bands: Int = 32, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // materialized once: both sides of the self-join (and nothing else)
+    // read these 24-byte bucket rows, so the signature pass over the corpus
+    // runs exactly once
     val buckets = docs.select(
         col(idCol),
         graft.functions.NativeExprs.minhashSig(
@@ -114,6 +117,7 @@ object Dedup {
           shingleK, numHashes, seed).as("sig"))
       .select(col(idCol), explode(lshBands(col("sig"), bands, r)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .localCheckpoint(true)
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     // Materialize the candidate list eagerly (localCheckpoint): the bucket
