@@ -25,8 +25,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * WholeStageCodegen would save one virtual call per row.
   */
 object NativeExprs {
-  private val P = Dedup31Prime.P
-
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 

@@ -29,6 +29,11 @@ object AsOf {
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
     val leftOther = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
+    // ASOF semantics: a right row with a NULL timestamp or NULL key can never
+    // match (`l.t >= NULL` is never true; equality never matches NULL keys) —
+    // drop them up front so window null-grouping can't resurrect them
+    val rightClean = right.filter(
+      (col(rightTime).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
     // The payload travels as ONE struct per right row: left-row placeholders
     // are a null STRUCT, while a right row whose payload fields are null is a
     // non-null struct of nulls — so `last(…, ignoreNulls)` skips placeholders
@@ -36,7 +41,7 @@ object AsOf {
     // right row (no cross-row mixing).
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(payload.map(col): _*).schema.fields)
-    val r = right.select(
+    val r = rightClean.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
         struct(payload.map(col): _*).as("__p")) ++
         leftOther.map(c => lit(null).as(c)): _*)

@@ -15,7 +15,8 @@ object TextChunking {
     * Empty documents produce no chunks. */
   def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens) — a negative overlap would silently skip tokens")
     val step = chunkTokens - overlap
     val toks = TextAnalysis.tokens(col(textCol))
     docs

@@ -59,12 +59,25 @@ class MicroBatchPipeline(
 
   import spark.implicits._
 
+  /** Crash recovery for [[compact]]'s swap: if a crash parked the live state
+    * table at `__old` without promoting the replacement, restore it. Called
+    * before every state-table access so a half-finished swap can never be
+    * silently shadowed by a freshly-appended partial table. */
+  private def recoverStatesIfNeeded(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statesPath = new org.apache.hadoop.fs.Path(paths.states)
+    val fs = statesPath.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"${paths.states}__old")
+    if (!fs.exists(statesPath) && fs.exists(old)) fs.rename(old, statesPath)
+  }
+
   /** One micro-batch: state update + change-log co-write + delta-restricted
     * segment merge. `lowerBound` ≤ processing_time < `batchTs` is this batch's
     * slice (the reference uses only the lower bound, 3-microBatch.test.ts:126;
     * we add the upper bound so replays are deterministic).
     */
   def processBatch(events: DataFrame, lowerBound: Timestamp, batchTs: Timestamp): Unit = {
+    recoverStatesIfNeeded()
     // --- state update (INSERT INTO user_states SELECT … uniqState …,
     //     3-microBatch.test.ts:116-133 / 4-eventTime.test.ts:129-147)
     val sliced = events
@@ -110,6 +123,7 @@ class MicroBatchPipeline(
     * 4-eventTime.test.ts:171-185 — `argMax(value, assigned_at)`).
     */
   def members(): DataFrame = {
+    recoverStatesIfNeeded()
     val payload = "value" +: eventTimeCol.map(_ => "last_event_time").toSeq
     val latest = LatestWins.maxBy(
       spark.read.parquet(paths.assignments),
@@ -127,6 +141,7 @@ class MicroBatchPipeline(
     * merge cost O(1 row/user) no matter how many batches have run.
     */
   def compact(compactTs: Timestamp): Unit = {
+    recoverStatesIfNeeded()
     val aggs =
       Sketches.uniqMergeState(col("event_count")).as("event_count") +:
       eventTimeCol.map(_ => max(col("last_event_time")).as("last_event_time")).toSeq

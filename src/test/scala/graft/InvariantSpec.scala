@@ -175,6 +175,16 @@ class InvariantSpec extends SparkSpec {
       "newest right row has payload NULL — must not fall back to the older value")
   }
 
+  test("as-of join ignores right rows with NULL timestamps (ASOF semantics)") {
+    val left = Seq(("k", 30L, 1L)).toDF("k", "t", "left_id")
+    val right = Seq((Some("k"), None: Option[Long], Some("ghost")))
+      .toDF("k", "rt", "payload")
+    val got = operators.AsOf.joinAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"))
+      .select($"payload").as[Option[String]].collect()
+    assert(got.toSeq == Seq(None), "l.t >= NULL never matches in ASOF JOIN")
+  }
+
   test("evaluateMany == independent per-segment evaluation") {
     val events = randomEvents(400, users = 12, ids = 400)
       .map(e => if (e.event_id.hashCode % 3 == 0) e.copy(event_type = "OTHER") else e)

@@ -149,10 +149,12 @@ class PipelineOpsSpec extends SparkSpec {
   test("chunking: zero-overlap chunks reassemble the document exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val chunks = operators.TextChunking.chunk(docs, chunkTokens = 32, overlap = 0)
-    val reassembled = chunks.orderBy($"doc_id", $"chunk_idx")
+    val reassembled = chunks
       .groupBy($"doc_id")
-      .agg(concat_ws(" ", collect_list($"chunk_text")).as("re"),
-           sum($"n_chunk_tokens").as("n"))
+      .agg(array_join(transform(
+             array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+             c => c.getField("chunk_text")), " ").as("re"),
+           sum($"n_chunk_tokens").as("n")) // sort INSIDE the agg — collect_list order is unspecified
     val joined = docs.select($"doc_id",
         concat_ws(" ", graft.functions.TextAnalysis.tokens($"text")).as("orig"),
         size(graft.functions.TextAnalysis.tokens($"text")).as("n_orig"))

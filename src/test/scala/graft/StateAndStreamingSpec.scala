@@ -59,6 +59,25 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(members.toSeq == Seq("1"), "counts must accumulate across instances")
   }
 
+  test("compact crash recovery: parked state table is restored, not shadowed") {
+    val paths = StateStorePaths(tmpDir("crash"))
+    val pipe = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    pipe.processBatch(
+      Seq(Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+          Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:01:00"), "m2")).toDF(),
+      ts("2023-01-01 00:00:00"), ts("2023-01-01 01:00:00"))
+    // simulate a crash between compact()'s two renames: live dir parked at
+    // __old, replacement never promoted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(paths.states).getFileSystem(conf)
+    fs.rename(new org.apache.hadoop.fs.Path(paths.states),
+              new org.apache.hadoop.fs.Path(s"${paths.states}__old"))
+    // next access must restore the parked table — not under-count from a
+    // freshly-created empty one
+    val members = pipe.members().select($"user_id").as[String].collect()
+    assert(members.toSeq == Seq("1"))
+  }
+
   test("retention drops only partitions older than the horizon") {
     val root = tmpDir("ttl")
     val df = Seq(
