@@ -283,6 +283,14 @@ object SparkEntry {
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  /** Repetition-signal scoring per document (duplicate-trigram fraction). */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+              size(TextAnalysis.wordTrigrams(col("text"))).as("n_trigrams"),
+              TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")
+
   /** Relational pivot: per-user wide activity counts (explicit value list —
     * at scale an implicit pivot would scan once just to discover columns). */
   private def pivotUserActivity(s: SparkSession, dir: String): DataFrame =
@@ -615,6 +623,7 @@ object SparkEntry {
     "agg_moments"          -> (aggMoments _),
     "doc_chunks"           -> (docChunks _),
     "pivot_user_activity"  -> (pivotUserActivity _),
+    "text_repetition"      -> (textRepetition _),
     "unpivot_user_activity" -> (unpivotUserActivity _),
     "ntile_orders"         -> (ntileOrders _),
     "sample_events_hash"   -> (sampleEventsHash _),
@@ -722,6 +731,22 @@ object SparkEntry {
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
+
+    "text_repetition" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) >= 3
+                       THEN list_transform(
+                              range(1, len(regexp_extract_all(lower(text), '[a-z]+')) - 1),
+                              i -> array_to_string(
+                                     list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                                                i, i + 2), ' '))
+                       ELSE [] END AS t3
+           FROM documents)
+         SELECT doc_id, len(t3) AS n_trigrams,
+                coalesce((len(t3) - len(list_distinct(t3)))::DOUBLE / nullif(len(t3), 0), 0.0)
+                  AS rep_ratio
+         FROM g ORDER BY doc_id""",
 
     "pivot_user_activity" ->
       """SELECT user_id,

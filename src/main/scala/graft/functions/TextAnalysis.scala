@@ -104,6 +104,24 @@ object TextAnalysis {
     }.getField("lang")
   }
 
+  /** Word 3-grams of the text (empty below 3 words). */
+  def wordTrigrams(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition signal (C4/Gopher-style): fraction of word trigrams that are
+    * duplicates of an earlier trigram in the same document. ~0 for natural
+    * text, → 1 for boilerplate loops and generator spam. */
+  def repetitionRatio(text: Column): Column = {
+    val t3 = wordTrigrams(text)
+    coalesce((size(t3) - size(array_distinct(t3))).cast("double")
+               / nullif(size(t3), lit(0)), lit(0.0))
+  }
+
   /** Canonical text normalization shared by fingerprints: collapse whitespace,
     * lowercase, trim. Native single-pass expression; [[normalizedHof]] is the
     * bit-identical SQL-function form. */
