@@ -452,6 +452,37 @@ object SparkEntry {
     pipe.members().orderBy("user_id")
   }
 
+  /** The NATIVE streaming rendition through the oracle gate: watermarked
+    * streaming aggregation (dedup + count + max event time) over the same
+    * file-stream source, drained with AvailableNow into a memory sink; the
+    * final per-user rows must equal the batch aggregate. */
+  private def segStreamNative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("event_id", col("event_id").cast("string"))
+    val agg = graft.streaming.StreamingSegments.watermarkedCounts(
+      stream, ClickSeg, eventTimeCol = "ts", watermarkDelay = "40 days")
+    val sink = s"seg_stream_native_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("n_unique"),
+              unix_timestamp(col("last_event_time")).as("last_event_time"),
+              col("in_segment"))
+      .orderBy("user_id")
+  }
+
   private def outerJoinNationSuppliers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_outer")
@@ -616,6 +647,7 @@ object SparkEntry {
     "seg_eventtime"        -> (segEventTime _),
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
     "seg_stream_equiv"     -> (segStreamEquiv _),
+    "seg_stream_native"    -> (segStreamNative _),
     "seg_multi"            -> (segMulti _),
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
@@ -911,6 +943,13 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type = 'view') >= 10 AS view_in
          FROM events WHERE event_type IN ('click', 'purchase', 'view')
          GROUP BY user_id ORDER BY user_id""",
+
+    "seg_stream_native" ->
+      s"""SELECT user_id, count(*) AS n_unique,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) AS last_event_time,
+                 count(*) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
 
     "seg_stream_equiv" ->
       s"""SELECT user_id, CAST(1 AS BOOLEAN) AS latest_value
