@@ -1,0 +1,28 @@
+package graft
+
+/** The driver's smoke contract: `SparkEntry.entry` returns >0 rows on
+  * sf0.001, and every registered query has either an oracle or a known
+  * rows-only justification. */
+class EntrySmokeSpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key names a registered query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
+  }
+
+  test("rows-only queries are exactly the documented approximate/engine-defined set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set(
+      "seg_idempotent_approx", "seg_microbatch_hll",          // approximate sketches
+      "ann_topk_srp", "minhash_neardup", "simhash_neardup",   // LSH candidate generation
+      "embedding_neardup", "dedup_clusters",
+      "doc_fingerprints_ext",                                  // engine-defined hashes
+      "multimodal_decode")                                     // codec stub
+    assert(rowsOnly == expected,
+      s"new queries must ship an oracle or be added here deliberately: ${rowsOnly -- expected}")
+  }
+}
