@@ -153,6 +153,40 @@ object SparkEntry {
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy("r_name", "n_name")
 
+  /** Q2-style: for each part, the supplier(s) offering it at the minimum
+    * lineitem price — correlated-aggregate join (the classic decorrelated
+    * min-subquery shape). */
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val minPrice = li.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    li.join(minPrice, Seq("l_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("cheapest_suppkey"), // deterministic among ties
+           min(col("min_price")).as("min_price"))
+      .orderBy("l_partkey")
+  }
+
+  /** Segment-overlap estimation via mergeable HLL sketches: |A∩B| by
+    * inclusion-exclusion over per-segment user sketches — the sketch-algebra
+    * read pattern segment products run at 100 TB. Approximate → rows-only. */
+  private def segOverlapHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val perType = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(Sketches.uniqState(col("user_id")).as("sk"))
+    perType.agg(
+        Sketches.uniqMerge(col("sk")).as("n_union"),
+        sum(when(col("event_type") === "click",
+          Sketches.uniqEstimate(col("sk"))).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "purchase",
+          Sketches.uniqEstimate(col("sk"))).otherwise(0L)).as("n_purchase"))
+      .select(col("n_click"), col("n_purchase"), col("n_union"),
+              (col("n_click") + col("n_purchase") - col("n_union")).as("n_intersect_est"))
+  }
+
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_totalprice") > PriceFloor)
       .select(col("o_custkey").as("c_custkey"))
@@ -665,6 +699,8 @@ object SparkEntry {
     "cohort_retention"     -> (cohortRetention _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "seg_overlap_hll"      -> (segOverlapHll _),
     "q3_revenue"           -> (q3Revenue _),
     "q5_revenue"           -> (q5Revenue _),
     "semi_customers"       -> (semiCustomers _),
@@ -956,6 +992,15 @@ object SparkEntry {
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id HAVING count(DISTINCT event_id) >= ${ClickSeg.minCount}
           ORDER BY user_id""",
+
+    "q2_min_cost_supplier" ->
+      """WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+                    FROM lineitem GROUP BY l_partkey)
+         SELECT l.l_partkey, min(l.l_suppkey) AS cheapest_suppkey,
+                min(m.min_price) AS min_price
+         FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey
+                              AND l.l_extendedprice = m.min_price
+         GROUP BY l.l_partkey ORDER BY l.l_partkey""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
