@@ -180,15 +180,15 @@ object Dedup {
     * (near-dup components are shallow: diameter rarely exceeds ~10).
     */
   def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 20,
-                            driverSideLimit: Long = 2000000L): DataFrame = {
+                            driverSideMaxBytes: Long = 32L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val edgePairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // Scale-adaptive: near-dup pair lists are usually tiny relative to the
-    // corpus. Below the limit, union-find on the driver costs one collect
-    // instead of O(diameter) shuffle rounds; above it, fall through to the
-    // distributed propagation loop.
+    // corpus. Under the BYTE budget (16 bytes per edge row), union-find on
+    // the driver costs one collect instead of O(diameter) shuffle rounds;
+    // above it, fall through to the distributed propagation loop.
     val nPairs = edgePairs.count()
-    if (nPairs <= driverSideLimit) {
+    if (nPairs * 16L <= driverSideMaxBytes) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -220,13 +220,14 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry the previous label through the update so the convergence probe
+      // is a filter over the materialized result — no extra join per round
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
                 least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }

@@ -38,16 +38,22 @@ object Multimodal {
   /** STUB codec — deterministic fake in place of a real image/audio decoder.
     * Derives plausible metadata purely from the bytes so tests are stable.
     * A real deployment replaces this object with e.g. a JNI codec binding.
+    *
+    * The fake metadata is a pure function of md5(bytes) — 28 bits parsed from
+    * the first 7 hex chars — so any engine with an md5 function can reproduce
+    * it exactly (the driver's DuckDB oracle does).
     */
   object StubCodec {
     val Formats = Vector("jpeg", "png", "webp", "wav")
     def decode(bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length
-      val h = java.util.Arrays.hashCode(bytes) & 0x7fffffff
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 7), 16) // 28 bits, ≥ 0
       MediaMeta(
-        format = Formats(h % Formats.size),
-        width = 64 + (h % 1024),
-        height = 64 + ((h / 1024) % 1024),
+        format = Formats((h % Formats.size).toInt),
+        width = 64 + (h % 1024).toInt,
+        height = 64 + ((h / 1024) % 1024).toInt,
         n_frames = 1 + (n % 256))
     }
   }

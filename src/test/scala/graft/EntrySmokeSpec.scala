@@ -21,8 +21,7 @@ class EntrySmokeSpec extends SparkSpec {
       "ann_topk_srp", "minhash_neardup", "simhash_neardup",   // LSH candidate generation
       "embedding_neardup", "dedup_clusters",
       "doc_fingerprints_ext",                                  // engine-defined hashes
-      "seg_overlap_hll",                                       // sketch algebra (approximate)
-      "multimodal_decode")                                     // codec stub
+      "seg_overlap_hll")                                       // sketch algebra (approximate)
     assert(rowsOnly == expected,
       s"new queries must ship an oracle or be added here deliberately: ${rowsOnly -- expected}")
   }

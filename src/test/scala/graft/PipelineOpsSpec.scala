@@ -115,7 +115,7 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("id_a", "id_b")
     val got = Dedup.clusterNearDuplicates(pairs)
       .as[(Long, Long)].collect().toMap
-    val gotDistributed = Dedup.clusterNearDuplicates(pairs, driverSideLimit = 0L)
+    val gotDistributed = Dedup.clusterNearDuplicates(pairs, driverSideMaxBytes = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == gotDistributed, "driver-side and distributed paths must agree")
     // oracle: scala union-find
