@@ -456,66 +456,93 @@ object SparkEntry {
       Seq(SegmentDef("click", 12), SegmentDef("purchase", 8), SegmentDef("view", 10)))
       .orderBy("user_id")
 
+  /** The raw parquet schema of the events file-stream source (`ts` read as
+    * nanos-long, truncated to micros downstream — see [[Tables.events]]). */
+  private val EventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** Scopes a streaming contract query: sets the nanos-as-long legacy conf
+    * for the duration of the (eagerly executed) streaming run and restores it
+    * after; hands the body a fresh temp dir (state store / sink / checkpoint)
+    * and deletes it once the result is materialized (localCheckpoint). No
+    * session conf or /tmp residue leaks into later bench queries. */
+  private def withStreamScope(s: SparkSession, prefix: String)
+                             (body: String => DataFrame): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp).localCheckpoint(true)
+    finally {
+      prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      val root = java.nio.file.Paths.get(tmp)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** End-to-end STREAMING correctness through the oracle gate: the events
     * table is replayed through a real file-stream source into the
     * foreachBatch persisted-state pipeline (fresh state dir per run), and the
     * resulting segment read-back must equal the global batch aggregate the
     * DuckDB oracle computes. Trigger.AvailableNow = the reference's
     * "drain everything in micro-batches, then stop" loop. */
-  private def segStreamEquiv(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val pipe = new graft.state.MicroBatchPipeline(
-      s, ClickSeg, graft.state.StateStorePaths(tmp), procTimeCol = "ts")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
-        stream, pipe,
-        epochToTs = id => java.sql.Timestamp.valueOf(s"2030-01-01 00:00:${"%02d".format(id % 60)}"),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      .start()
-    q.awaitTermination()
-    pipe.members().orderBy("user_id")
-  }
+  private def segStreamEquiv(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream") { tmp =>
+      val pipe = new graft.state.MicroBatchPipeline(
+        s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
+      val stream = s.readStream.schema(EventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
+          stream, pipe,
+          epochToTs = id => java.sql.Timestamp.valueOf(s"2030-01-01 00:00:${"%02d".format(id % 60)}"),
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      pipe.members().orderBy("user_id")
+    }
 
   /** The NATIVE streaming rendition through the oracle gate: watermarked
     * streaming aggregation (dedup + count + max event time) over the same
-    * file-stream source, drained with AvailableNow into a memory sink; the
-    * final per-user rows must equal the batch aggregate. */
-  private def segStreamNative(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      .withColumn("event_id", col("event_id").cast("string"))
-    val agg = graft.streaming.StreamingSegments.watermarkedCounts(
-      stream, ClickSeg, eventTimeCol = "ts", watermarkDelay = "40 days")
-    val sink = s"seg_stream_native_${System.nanoTime()}"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink)
-      .select(col("user_id"), col("n_unique"),
-              unix_timestamp(col("last_event_time")).as("last_event_time"),
-              col("in_segment"))
-      .orderBy("user_id")
-  }
+    * file-stream source, drained with AvailableNow in UPDATE mode through a
+    * foreachBatch parquet upsert log, then reconciled latest-wins per user.
+    * Update mode keeps per-trigger output proportional to CHANGED users and
+    * leaves watermark state pruning active — unlike a complete-mode memory
+    * sink, which rebuilds (and collects to the driver) the full result every
+    * trigger. The final per-user rows must equal the batch aggregate. */
+  private def segStreamNative(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_native") { tmp =>
+      val stream = s.readStream.schema(EventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("event_id", col("event_id").cast("string"))
+      val agg = graft.streaming.StreamingSegments.watermarkedCounts(
+        stream, ClickSeg, eventTimeCol = "ts", watermarkDelay = "40 days")
+      val q = graft.streaming.StreamingSegments
+        .updateModeParquetUpsert(agg, s"$tmp/sink",
+          Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      LatestWins.maxBy(s.read.parquet(s"$tmp/sink"), Seq("user_id"),
+          col("batch_id"), Seq("n_unique", "last_event_time", "in_segment"))
+        .select(col("user_id"), col("n_unique"),
+                unix_timestamp(col("last_event_time")).as("last_event_time"),
+                col("in_segment"))
+        .orderBy("user_id")
+    }
 
   private def outerJoinNationSuppliers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")

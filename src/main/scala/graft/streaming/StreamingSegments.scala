@@ -48,6 +48,24 @@ object StreamingSegments {
       }
   }
 
+  /** Update-mode upsert sink for a streaming aggregation: each trigger's
+    * CHANGED per-user rows append to a parquet log stamped with the batch id;
+    * the final table is latest-wins per user on `batch_id` (read it back with
+    * [[graft.operators.LatestWins.maxBy]]). Contrast with a complete-mode
+    * memory sink: nothing is rebuilt per trigger, nothing is collected to the
+    * driver, and the watermark still prunes aggregation state (complete mode
+    * disables watermark pruning entirely) — the shape that survives 100 TB.
+    */
+  def updateModeParquetUpsert(agg: DataFrame, sinkDir: String,
+                              trigger: Option[Trigger] = None): DataStreamWriter[Row] = {
+    val base = agg.writeStream.outputMode(OutputMode.Update)
+    trigger.fold(base)(base.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+      }
+  }
+
   /** Native watermarked streaming aggregation: per-user event count after
     * duplicate-id suppression, + max event time. `withWatermark` bounds BOTH
     * the aggregate state and the dedup state: a duplicate `message_id`
