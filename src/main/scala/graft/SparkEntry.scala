@@ -342,15 +342,15 @@ object SparkEntry {
                "event_type", "n")
       .orderBy("user_id", "event_type")
 
-  /** ntile quartiles by order value. */
-  private def ntileOrders(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("quartile", ntile(4).over(w))
+  /** ntile quartiles by order value — distributed rank ([[Ranks.ntileExact]]),
+    * not a global single-task window; semantics identical to SQL ntile(4). */
+  private def ntileOrders(s: SparkSession, dir: String): DataFrame =
+    Ranks.ntileExact(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 4, out = "quartile")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("quartile")
-  }
 
   /** Fixed-size token chunking with overlap (sequence prep). */
   private def docChunks(s: SparkSession, dir: String): DataFrame =

@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -73,6 +76,13 @@ object NativeExprs {
     * (see `EventAnalytics.windowFunnel`). */
   def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
     col(FunnelLevelExpr(expr(seq), nSteps, windowSeconds))
+
+  /** Bounded sorted collect of (t, step) pairs: the `maxItems` time-EARLIEST
+    * pairs per group, emitted time-sorted — hard O(maxItems) aggregation
+    * state per key where `collect_list` is unbounded. Input must be a
+    * struct<t:long, step:int> with t ≥ 0 and 0 ≤ step < 16. */
+  def boundedEventSeq(tStep: Column, maxItems: Int): Column =
+    col(BoundedTStepCollect(expr(tStep), maxItems).toAggregateExpression())
 }
 
 /** The 31-bit prime field shared by the shingle-hash domain (object so the
@@ -436,6 +446,99 @@ case class JaccardExpr(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Bounded sorted-collect aggregate over (t, step) pairs — the state-safe
+  * input builder for [[FunnelLevelExpr]].
+  *
+  * `collect_list` keeps EVERY matching event per user: a bot with 10^8 funnel
+  * events is a 10^8-element aggregation buffer on one task — OOM. This
+  * aggregate keeps only the `maxItems` time-earliest pairs (a size-bounded
+  * max-heap; an incoming pair beyond capacity either evicts the current
+  * latest or is dropped), so per-key state is a hard O(maxItems) regardless
+  * of input skew. The output is time-sorted, ready for the funnel DP.
+  *
+  * Bound semantics (documented, deterministic): a user exceeding `maxItems`
+  * has their funnel level computed over their `maxItems` EARLIEST events in
+  * (t, step) order. Pairs are encoded as (t << 4 | step): t in seconds
+  * (< 2^59), step < 16.
+  */
+case class BoundedTStepCollect(
+    child: Expression, maxItems: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(maxItems > 0, "maxItems must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("t", LongType), StructField("step", IntegerType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+    new java.util.PriorityQueue[java.lang.Long](java.util.Collections.reverseOrder[java.lang.Long]())
+
+  private def add(buf: java.util.PriorityQueue[java.lang.Long], enc: Long): Unit =
+    if (buf.size < maxItems) buf.add(enc)
+    else if (enc < buf.peek()) { buf.poll(); buf.add(enc) }
+
+  override def update(buf: java.util.PriorityQueue[java.lang.Long],
+                      input: InternalRow): java.util.PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      add(buf, (row.getLong(0) << 4) | row.getInt(1).toLong)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.PriorityQueue[java.lang.Long],
+                     b: java.util.PriorityQueue[java.lang.Long]): java.util.PriorityQueue[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.PriorityQueue[java.lang.Long]): Any = {
+    val n = buf.size
+    val enc = new Array[Long](n)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { enc(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(enc)
+    val rows = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      rows(i) = new GenericInternalRow(Array[Any](enc(i) >>> 4, (enc(i) & 15L).toInt))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedTStepCollect =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedTStepCollect =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BoundedTStepCollect =
+    copy(child = c)
 }
 
 case class LangIdExpr(child: Expression)

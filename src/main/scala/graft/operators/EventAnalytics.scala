@@ -44,20 +44,30 @@ object EventAnalytics {
     * chain-start time among chains reaching level s (a later start can only
     * extend further — keeping the max is the optimal greedy). One shuffle;
     * the grouped scan carries (epoch, stepIdx) pairs only.
+    *
+    * Per-user state is HARD-BOUNDED at `maxEventsPerUser` pairs (default 2^20
+    * ≈ 8 MB of heap) by a bounded sorted-collect aggregate — a bot user with
+    * 10^8 events can no longer OOM the task. Bound semantics: a user over the
+    * cap has their level computed over their `maxEventsPerUser` EARLIEST
+    * (t, step) pairs; organic users are far below the default cap, so results
+    * are unchanged (property-tested).
     */
   def windowFunnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
                    userCol: String = "user_id", typeCol: String = "event_type",
-                   tsCol: String = "ts"): DataFrame = {
+                   tsCol: String = "ts",
+                   maxEventsPerUser: Int = 1 << 20): DataFrame = {
+    require(steps.length < 16, "funnel depth limited to 15 steps (4-bit encoding)")
     val stepIdx = typedLit(steps.zipWithIndex.toMap)
     val tagged = events
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol),
               unix_timestamp(col(tsCol)).as("__t"),
-              (element_at(stepIdx, col(typeCol)) + 1).as("__step")) // 1-based
+              (element_at(stepIdx, col(typeCol)) + 1).cast("int").as("__step")) // 1-based
     // the key keeps its original type/name; the DP runs as an expression over
     // the sorted (t, step) array, so the shuffle carries 12-byte pairs
     tagged.groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(col("__t"), col("__step")))).as("__seq"))
+      .agg(graft.functions.NativeExprs.boundedEventSeq(
+             struct(col("__t"), col("__step")), maxEventsPerUser).as("__seq"))
       .select(col(userCol),
               graft.functions.NativeExprs.funnelLevel(
                 col("__seq"), steps.length, windowSeconds).as("funnel_level"))

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order ranking — the scale-safe replacement for
+  * `Window.orderBy(...)` with no `partitionBy`, which funnels every row
+  * through ONE task (the classic global-window anti-pattern; at 100 TB that
+  * task never finishes).
+  *
+  * [[globalRowNumber]] is the two-pass pattern `RDD.zipWithIndex` uses,
+  * re-expressed over DataFrames: range-repartition on the sort key so
+  * partitions hold disjoint key ranges, rank WITHIN each partition in
+  * parallel, then shift each partition's ranks by the total count of all
+  * partitions before it. The per-partition counts are metadata-sized
+  * (one long per partition) — collecting them to the driver is the same
+  * footprint as AQE's shuffle statistics, not a data collect.
+  */
+object Ranks {
+
+  /** Global 1-based row number under `order` (which must be a total order —
+    * include a unique tie-break column). Returns the ranked frame and the
+    * total row count. Two passes over the input (count pass + rank pass),
+    * zero single-task stages. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      out: String = "rank"): (DataFrame, Long) = {
+    val ranged = df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, c)) => pid -> (acc + c) }
+    val offsetByPid = counts.map(_._1).zip(offsets.map(_._2)).toMap
+    val n = counts.map(_._2).sum
+    val offsetMap = typedLit(offsetByPid)
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    (local.withColumn(out, col("__lrn") + coalesce(element_at(offsetMap, col("__pid")), lit(0L)))
+       .drop("__pid", "__lrn"), n)
+  }
+
+  /** Exact `ntile(k)` over a total order, built on [[globalRowNumber]] —
+    * same semantics as the SQL window function (first `n % k` buckets get
+    * one extra row), no single-partition window. Integer arithmetic is done
+    * with DIV so buckets are exact at any n. */
+  def ntileExact(df: DataFrame, order: Seq[Column], k: Int,
+                 out: String = "ntile"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (ranked, n) = globalRowNumber(df, order, "__rank")
+    val q = n / k
+    val rem = n % k
+    val bucket =
+      if (q == 0) col("__rank") // fewer rows than buckets: row r → bucket r
+      else when(col("__rank") <= rem * (q + 1),
+                expr(s"(__rank - 1) DIV ${q + 1} + 1"))
+             .otherwise(expr(s"$rem + (__rank - 1 - ${rem * (q + 1)}) DIV $q + 1"))
+    ranked.withColumn(out, bucket.cast("int")).drop("__rank")
+  }
+}

@@ -84,6 +84,14 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), s"no codegen span:\n$formatted")
   }
 
+  test("ntile query plans with no single-partition exchange (global-window ban)") {
+    val df = SparkEntry.queries("ntile_orders")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"distributed ntile must not funnel rows through one task:\n$plan")
+  }
+
   test("native functions reachable from plain SQL after registration") {
     GraftFunctions.register(spark)
     Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs_sql")

@@ -129,6 +129,52 @@ class InvariantSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("distributed ntileExact == SQL window ntile; globalRowNumber is a total rank") {
+    val r = new scala.util.Random(11)
+    val df = (1 to 997).map(i => (i.toLong, r.nextInt(200).toDouble)).toDF("id", "v")
+    val order = Seq($"v".desc, $"id".asc)
+    val viaWindow = df.withColumn("q",
+        org.apache.spark.sql.functions.ntile(7).over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select($"id", $"q").as[(Long, Int)].collect().toMap
+    val viaExact = operators.Ranks.ntileExact(df, order, 7, "q")
+      .select($"id", $"q").as[(Long, Int)].collect().toMap
+    assert(viaExact == viaWindow)
+    val (ranked, n) = operators.Ranks.globalRowNumber(df, order, "r")
+    assert(n == 997L)
+    val ranks = ranked.select($"r").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 997L)) // a permutation-free total rank
+  }
+
+  test("windowFunnel state bound: generous cap changes nothing; cap=1 keeps earliest") {
+    val steps = Seq("A", "B", "C")
+    val w = 100L
+    val r = new scala.util.Random(7)
+    val events = (0 until 600).map { i =>
+      (r.nextInt(25).toLong, 10000L + r.nextInt(500), steps(r.nextInt(3)), i.toLong)
+    }
+    val df = events.map { case (u, t, tp, id) =>
+      (u, new Timestamp(t * 1000L), tp, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val full = operators.EventAnalytics.windowFunnel(df, steps, w)
+      .as[(Long, Int)].collect().toMap
+    // any cap at or above the per-user event count is a no-op
+    val generous = operators.EventAnalytics.windowFunnel(df, steps, w,
+        maxEventsPerUser = 600)
+      .as[(Long, Int)].collect().toMap
+    assert(generous == full)
+    // cap=1 keeps exactly the time-earliest (t, step) pair per user
+    val one = operators.EventAnalytics.windowFunnel(df, steps, w,
+        maxEventsPerUser = 1)
+      .as[(Long, Int)].collect().toMap
+    val wantOne = events.groupBy(_._1).map { case (u, evs) =>
+      val (_, tp) = evs.map(e => (e._2, e._3))
+        .minBy { case (t, s) => (t, steps.indexOf(s)) }
+      u -> (if (tp == "A") 1 else 0)
+    }
+    assert(one == wantOne)
+  }
+
   test("sessionize: gap splits, session stats correct") {
     def ev(u: String, t: Long, id: Long) =
       Ev(u, "click", new Timestamp(t * 1000L), s"m$id")
