@@ -690,9 +690,24 @@ object SparkEntry {
     Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
-  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDuplicates(t(s, dir, "embeddings"), threshold = 0.95, dim = 64)
+  /** The synthetic corpus holds no true near-duplicate pairs (max pairwise
+    * cosine ≈ 0.51 at sf0.01), which made a threshold-0.95 run vacuously
+    * empty. The contract query therefore PLANTS near-dups: every 25th vector
+    * gets a perturbed copy (pos-0 component ×1.25 in double space, id shifted
+    * by 1e6) unioned into the corpus — each copy must pair with its source at
+    * ≥0.95 (cosine ≈ 0.999) and with nothing else. Deterministic and
+    * reproducible in SQL, so the query is exactly oracle-checked. */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              transform(col("embedding"),
+                        (x, i) => when(i === 0, x * lit(1.25)).otherwise(x)).as("embedding"))
+    Similarity.embeddingNearDuplicates(base.unionByName(planted),
+                                       threshold = 0.95, dim = 64)
       .orderBy("id_a", "id_b")
+  }
 
   private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
@@ -794,6 +809,26 @@ object SparkEntry {
   // ----------------------------------------------------------------------
 
   private val EnStop = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  /** Shared CTE chain (normalized text → distinct 5-gram sets → candidate
+    * pairs with intersection/union sizes) used by the `minhash_neardup` and
+    * `dedup_clusters` oracles. */
+  private val NearDupPairCtes: String =
+    """n AS (
+         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                             i -> substr(t, i, 5))) AS sh
+         FROM n),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.sh, b.sh)) AS inter,
+                len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         FROM g a JOIN g b
+           ON a.doc_id < b.doc_id
+          AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh)))"""
 
   def oracleSql: Map[String, String] = Map(
     "seg_naive" ->
@@ -1285,6 +1320,111 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS digest
          FROM documents ORDER BY media_id""",
+
+    // Brute-force all-pairs Jaccard over distinct char 5-grams of normalized
+    // text. Valid as an exact oracle because (a) the LSH banding has full
+    // recall on this corpus at threshold 0.5 (verified: identical 25-pair
+    // set), and (b) the 31-bit shingle hashing is collision-free here, so
+    // hashed-set Jaccard == string-set Jaccard. The size-ratio prefilter is
+    // a necessary condition of j >= 0.5 (j <= min/max), not an approximation.
+    "minhash_neardup" ->
+      s"""WITH $NearDupPairCtes
+          SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+          FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+          ORDER BY id_a, id_b""",
+
+    // Connected components over the same brute-force pair list: transitive
+    // closure via a recursive CTE, cluster id = min reachable doc id —
+    // exactly the min-label fixpoint the Spark operator computes.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+          np AS (SELECT id_a, id_b FROM pairs
+                 WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+          e AS (SELECT id_a AS a, id_b AS b FROM np
+                UNION ALL SELECT id_b, id_a FROM np),
+          reach(src, dst) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+          SELECT src AS id, min(dst) AS cluster_id
+          FROM reach GROUP BY src ORDER BY id""",
+
+    // Whole simhashes recomputed in SQL (the md5-derived word hash makes the
+    // bits engine-portable), then brute-force Hamming over all pairs. Exact —
+    // the 4-chunk pigeonhole join in the Spark side has guaranteed 100%
+    // recall at maxHamming=3, so the two pair sets must agree identically.
+    "simhash_neardup" -> {
+      def parse8(off: Int) = (1 to 8).map { j =>
+        val pow = 1L << (4 * (8 - j)) // 16^(8-j)
+        s"(strpos('0123456789abcdef', substr(m, ${off + j}, 1)) - 1) * $pow"
+      }.mkString(" + ")
+      val sumsLo = (0 until 32).map(b =>
+        s"sum(CASE WHEN (lo >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val sumsHi = (0 until 32).map(b =>
+        s"sum(CASE WHEN (hi >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS t$b").mkString(", ")
+      val loBits = (0 until 32).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      val hiBits = (0 until 32).map(b =>
+        s"CASE WHEN t$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents),
+          h AS (
+            SELECT doc_id, ${parse8(0)} AS lo, ${parse8(8)} AS hi
+            FROM (SELECT doc_id, md5(word) AS m FROM w)),
+          bits AS (SELECT doc_id, $sumsLo, $sumsHi FROM h GROUP BY doc_id),
+          sh AS (SELECT doc_id, $loBits AS lo, $hiBits AS hi FROM bits),
+          alldocs AS (
+            SELECT d.doc_id, coalesce(sh.lo, 0) AS lo, coalesce(sh.hi, 0) AS hi
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+                     AS hamming
+            FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+          ORDER BY id_a, id_b"""
+    },
+
+    // Both fingerprints recomputed from first principles: the rolling hash is
+    // a per-char fold mod 2^31-1 (list_reduce with a prepended 0 accumulator);
+    // the k-gram-min is min over grams of 60 bits hex-parsed from md5(gram).
+    "doc_fingerprints_ext" -> {
+      val parse15 = (1 to 15).map { j =>
+        val pow = 1L << (4 * (15 - j)) // 16^(15-j)
+        s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * $pow"
+      }.mkString(" + ")
+      s"""WITH n AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents)
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(t, '.'),
+                               c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling,
+            CASE WHEN length(t) >= 8 THEN
+              list_min(list_transform(
+                list_transform(range(1, length(t) - 6),
+                               i -> md5(substr(t, CAST(i AS INT), 8))),
+                m -> $parse15))
+            END AS fp_kgram_min
+          FROM n ORDER BY doc_id"""
+    },
+
+    // Brute-force rendition of the planted-near-dup query (see the Spark
+    // side): perturbed copies of every 25th vector, all-pairs exact cosine.
+    "embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          p AS (SELECT vec_id + 1000000 AS vec_id,
+                       list_concat([v[1] * 1.25], v[2:]) AS v
+                FROM base WHERE vec_id % 25 = 0),
+          c AS (SELECT * FROM base UNION ALL SELECT * FROM p),
+          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           list_cosine_similarity(a.v, b.v) AS cos
+                    FROM c a JOIN c b ON a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round(cos, 4) AS cosine
+          FROM pairs WHERE cos >= 0.95 ORDER BY id_a, id_b""",
 
     // Reproduces Multimodal.StubCodec exactly: h = first 7 hex chars of
     // md5(utf8 bytes) parsed base-16 (28 bits), then the same integer math.

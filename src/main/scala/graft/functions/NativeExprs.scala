@@ -172,12 +172,20 @@ object MinHashRef {
   }
 }
 
+/** 64-bit SimHash whose per-word hash is derived from md5 — chosen over
+  * xxhash64 so ANY engine with an md5 function reproduces the bits exactly
+  * (the driver's DuckDB oracle recomputes whole simhashes in SQL). Word hash:
+  * hex chars 1-8 of md5(word) = low 32 bits, chars 9-16 = high 32 bits. */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
+  @transient private lazy val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
+    val md = mdLocal.get()
     val sums = new Array[Int](64)
     val buf = new Array[Byte](bytes.length)
     var i = 0
@@ -193,8 +201,14 @@ case class SimHash64Expr(child: Expression)
         else run = false
       }
       if (bLen > 0) {
-        val h = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-                                      bLen, 42L)
+        md.reset()
+        md.update(buf, 0, bLen)
+        val d = md.digest()
+        val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+                 ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        val h = (hi << 32) | lo
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1

@@ -147,15 +147,22 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
                         lit(FingerprintPrime)))
 
-  /** Winnowing-style k-gram fingerprint: the minimum 64-bit hash over all
-    * character k-grams of the normalized text (null for texts shorter than k).
-    * Robust to local edits away from the minimizing gram.
+  /** Winnowing-style k-gram fingerprint: the minimum hash over all character
+    * k-grams of the normalized text (null for texts shorter than k). Robust
+    * to local edits away from the minimizing gram.
+    *
+    * The gram hash is 60 bits parsed from the first 15 hex chars of
+    * md5(gram) — md5 because every engine has one, so the fingerprint is
+    * cross-engine reproducible (the DuckDB oracle recomputes it). The hash
+    * family is pluggable; a throughput-bound deployment would swap in
+    * xxhash64 at the cost of engine portability.
     */
   def fingerprintKgramMin(text: Column, k: Int = 8): Column = {
     val t = normalized(text)
     val hashes = transform(
       sequence(lit(1), length(t) - lit(k - 1)),
-      i => xxhash64(t.substr(i, lit(k))))
+      i => conv(substring(md5(t.substr(i, lit(k)).cast("binary")), 1, 15), 16, 10)
+             .cast("long"))
     when(length(t) >= k, array_min(hashes))
   }
 }

@@ -242,9 +242,16 @@ object Dedup {
   def simhash64(text: Column): Column = graft.functions.NativeExprs.simhash64(text)
 
   /** Reference implementation of [[simhash64]] in pure column functions —
-    * kept for the bit-parity test; interpreted, do not use in hot paths. */
+    * kept for the bit-parity test; interpreted, do not use in hot paths.
+    * Word hash matches the native form: md5 hex chars 1-8 → low 32 bits,
+    * chars 9-16 → high 32 bits. */
   def simhash64Hof(text: Column): Column = {
-    val hs = transform(TextAnalysis.words(text), w => xxhash64(w)) // hash each word once
+    val hs = transform(TextAnalysis.words(text), w => {
+      val hex = md5(w.cast("binary"))
+      val lo = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      val hi = conv(substring(hex, 9, 8), 16, 10).cast("long")
+      shiftleft(hi, 32).bitwiseOR(lo)
+    })
     val bitExprs = (0 until 64).map { i =>
       val bitSum = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))

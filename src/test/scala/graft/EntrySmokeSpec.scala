@@ -18,9 +18,7 @@ class EntrySmokeSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "seg_idempotent_approx", "seg_microbatch_hll",          // approximate sketches
-      "ann_topk_srp", "minhash_neardup", "simhash_neardup",   // LSH candidate generation
-      "embedding_neardup", "dedup_clusters",
-      "doc_fingerprints_ext",                                  // engine-defined hashes
+      "ann_topk_srp",                                         // LSH candidate generation
       "seg_overlap_hll")                                       // sketch algebra (approximate)
     assert(rowsOnly == expected,
       s"new queries must ship an oracle or be added here deliberately: ${rowsOnly -- expected}")

@@ -52,11 +52,14 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("simhash: identical texts collide, near-dups within small hamming") {
-    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming = 12)
+    // 16 chunks → 4-bit blocks: the pigeonhole guarantee (full recall) holds
+    // for any maxHamming < 16, so finding (0,1) is principled, not luck
+    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming = 12, chunks = 16)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m((0L, 3L)) == 0, "exact dup → identical simhash")
     assert(m.contains((0L, 1L)), "one-word change → small hamming distance")
+    assert(m((0L, 1L)) == 11, "md5-derived word hashes give a pinned distance")
   }
 
   test("srp-bucketed ANN achieves high recall vs brute force") {
