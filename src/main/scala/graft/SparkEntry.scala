@@ -544,6 +544,33 @@ object SparkEntry {
         .orderBy("user_id")
     }
 
+  /** Custom streaming STATE through the oracle gate: one mergeable HLL
+    * sketch per user held in mapGroupsWithState (the AggregatingMergeTree
+    * uniqState loop as native engine state), drained with AvailableNow into
+    * the update-mode upsert log. At contract-scale cardinalities the sketch
+    * is still in its exact (coupon) regime, so the estimates equal exact
+    * distinct counts and the DuckDB oracle can hash-check them. */
+  private def segStreamStateful(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_stateful") { tmp =>
+      val stream = s.readStream.schema(EventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val updates = graft.streaming.StatefulOps
+        .statefulSegmentMembers(stream, ClickSeg)
+      val q = graft.streaming.StreamingSegments
+        .updateModeParquetUpsert(updates.toDF(), s"$tmp/sink",
+          Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      LatestWins.maxBy(s.read.parquet(s"$tmp/sink"), Seq("user_id"),
+          col("batch_id"), Seq("n_unique", "in_segment"))
+        .select(col("user_id").cast("long").as("user_id"),
+                col("n_unique"), col("in_segment"))
+        .orderBy("user_id")
+    }
+
   private def outerJoinNationSuppliers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_outer")
@@ -742,6 +769,7 @@ object SparkEntry {
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
     "seg_stream_equiv"     -> (segStreamEquiv _),
     "seg_stream_native"    -> (segStreamNative _),
+    "seg_stream_stateful"  -> (segStreamStateful _),
     "seg_multi"            -> (segMulti _),
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
@@ -1071,6 +1099,14 @@ object SparkEntry {
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id HAVING count(DISTINCT event_id) >= ${ClickSeg.minCount}
           ORDER BY user_id""",
+
+    // exact because the per-user HLL sketch is still in coupon (exact) mode
+    // at these cardinalities — see segStreamStateful
+    "seg_stream_stateful" ->
+      s"""SELECT user_id, count(DISTINCT event_id) AS n_unique,
+                 count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
 
     "q2_min_cost_supplier" ->
       """WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.datasketches.hll.HllSketch
+import graft.functions.Sketches
+import graft.operators.SegmentDef
+
+/** An in-flight session for one user (epoch seconds). */
+final case class OpenSession(start: Long, last: Long, n: Long)
+
+/** A closed session emitted downstream (epoch seconds, append semantics). */
+final case class ClosedSession(user_id: String, session_start: Long,
+                               session_end: Long, n_events: Long)
+
+/** Per-user segment state change emitted by the sketch-state operator. */
+final case class SegmentUpdate(user_id: String, n_unique: Long, in_segment: Boolean)
+
+/** Wrapper so the state encoder is a plain product (binary field inside). */
+final case class SketchState(bytes: Array[Byte])
+
+/** Custom streaming state via `KeyValueGroupedDataset` — the operators whose
+  * semantics Spark's built-in streaming aggregates cannot express:
+  *
+  *  - [[statefulSessionize]]: gap-based sessionization that EMITS each session
+  *    exactly once, when it closes (either a later event opens the next
+  *    session, or the event-time watermark passes the gap horizon). A
+  *    `session_window` aggregate can only emit on watermark expiry per
+  *    window; `flatMapGroupsWithState` gives the inline-close path too, and
+  *    holds O(1) state per user (the single open session).
+  *
+  *  - [[statefulSegmentMembers]]: the reference's AggregatingMergeTree
+  *    uniqState loop as NATIVE streaming state — one mergeable HLL sketch per
+  *    user held in the state store, updated per batch, emitting the user's
+  *    refreshed membership (Update semantics). State is O(users × sketch);
+  *    the sketch bound is what survives 100 TB (an exact distinct-set state
+  *    grows without bound).
+  */
+object StatefulOps {
+
+  /** Streaming gap sessionization. Input needs `userCol` and an event-time
+    * `tsCol`; the watermark bounds how late events may arrive and drives
+    * session-close timeouts. Emits [[ClosedSession]] rows (Append mode). */
+  def statefulSessionize(events: DataFrame, gapSeconds: Long,
+                         watermarkDelay: String = "10 minutes",
+                         userCol: String = "user_id",
+                         tsCol: String = "ts"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("string").as("user_id"), col(tsCol).as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no extension: the session is
+            // definitively closed (no event can legally arrive inside it)
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(_._2.getTime / 1000).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            var i = 0
+            while (i < ts.length) {
+              val t = ts(i)
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(OpenSession(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.last, s.n)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+              i += 1
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the gap horizon; the timeout
+              // timestamp must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapSeconds) * 1000L + 1,
+                         state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming segment membership with a mergeable HLL sketch per user as
+    * custom state — `uniqState` persisted in the engine's state store instead
+    * of a parquet table (the [[graft.state.MicroBatchPipeline]] twin). Emits
+    * the refreshed [[SegmentUpdate]] for every user touched by the batch
+    * (Update semantics — pair with an upsert sink). */
+  def statefulSegmentMembers(events: DataFrame, seg: SegmentDef,
+                             lgK: Int = Sketches.DefaultLgK,
+                             userCol: String = "user_id",
+                             typeCol: String = "event_type",
+                             idCol: String = "event_id"): Dataset[SegmentUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(typeCol) === seg.eventType)
+      .select(col(userCol).cast("string").as("user_id"),
+              col(idCol).cast("string").as("event_id"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SketchState, SegmentUpdate](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SketchState]) =>
+          val sketch = state.getOption
+            .map(s => HllSketch.heapify(s.bytes))
+            .getOrElse(new HllSketch(lgK))
+          rows.foreach(r => sketch.update(r._2))
+          state.update(SketchState(sketch.toUpdatableByteArray))
+          val est = math.round(sketch.getEstimate)
+          SegmentUpdate(user, est, est >= seg.minCount)
+      }
+  }
+}

@@ -84,6 +84,31 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), s"no codegen span:\n$formatted")
   }
 
+  test("bucketed co-located join and aggregation plan with zero exchanges") {
+    val root = tmpDir("bucketed")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_type")
+    val users = ev.select($"user_id").distinct()
+      .withColumn("flag", lit(1))
+    sources.Bucketing.writeBucketed(ev, "ev_bkt", s"$root/ev", Seq("user_id"), 8)
+    sources.Bucketing.writeBucketed(users, "users_bkt", s"$root/users", Seq("user_id"), 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the join shape under test
+    try {
+      val j = spark.table("ev_bkt")
+        .join(spark.table("users_bkt"), Seq("user_id"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join + agg on the bucket key must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS ev_bkt")
+      spark.sql("DROP TABLE IF EXISTS users_bkt")
+    }
+  }
+
   test("ntile query plans with no single-partition exchange (global-window ban)") {
     val df = SparkEntry.queries("ntile_orders")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize adaptive plan

@@ -132,6 +132,85 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 2L), "5-min gap splits user 1 into 2 sessions")
   }
 
+  test("flatMapGroupsWithState sessionization: inline close + watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = graft.streaming.StatefulOps.statefulSessionize(
+      source.toDF(), gapSeconds = 600, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("stateful_sess")
+      .outputMode("append").start()
+    // u1: two events one session; u2: one event
+    source.addData(
+      Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+      Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"),
+      Ev("u2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3"))
+    q.processAllAvailable()
+    // u1's next event is > gap after 00:05 → closes session 1 INLINE
+    source.addData(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 01:00:00"), "m4"))
+    q.processAllAvailable()
+    // push the watermark far ahead so every open session times out
+    source.addData(Ev("u3", "BUTTON_CLICK", ts("2023-01-01 05:00:00"), "m5"))
+    q.processAllAvailable()
+    source.addData(Ev("u3", "BUTTON_CLICK", ts("2023-01-01 09:00:00"), "m6"))
+    q.processAllAvailable()
+    source.addData(Ev("u3", "BUTTON_CLICK", ts("2023-01-01 13:00:00"), "m7"))
+    q.processAllAvailable()
+    q.stop()
+    def t0(s: String) = ts(s).getTime / 1000
+    val got = spark.table("stateful_sess")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      ("u1", t0("2023-01-01 00:00:00"), t0("2023-01-01 00:05:00"), 2L),
+      ("u1", t0("2023-01-01 01:00:00"), t0("2023-01-01 01:00:00"), 1L),
+      ("u2", t0("2023-01-01 00:00:00"), t0("2023-01-01 00:00:00"), 1L),
+      ("u3", t0("2023-01-01 05:00:00"), t0("2023-01-01 05:00:00"), 1L),
+      ("u3", t0("2023-01-01 09:00:00"), t0("2023-01-01 09:00:00"), 1L))
+    assert(expected.subsetOf(got), s"missing sessions: ${expected -- got}")
+    // every emitted session matches the BATCH sessionizer on the same events
+    val batch = operators.EventAnalytics.sessionStats(
+        operators.EventAnalytics.sessionize(
+          Seq(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+              Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"),
+              Ev("u2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3"),
+              Ev("u1", "BUTTON_CLICK", ts("2023-01-01 01:00:00"), "m4")).toDF(),
+          gapSeconds = 600))
+      .select($"user_id", $"n_events").as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val streamed = got.filter(s => Set("u1", "u2")(s._1))
+      .toSeq.map(s => (s._1, s._4))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed == batch, "streaming close-out must mirror batch sessionization")
+  }
+
+  test("mapGroupsWithState holds a mergeable HLL sketch per user (uniqState twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val updates = graft.streaming.StatefulOps.statefulSegmentMembers(
+      source.toDF(), seg)
+    val q = updates.writeStream.format("memory").queryName("stateful_seg")
+      .outputMode("update").start()
+    source.addData(
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"),
+      Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3"))
+    q.processAllAvailable()
+    // duplicate id for user 1 (no growth), second distinct id for user 2
+    source.addData(
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:06:00"), "m2"),
+      Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:07:00"), "m4"))
+    q.processAllAvailable()
+    q.stop()
+    // latest update per user must equal the exact distinct count (HLL is
+    // exact at these cardinalities); sketch counts only grow → max == latest
+    val latest = spark.table("stateful_seg")
+      .groupBy($"user_id")
+      .agg(max($"n_unique").as("n"), max($"in_segment").as("in"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(latest == Map("1" -> ((2L, true)), "2" -> ((2L, true))))
+  }
+
   test("native watermarked streaming aggregation with dedup") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
