@@ -710,6 +710,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val IvfProbes = 3
+
+  private def annTopKIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, IvfProbes)
+      .orderBy("query_id", "rank")
+  }
+
   private def minhashNearDup(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("id_a", "id_b")
 
@@ -821,6 +829,7 @@ object SparkEntry {
     "doc_fingerprints_ext" -> (docFingerprintsExt _),
     "ann_topk_brute"       -> (annTopK _),
     "ann_topk_srp"         -> (annTopKSrp _),
+    "ann_topk_ivf"         -> (annTopKIvf _),
     "minhash_neardup"      -> (minhashNearDup _),
     "simhash_neardup"      -> (simhashNearDup _),
     "embedding_neardup"    -> (embeddingNearDup _),
@@ -1356,6 +1365,40 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS digest
          FROM documents ORDER BY media_id""",
+
+    // IVF reproduced end-to-end: exact decimal centroids per label cell,
+    // probe the 3 nearest cells per query, exact re-rank inside them. The
+    // centroid math mirrors embedding_centroids so both engines agree bitwise.
+    "ann_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                       unnest(embedding) AS x
+                FROM embeddings),
+          cent AS (
+            SELECT label, pos,
+                   CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
+                     / count(*) AS c
+            FROM f GROUP BY label, pos),
+          centarr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $AnnQueries),
+          probe AS (
+            SELECT query_id, qv, label,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(qv, cv) DESC, label) AS pr
+            FROM q CROSS JOIN centarr),
+          cand AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.qv, e.v) AS sim
+            FROM (SELECT * FROM probe WHERE pr <= $IvfProbes) p
+            JOIN e ON e.label = p.label
+            WHERE e.vec_id <> p.query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM cand)
+          SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+          FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk""",
 
     // Brute-force all-pairs Jaccard over distinct char 5-grams of normalized
     // text. Valid as an exact oracle because (a) the LSH banding has full

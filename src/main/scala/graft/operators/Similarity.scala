@@ -141,6 +141,59 @@ object Similarity {
               round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second canonical ANN scale
+    * path next to [[srpBucketedTopK]]. The corpus is coarse-quantized into
+    * cells (here the `label` column, standing in for a trained k-means
+    * assignment); each query ranks the cell CENTROIDS by cosine, probes only
+    * the `nprobe` nearest cells, and exact-re-ranks candidates within them.
+    *
+    * Scale shape: the centroid table is #cells × dim — driver/broadcast
+    * sized, exactly like a production IVF index's quantizer. Per-query work
+    * is O(nprobe cells), and the corpus is never shuffled: the probe list
+    * (queries × nprobe rows) broadcasts against the corpus's cell column. On
+    * disk, partitioning the corpus by cell turns the probe join into
+    * partition pruning.
+    *
+    * Fully deterministic (exact decimal centroids, pinned tie-breaks) — the
+    * contract query is DuckDB-oracle-checked, unusual for an ANN operator.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cellCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = labelCentroids(corpus, cellCol, vecCol)
+      .select(col(cellCol).cast("long").as("cell"), col("pos"), col("centroid"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      .toSeq.sortBy(_._1)
+    val centDf = centroids.toDF("__cell", "__cv")
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).cast("array<double>").as("qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cell"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("__csim", cosine(col("qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("__cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+                          col(vecCol).cast("array<double>").as("cv"),
+                          col(cellCol).cast("long").as("__cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(probed), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via multi-table SRP buckets (no O(n²) scan), verified exactly.
     * At threshold 0.95 (θ≈18°, p≈0.90) the 8-bit/8-table default catches

@@ -73,6 +73,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"SRP recall $recall too low")
   }
 
+  test("IVF recall grows with nprobe and reaches exactness at full probing") {
+    // the synthetic embeddings are barely clustered (max pairwise cosine
+    // ~0.5), so absolute recall at small nprobe is data-limited — the
+    // operator contract is monotone recall and exactness at nprobe = #cells
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, queries, 5, nprobe)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val (r3, r6) = (recall(3), recall(6))
+    assert(r3 > 0.2, s"nprobe=3 recall $r3 — must beat random-cell levels")
+    assert(r6 >= r3, s"recall must be monotone in nprobe ($r3 -> $r6)")
+    val nCells = emb.select($"label").distinct().count().toInt
+    val full = Similarity.ivfTopK(emb, queries, 5, nprobe = nCells)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "nprobe = #cells must equal brute force")
+  }
+
   test("cosine math matches an in-process oracle") {
     val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)))
       .toDF("vec_id", "embedding")
