@@ -25,6 +25,19 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
       .json(lines)
 
+  /** Parse CSV rows against an EXPLICIT schema — the `CSVWithNames`-style
+    * wire format (ClickHouse's other bulk-ingest encoding). Same contract as
+    * [[jsonLines]]: no inference, PERMISSIVE by default with corrupt rows
+    * surfaced, FAILFAST when `strict`. */
+  def csvLines(spark: SparkSession, lines: Dataset[String], schema: StructType,
+               header: Boolean = true, strict: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+      .csv(lines)
+
   /** JSON string column → struct column, same explicit-schema contract
     * (for embedded payloads like `events.props`). */
   def parseJsonColumn(df: DataFrame, jsonCol: String, schema: StructType,

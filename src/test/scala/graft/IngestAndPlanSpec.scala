@@ -29,6 +29,20 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(ts == java.sql.Timestamp.valueOf("2023-01-01 00:05:00").getTime / 1000)
   }
 
+  test("CSV ingest with explicit schema parses the same rows as JSONEachRow") {
+    val csv = Seq(
+      "user_id,event_name,timestamp,message_id",
+      "1,BUTTON_CLICK,2023-01-01T00:00:00Z,m1",
+      "1,BUTTON_CLICK,2023-01-01T00:05:00.123Z,m2",
+      "2,BUTTON_CLICK,2023-01-01T00:00:00Z,m3"
+    ).toDS()
+    val df = Ingest.csvLines(spark, csv, eventSchema)
+    assert(df.count() == 3)
+    val ts = df.filter($"message_id" === "m2")
+      .select(unix_timestamp($"timestamp")).as[Long].collect()(0)
+    assert(ts == java.sql.Timestamp.valueOf("2023-01-01 00:05:00").getTime / 1000)
+  }
+
   test("duplicate delivery collapses via dedupByMessageId") {
     val lines = Seq(
       """{"user_id":"2","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m3"}""",
