@@ -18,9 +18,11 @@ object Debug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // time construction + action together: streaming contract queries run
+    // their (eager) streaming work while the DataFrame is being built
+    val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
     val n = df.count()
     println(f"[debug] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()

@@ -473,13 +473,21 @@ object SparkEntry {
     * session conf or /tmp residue leaks into later bench queries. */
   private def withStreamScope(s: SparkSession, prefix: String)
                              (body: String => DataFrame): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevNanos = s.conf.getOption(nanosKey)
+    val prevShuf = s.conf.getOption(shufKey)
+    s.conf.set(nanosKey, "true")
+    // state-store partition count follows shuffle.partitions at query start;
+    // per-partition checkpoint/delta files dominate a contract-scale run, so
+    // scope streaming to few, fatter state partitions (a fresh checkpoint dir
+    // per run means the count never has to match an older checkpoint)
+    s.conf.set(shufKey, "8")
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     try body(tmp).localCheckpoint(true)
     finally {
-      prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      prevNanos.fold(s.conf.unset(nanosKey))(v => s.conf.set(nanosKey, v))
+      prevShuf.fold(s.conf.unset(shufKey))(v => s.conf.set(shufKey, v))
       val root = java.nio.file.Paths.get(tmp)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq

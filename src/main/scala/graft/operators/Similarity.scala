@@ -114,25 +114,33 @@ object Similarity {
 
   /** Approximate top-k: multi-table SRP bucket join, exact cosine re-rank on
     * candidates. May return fewer than k when buckets are sparse — that is
-    * the approximate contract. */
+    * the approximate contract.
+    *
+    * Plan shape: the bucket join carries only (id, tbl, bucket) — vectors are
+    * NEVER duplicated through the `tables`-way explode — and each distinct
+    * (query, neighbor) pair is scored exactly once, after dedup. Vectors
+    * attach via broadcast joins against a second columnar corpus scan: no
+    * corpus shuffle anywhere, and the dedup exchange moves 16-byte id pairs.
+    */
   def srpBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
                       nBits: Int = 4, tables: Int = 8,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       seed: Long = 42L): DataFrame = {
     val buckets = srpTableBuckets(col(vecCol), nBits, dim, tables, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-                          explode(buckets).as("tb"))
-      .select(col("neighbor_id"), col("c_vec"), col("tb.tbl"), col("tb.bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-                           explode(buckets).as("tb"))
-      .select(col("query_id"), col("q_vec"), col("tb.tbl"), col("tb.bucket"))
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), explode(buckets).as("tb"))
+      .select(col("neighbor_id"), col("tb.tbl"), col("tb.bucket"))
+    val q = queries.select(col(idCol).as("query_id"), explode(buckets).as("tb"))
+      .select(col("query_id"), col("tb.tbl"), col("tb.bucket"))
+    val candidates = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // score BEFORE the dedup exchange: the shuffle then carries
-      // (query, neighbor, cosine) — 24 bytes — instead of two 64-float vectors
-      .select(col("query_id"), col("neighbor_id"),
-              cosine(col("q_vec"), col("c_vec")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
