@@ -752,6 +752,20 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private val ContamN = 5
+
+  /** Decontamination probe: every 50th document plays the "benchmark eval
+    * set"; the rest are the training corpus. Fraction of each probe's
+    * distinct word 5-grams found anywhere in the corpus. */
+  private def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramContamination(
+        corpus = docs.filter(col("doc_id") % 50 =!= 0),
+        probes = docs.filter(col("doc_id") % 50 === 0),
+        n = ContamN)
+      .orderBy("doc_id")
+  }
+
   private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("media_id")
@@ -842,6 +856,7 @@ object SparkEntry {
     "simhash_neardup"      -> (simhashNearDup _),
     "embedding_neardup"    -> (embeddingNearDup _),
     "multimodal_bytestats" -> (multimodalByteStats _),
+    "contamination_check"  -> (contaminationCheck _),
     "multimodal_decode"    -> (multimodalDecode _),
   )
 
@@ -1373,6 +1388,30 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS digest
          FROM documents ORDER BY media_id""",
+
+    "contamination_check" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents),
+          g AS (SELECT doc_id,
+                       CASE WHEN len(ws) >= $ContamN THEN
+                         list_distinct(list_transform(
+                           range(1, len(ws) - ${ContamN - 2}),
+                           i -> array_to_string(list_slice(ws, i, i + ${ContamN - 1}), ' ')))
+                       ELSE [] END AS grams
+                FROM w),
+          corpus AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                     WHERE doc_id % 50 <> 0),
+          probe AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 = 0),
+          pg AS (SELECT doc_id, unnest(grams) AS gram FROM probe),
+          m AS (SELECT pg.doc_id, count(*) AS n_contaminated
+                FROM pg WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.gram = pg.gram)
+                GROUP BY pg.doc_id)
+          SELECT p.doc_id, len(p.grams) AS n_grams,
+                 coalesce(m.n_contaminated, 0) AS n_contaminated,
+                 coalesce(CAST(coalesce(m.n_contaminated, 0) AS DOUBLE)
+                          / nullif(len(p.grams), 0), 0.0) AS contamination
+          FROM probe p LEFT JOIN m ON p.doc_id = m.doc_id
+          ORDER BY p.doc_id""",
 
     // IVF reproduced end-to-end: exact decimal centroids per label cell,
     // probe the 3 nearest cells per query, exact re-rank inside them. The

@@ -104,14 +104,17 @@ object TextAnalysis {
     }.getField("lang")
   }
 
-  /** Word 3-grams of the text (empty below 3 words). */
-  def wordTrigrams(text: Column): Column = {
+  /** Word n-grams of the text (empty below n words). */
+  def wordNgrams(text: Column, n: Int): Column = {
     val ws = words(text)
-    when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(3)))))
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word 3-grams of the text (empty below 3 words). */
+  def wordTrigrams(text: Column): Column = wordNgrams(text, 3)
 
   /** Repetition signal (C4/Gopher-style): fraction of word trigrams that are
     * duplicates of an earlier trigram in the same document. ~0 for natural

@@ -167,6 +167,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- contamination
+
+  /** Benchmark-contamination check — the decontamination primitive of a
+    * training-data pipeline: for each PROBE document (e.g. an eval-set
+    * sample), the fraction of its distinct word n-grams that occur anywhere
+    * in the training corpus.
+    *
+    * Plan: corpus → distinct gram strings (one shuffle, map-side partial
+    * distinct); probe grams left-semi join against them (shuffle carries
+    * gram strings only, never documents). At 100 TB you would fingerprint
+    * grams to 64-bit before the exchange (sheds ~10× bytes) or pre-filter
+    * with a corpus bloom filter — the join stays the same shape; strings are
+    * kept here so the result is engine-portable for the oracle gate.
+    */
+  def ngramContamination(corpus: DataFrame, probes: DataFrame, n: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val grams = TextAnalysis.wordNgrams(col(textCol), n)
+    val corpusGrams = corpus.select(explode(grams).as("gram")).distinct()
+    val probeGrams = probes
+      .select(col(idCol), explode(array_distinct(grams)).as("gram"))
+    val matched = probeGrams.join(corpusGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    probes.select(col(idCol), size(array_distinct(grams)).as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination",
+        coalesce(col("n_contaminated").cast("double") / nullif(col("n_grams"), lit(0)),
+                 lit(0.0)))
+  }
+
   // ---------------------------------------------------------------- clustering
 
   /** Connected components over a near-duplicate pair list → (id, cluster_id)

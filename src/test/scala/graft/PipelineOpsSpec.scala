@@ -204,6 +204,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < 200, s"sample size ${a.size}")
   }
 
+  test("ngram contamination: contained, overlapping, and clean probes") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"),
+      (11L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // fully inside corpus doc 10
+      (2L, "three four five six seven unknown words here nine ten"), // partial
+      (3L, "completely fresh sentence nothing shared at all")        // clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, probes, n = 5)
+      .select($"doc_id", $"n_grams", $"n_contaminated")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1, 1L)), "probe 1's single 5-gram is in the corpus")
+    assert(got(2L)._2 >= 1 && got(2L)._2 < got(2L)._1, "probe 2 partially overlaps")
+    assert(got(3L)._2 == 0L, "probe 3 is clean")
+  }
+
   test("multimodal decode plumbing: stub codec through mapPartitions") {
     val media = Multimodal.syntheticMediaTable(
       Seq((1L, "hello"), (2L, "a much longer synthetic media payload")).toDF("doc_id", "text"))
