@@ -752,6 +752,14 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private val RareP = 0.01
+
+  /** Corpus-model scoring: train the char-bigram table on the whole corpus,
+    * score every document's transitions against it (see [[CorpusModel]]). */
+  private def textBigramRarity(s: SparkSession, dir: String): DataFrame =
+    CorpusModel.rareTransitionStats(t(s, dir, "documents"), RareP)
+      .orderBy("doc_id")
+
   private val ContamN = 5
 
   /** Decontamination probe: every 50th document plays the "benchmark eval
@@ -857,6 +865,7 @@ object SparkEntry {
     "embedding_neardup"    -> (embeddingNearDup _),
     "multimodal_bytestats" -> (multimodalByteStats _),
     "contamination_check"  -> (contaminationCheck _),
+    "text_bigram_rarity"   -> (textBigramRarity _),
     "multimodal_decode"    -> (multimodalDecode _),
   )
 
@@ -1388,6 +1397,35 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS digest
          FROM documents ORDER BY media_id""",
+
+    // Same Laplace-smoothed bigram model retrained in SQL; only exact ints,
+    // IEEE division, and order-independent count/min — bit-reproducible.
+    "text_bigram_rarity" ->
+      s"""WITH n AS (
+            SELECT doc_id,
+                   regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  '[^a-z ]', '', 'g') AS t
+            FROM documents),
+          db AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+                 FROM n, LATERAL (SELECT unnest(range(1, length(t))) AS i) s),
+          bc AS (SELECT b, count(*) AS c FROM db GROUP BY b),
+          pc AS (SELECT substr(b, 1, 1) AS p, CAST(sum(c) AS BIGINT) AS pt
+                 FROM bc GROUP BY 1),
+          scored AS (
+            SELECT d.doc_id,
+                   (coalesce(bc.c, 0) + 1.0) / (coalesce(pc.pt, 0) + 27.0) AS prob
+            FROM db d
+            LEFT JOIN bc ON d.b = bc.b
+            LEFT JOIN pc ON substr(d.b, 1, 1) = pc.p),
+          agg AS (SELECT doc_id, count(*) AS n_transitions,
+                         CAST(count(*) FILTER (WHERE prob < $RareP) AS BIGINT) AS n_rare,
+                         min(prob) AS min_p
+                  FROM scored GROUP BY doc_id)
+          SELECT n.doc_id,
+                 CAST(coalesce(agg.n_transitions, 0) AS BIGINT) AS n_transitions,
+                 coalesce(agg.n_rare, 0) AS n_rare, agg.min_p
+          FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+          ORDER BY n.doc_id""",
 
     "contamination_check" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Corpus-level statistical models applied back to rows — the
+  * train-then-score pattern of data-quality pipelines: learn a bounded model
+  * over the WHOLE corpus (one aggregation pass), broadcast it, score every
+  * row against it (pure projection).
+  *
+  * The model here is a character-bigram transition table over [a-z ] of the
+  * normalized text: at most 27×27 = 729 counts, O(1) regardless of corpus
+  * size — the shape that lets "train" be a driver-side collect and "score"
+  * ride inside codegen with a literal map. Rows whose transitions are rare
+  * under the corpus model are gibberish/boilerplate candidates (a cheap
+  * perplexity stand-in using only IEEE-exact +,/ and order-independent
+  * min/count — bit-reproducible in any engine, unlike libm log()).
+  */
+object CorpusModel {
+
+  /** Normalized text restricted to the model alphabet [a-z ]. */
+  def filteredText(text: Column): Column =
+    regexp_replace(TextAnalysis.normalized(text), "[^a-z ]", "")
+
+  /** Character bigrams of the filtered text (empty below 2 chars). */
+  def charBigrams(text: Column): Column = {
+    val t = filteredText(text)
+    when(length(t) >= 2,
+      transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train: exact bigram counts and first-char prefix totals over the corpus.
+    * Both maps are alphabet-bounded (≤729 / ≤27 entries). */
+  def bigramModel(docs: DataFrame, textCol: String = "text")
+      : (Map[String, Long], Map[String, Long]) = {
+    val counts = docs.select(explode(charBigrams(col(textCol))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prefix = counts.groupBy(_._1.substring(0, 1))
+      .map { case (p, m) => p -> m.values.sum }
+    (counts, prefix)
+  }
+
+  /** Score every document against the corpus bigram model with Laplace
+    * smoothing: p(b) = (count(b)+1) / (prefixTotal(b[0])+27). Emits the
+    * transition count, how many transitions fall under `rareThreshold`, and
+    * the rarest transition probability (null when < 2 model chars). */
+  def rareTransitionStats(docs: DataFrame, rareThreshold: Double = 0.01,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val (bc, pc) = bigramModel(docs, textCol)
+    val bcLit = typedLit(bc)
+    val pcLit = typedLit(pc)
+    val ps = transform(charBigrams(col(textCol)), b =>
+      (coalesce(element_at(bcLit, b), lit(0L)) + 1).cast("double") /
+        (coalesce(element_at(pcLit, b.substr(lit(1), lit(1))), lit(0L)) + 27).cast("double"))
+    docs.select(col(idCol),
+                size(ps).as("n_transitions"),
+                size(filter(ps, p => p < rareThreshold)).as("n_rare"),
+                array_min(ps).as("min_p"))
+  }
+}

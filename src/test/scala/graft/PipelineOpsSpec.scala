@@ -221,6 +221,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._2 == 0L, "probe 3 is clean")
   }
 
+  test("corpus bigram model flags gibberish transitions as rare") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "a good sentence reads naturally with common letter patterns"),
+      (3L, "another ordinary english sentence for the tiny training corpus"),
+      (4L, "qzx jqk vxw zzq xqj wvz qqx")  // gibberish
+    ).toDF("doc_id", "text")
+    // NB: Laplace smoothing floors p near 1/(prefixTotal+27); on a tiny
+    // corpus that is ~0.03, so the test threshold sits above it
+    val got = operators.CorpusModel.rareTransitionStats(corpus, rareThreshold = 0.08)
+      .select($"doc_id", $"n_transitions", $"n_rare")
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._3.toDouble / r._2)).toMap
+    assert(got(4L) > got(1L) && got(4L) > got(2L) && got(4L) > got(3L),
+      s"gibberish must have the highest rare-transition fraction: $got")
+    // empty-alphabet doc: zero transitions, null min
+    val empty = operators.CorpusModel.rareTransitionStats(
+        corpus.unionByName(Seq((5L, "1234 !!!")).toDF("doc_id", "text")))
+      .filter($"doc_id" === 5L)
+      .select($"n_transitions", $"min_p".isNull).as[(Int, Boolean)].collect()(0)
+    assert(empty == ((0, true)))
+  }
+
   test("multimodal decode plumbing: stub codec through mapPartitions") {
     val media = Multimodal.syntheticMediaTable(
       Seq((1L, "hello"), (2L, "a much longer synthetic media payload")).toDF("doc_id", "text"))
