@@ -620,6 +620,28 @@ object SparkEntry {
            expr("percentile(value, 0.9)").as("p90"))
       .orderBy("event_type")
 
+  /** Mergeable quantile sketch algebra (ClickHouse quantileState /
+    * quantileMerge): per-type partial KLL states built on two disjoint halves
+    * of the data, re-merged, then estimated — the split-merge lifecycle the
+    * micro-batch state store runs. Approximate (KLL compaction flips coins)
+    * → rows-only; error-bound-tested in ScalaTest. */
+  private def pctValueSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val ev = t(s, dir, "events")
+    val cut = lit(SplitDate).cast("timestamp")
+    def partial(batch: DataFrame) =
+      batch.groupBy(col("event_type"))
+        .agg(QuantileSketch.quantileState(col("value")).as("state"))
+    partial(ev.filter(col("ts") < cut))
+      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .groupBy(col("event_type"))
+      .agg(QuantileSketch.quantileMergeState(col("state")).as("merged"))
+      .select(col("event_type"),
+              QuantileSketch.quantileEstimate(col("merged"), 0.5).as("p50_est"),
+              QuantileSketch.quantileEstimate(col("merged"), 0.9).as("p90_est"))
+      .orderBy("event_type")
+  }
+
   /** Correlated scalar subquery through the SQL surface. */
   private def sqlOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer_v")
@@ -848,6 +870,7 @@ object SparkEntry {
     "full_outer_daily"     -> (fullOuterDailyActivity _),
     "window_order_gaps"    -> (windowOrderGaps _),
     "pct_value_by_type"    -> (pctValueByType _),
+    "pct_value_sketch"     -> (pctValueSketch _),
     "sql_orders_per_customer" -> (sqlOrdersPerCustomer _),
     "dedup_exact_demo"     -> (dedupExactDemo _),
     "dedup_exact_stats"    -> (dedupExactStats _),

@@ -19,7 +19,8 @@ class EntrySmokeSpec extends SparkSpec {
     val expected = Set(
       "seg_idempotent_approx", "seg_microbatch_hll",          // approximate sketches
       "ann_topk_srp",                                         // LSH candidate generation
-      "seg_overlap_hll")                                       // sketch algebra (approximate)
+      "seg_overlap_hll",                                       // sketch algebra (approximate)
+      "pct_value_sketch")                                      // KLL quantile sketch (approximate)
     assert(rowsOnly == expected,
       s"new queries must ship an oracle or be added here deliberately: ${rowsOnly -- expected}")
   }

@@ -70,6 +70,30 @@ class InvariantSpec extends SparkSpec {
     assert(math.abs(merged - 200000.0) / 200000.0 < 0.05, s"estimate $merged")
   }
 
+  test("KLL quantile sketch: split-merge estimate within rank-error bound") {
+    import graft.functions.QuantileSketch
+    // 100k uniform doubles split into 4 partial sketches, re-merged; k=200
+    // gives ~1% rank error — assert p50/p90 within a 3% value window (values
+    // are uniform so rank error ≈ value error)
+    val vals = spark.range(100000)
+      .selectExpr("cast(id % 4 as int) AS part",
+                  "cast(pmod(xxhash64(cast(id as string)), 10000) as double) / 10000.0 AS v")
+    val merged = vals.groupBy($"part")
+      .agg(QuantileSketch.quantileState($"v").as("st"))
+      .agg(QuantileSketch.quantileMergeState($"st").as("m"))
+      .select(QuantileSketch.quantileEstimate($"m", 0.5).as("p50"),
+              QuantileSketch.quantileEstimate($"m", 0.9).as("p90"))
+      .as[(Double, Double)].collect()(0)
+    assert(math.abs(merged._1 - 0.5) < 0.03, s"p50 ${merged._1}")
+    assert(math.abs(merged._2 - 0.9) < 0.03, s"p90 ${merged._2}")
+    // empty sketch estimates to null
+    val empty = spark.range(1).filter($"id" < 0)
+      .agg(QuantileSketch.quantileState(lit(1.0)).as("st"))
+      .select(QuantileSketch.quantileEstimate($"st", 0.5).isNull)
+      .as[Boolean].collect()(0)
+    assert(empty)
+  }
+
   test("duplicate injection never changes idempotent membership") {
     val base = randomEvents(400, users = 15, ids = 300)
     val seg = SegmentDef("BUTTON_CLICK", 5)
