@@ -83,6 +83,19 @@ object NativeExprs {
     * struct<t:long, step:int> with t ≥ 0 and 0 ≤ step < 16. */
   def boundedEventSeq(tStep: Column, maxItems: Int): Column =
     col(BoundedTStepCollect(expr(tStep), maxItems).toAggregateExpression())
+
+  /** Character bigrams of an ALREADY [a-z ]-filtered text, as a byte loop —
+    * the `transform(sequence, substr)` form is O(position) per substr and
+    * goes quadratic on long documents. */
+  def charBigrams(filtered: Column): Column = col(CharBigramsExpr(expr(filtered)))
+
+  /** One-pass rare-transition scoring of an [a-z ]-filtered text against a
+    * fixed bigram model (see `CorpusModel`): returns
+    * struct(n_transitions, n_rare, min_p). */
+  def rareTransitionStats(filtered: Column, bigramCounts: Map[String, Long],
+                          prefixTotals: Map[String, Long],
+                          threshold: Double): Column =
+    col(RareTransitionStatsExpr(expr(filtered), bigramCounts, prefixTotals, threshold))
 }
 
 /** The 31-bit prime field shared by the shingle-hash domain (object so the
@@ -553,6 +566,72 @@ case class BoundedTStepCollect(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BoundedTStepCollect =
     copy(child = c)
+}
+
+/** Character bigrams over a text already restricted to [a-z ] (ASCII by
+  * construction): one byte pass, one 2-byte string per position. */
+case class CharBigramsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = math.max(bytes.length - 1, 0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i, i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** One-pass scoring of an [a-z ]-filtered text against a FIXED Laplace-
+  * smoothed bigram model: the 27×27 probability table is precomputed at plan
+  * time, the eval is a single byte loop with two table lookups per position.
+  * Output: struct(n_transitions:int, n_rare:int, min_p:double|null). */
+case class RareTransitionStatsExpr(child: Expression,
+                                   bigramCounts: Map[String, Long],
+                                   prefixTotals: Map[String, Long],
+                                   threshold: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_transitions", IntegerType, nullable = false),
+    StructField("n_rare", IntegerType, nullable = false),
+    StructField("min_p", DoubleType, nullable = true)))
+  override def nullable: Boolean = child.nullable
+
+  private def code(b: Byte): Int = if (b == ' ') 26 else b - 'a'
+
+  // probs(c1*27+c2) = (count+1) / (prefixTotal+27), matching CorpusModel
+  @transient private lazy val probs: Array[Double] = {
+    val p = new Array[Double](27 * 27)
+    val alphabet = ('a' to 'z').map(_.toString) :+ " "
+    for ((c1, i1) <- alphabet.zipWithIndex; (c2, i2) <- alphabet.zipWithIndex) {
+      val bc = bigramCounts.getOrElse(c1 + c2, 0L)
+      val pt = prefixTotals.getOrElse(c1, 0L)
+      p(i1 * 27 + i2) = (bc + 1).toDouble / (pt + 27).toDouble
+    }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = math.max(bytes.length - 1, 0)
+    var rare = 0
+    var minP = Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val p = probs(code(bytes(i)) * 27 + code(bytes(i + 1)))
+      if (p < threshold) rare += 1
+      if (p < minP) minP = p
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, rare, if (n == 0) null else minP))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class LangIdExpr(child: Expression)

@@ -23,8 +23,15 @@ object CorpusModel {
   def filteredText(text: Column): Column =
     regexp_replace(TextAnalysis.normalized(text), "[^a-z ]", "")
 
-  /** Character bigrams of the filtered text (empty below 2 chars). */
-  def charBigrams(text: Column): Column = {
+  /** Character bigrams of the filtered text (empty below 2 chars). Native
+    * byte loop — see [[charBigramsHof]] for the reference HOF form (whose
+    * per-position substr is O(position) and goes quadratic on long docs). */
+  def charBigrams(text: Column): Column =
+    graft.functions.NativeExprs.charBigrams(filteredText(text))
+
+  /** Reference HOF form of [[charBigrams]] (parity-tested; do not use in
+    * hot paths). */
+  def charBigramsHof(text: Column): Column = {
     val t = filteredText(text)
     when(length(t) >= 2,
       transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
@@ -50,6 +57,23 @@ object CorpusModel {
   def rareTransitionStats(docs: DataFrame, rareThreshold: Double = 0.01,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    val (bc, pc) = bigramModel(docs, textCol)
+    // native single-pass scorer: the 729-entry probability table is baked
+    // into the expression at plan time, so scoring is one byte loop per row
+    val stats = graft.functions.NativeExprs.rareTransitionStats(
+      filteredText(col(textCol)), bc, pc, rareThreshold)
+    docs.select(col(idCol), stats.as("__s"))
+      .select(col(idCol),
+              col("__s.n_transitions").as("n_transitions"),
+              col("__s.n_rare").as("n_rare"),
+              col("__s.min_p").as("min_p"))
+  }
+
+  /** Reference HOF form of [[rareTransitionStats]]'s scoring (parity-tested;
+    * interpreted map lookups per bigram — do not use in hot paths). */
+  def rareTransitionStatsHof(docs: DataFrame, rareThreshold: Double = 0.01,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
     val (bc, pc) = bigramModel(docs, textCol)
     val bcLit = typedLit(bc)
     val pcLit = typedLit(pc)

@@ -113,4 +113,20 @@ class NativeExprParitySpec extends SparkSpec {
       .filter(not($"a" <=> $"b")).count()
     assert(d2 == 0)
   }
+
+  test("charBigrams native == HOF; rareTransitionStats native == HOF") {
+    import graft.operators.CorpusModel
+    val weird = Seq("", "a", "A  b!! C", "the quick brown fox").toDF("text")
+    for (frame <- Seq(docs.select($"text"), weird)) {
+      val d = frame.select(CorpusModel.charBigrams($"text").as("a"),
+                           CorpusModel.charBigramsHof($"text").as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(d == 0)
+    }
+    val native = CorpusModel.rareTransitionStats(docs, rareThreshold = 0.01)
+      .as[(Long, Int, Int, Option[Double])].collect().toSet
+    val hof = CorpusModel.rareTransitionStatsHof(docs, rareThreshold = 0.01)
+      .as[(Long, Int, Int, Option[Double])].collect().toSet
+    assert(native == hof)
+  }
 }
