@@ -84,6 +84,12 @@ object NativeExprs {
   def boundedEventSeq(tStep: Column, maxItems: Int): Column =
     col(BoundedTStepCollect(expr(tStep), maxItems).toAggregateExpression())
 
+  /** Fraction of equal positions between two equal-length MinHash signature
+    * arrays — the unbiased Jaccard estimate used to prune LSH candidates
+    * before exact verification. */
+  def sigMatchFraction(a: Column, b: Column): Column =
+    col(SigMatchFractionExpr(expr(a), expr(b)))
+
   /** Character bigrams of an ALREADY [a-z ]-filtered text, as a byte loop —
     * the `transform(sequence, substr)` form is O(position) per substr and
     * goes quadratic on long documents. */
@@ -566,6 +572,28 @@ case class BoundedTStepCollect(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BoundedTStepCollect =
     copy(child = c)
+}
+
+/** Equal-position fraction of two long arrays (MinHash signatures). */
+case class SigMatchFractionExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** Character bigrams over a text already restricted to [a-z ] (ASCII by

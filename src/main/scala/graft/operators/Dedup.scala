@@ -101,42 +101,72 @@ object Dedup {
     * shuffle. Shingle sets are recomputed ONLY for docs that appear in some
     * candidate pair (semi join), so verification cost is O(candidates).
     */
+  /** Compute-bound projections need one task per core, but a small corpus
+    * arrives as one parquet split (row groups cannot be subdivided) — fan the
+    * rows out first. No-op whenever the scan already has enough splits, so at
+    * real scale (thousands of files) nothing is shuffled. */
+  private def fanOutSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Candidate near-duplicate pipeline, staged by payload size:
+    *
+    *  1. one signature pass over the corpus → (id, 1 KB sig), materialized;
+    *  2. LSH banding self-join over 24-byte (band, bucket, id) rows →
+    *     distinct candidate pairs (permissive by design: banding at the
+    *     32×4 operating point admits many weakly-similar pairs);
+    *  3. signature-estimate prune: re-attach the 1 KB sigs (a table of
+    *     O(corpus × 1 KB) — AQE broadcasts it at contract scale, shuffles
+    *     it by id at 100 TB) and keep pairs with estimated Jaccard ≥
+    *     threshold − estMargin. For 128 hashes the estimate's σ ≤ 0.045, so
+    *     the default margin is >3σ — no true pair is pruned (asserted
+    *     against brute force in tests and the DuckDB oracle);
+    *  4. exact shingle-set verification ONLY for the tiny survivor set —
+    *     the 12 KB shingle arrays never ship for the bulk of candidates
+    *     (at sf0.1 that is 455 k candidates pruned to ~300 before the
+    *     shingle join: ~10 GB of array shuffle avoided).
+    */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double,
                             textCol: String = "text", idCol: String = "doc_id",
                             shingleK: Int = 5, numHashes: Int = 128,
-                            bands: Int = 32, seed: Long = 42L): DataFrame = {
+                            bands: Int = 32, seed: Long = 42L,
+                            estMargin: Double = 0.15): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // materialized once: both sides of the self-join (and nothing else)
-    // read these 24-byte bucket rows, so the signature pass over the corpus
-    // runs exactly once
-    val buckets = docs.select(
+    // one signature pass over the corpus, reused by banding AND the
+    // estimate prune
+    val sigs = fanOutSmallInput(docs).select(
         col(idCol),
         graft.functions.NativeExprs.minhashSig(
           graft.functions.TextAnalysis.normalized(col(textCol)),
           shingleK, numHashes, seed).as("sig"))
+      .localCheckpoint(true)
+    val buckets = sigs
       .select(col(idCol), explode(lshBands(col("sig"), bands, r)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-      .localCheckpoint(true)
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    // Materialize the candidate list eagerly (localCheckpoint): the bucket
-    // self-join subplan executes exactly once, and the later semi-join /
-    // verification branches read the materialized pairs instead of
-    // re-deriving signatures per branch.
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // estimate prune: cheap per-pair signature comparison, no text payloads
+    val pruned = candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
+                >= threshold - estMargin)
+      .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    // shingle sets only for docs that appear in some candidate pair —
-    // verification cost is O(candidates), independent of corpus size
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    // exact verification only for survivors — shingle sets are computed for
+    // (and shipped to) the few docs that still appear in some pair
+    val candIds = pruned.select(col("id_a").as(idCol))
+      .union(pruned.select(col("id_b").as(idCol))).distinct()
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
-    candidates
+    pruned
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
