@@ -774,6 +774,16 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** PII redaction pass: per-doc mask counts + digest of the masked text
+    * (the digest proves the byte-exact transform, even where counts are 0). */
+  private def piiRedaction(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        TextAnalysis.longNumberCount(col("text")).as("n_longnums"),
+        md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("fp_redacted"))
+      .orderBy("doc_id")
+
   private val RareP = 0.01
 
   /** Corpus-model scoring: train the char-bigram table on the whole corpus,
@@ -889,6 +899,7 @@ object SparkEntry {
     "multimodal_bytestats" -> (multimodalByteStats _),
     "contamination_check"  -> (contaminationCheck _),
     "text_bigram_rarity"   -> (textBigramRarity _),
+    "pii_redaction"        -> (piiRedaction _),
     "multimodal_decode"    -> (multimodalDecode _),
   )
 
@@ -1420,6 +1431,19 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS digest
          FROM documents ORDER BY media_id""",
+
+    "pii_redaction" -> {
+      // DuckDB's standard SQL strings keep backslashes literal — embed the
+      // Scala regex strings (single backslash) verbatim
+      val email = TextAnalysis.EmailPattern
+      val num = TextAnalysis.LongNumberPattern
+      s"""SELECT doc_id,
+                 len(regexp_extract_all(text, '$email')) AS n_emails,
+                 len(regexp_extract_all(text, '$num')) AS n_longnums,
+                 md5(regexp_replace(regexp_replace(text, '$email', '<email>', 'g'),
+                                    '$num', '<num>', 'g')) AS fp_redacted
+          FROM documents ORDER BY doc_id"""
+    },
 
     // Same Laplace-smoothed bigram model retrained in SQL; only exact ints,
     // IEEE division, and order-independent count/min — bit-reproducible.

@@ -125,6 +125,24 @@ object TextAnalysis {
                / nullif(size(t3), lit(0)), lit(0.0))
   }
 
+  /** PII-ish redaction for training corpora: mask email addresses and long
+    * digit runs (ids / phone numbers / card numbers) with fixed tokens.
+    * Patterns are RE2-compatible (no lookaround) so any engine applies the
+    * exact same masking. Emails first — the digit pass then cannot split an
+    * already-masked address. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "\\d{6,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<email>"),
+                   LongNumberPattern, "<num>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def longNumberCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LongNumberPattern), lit(0)))
+
   /** Canonical text normalization shared by fingerprints: collapse whitespace,
     * lowercase, trim. Native single-pass expression; [[normalizedHof]] is the
     * bit-identical SQL-function form. */

@@ -221,6 +221,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._2 == 0L, "probe 3 is clean")
   }
 
+  test("PII redaction masks emails and long digit runs, leaves prose alone") {
+    val rows = Seq(
+      (1L, "contact jane.doe+spam@example-mail.co for info"),
+      (2L, "card 4111111111111111 and order 12345 shipped"),
+      (3L, "plain text with a small number 42")
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextAnalysis.emailCount($"text").as("e"),
+        TextAnalysis.longNumberCount($"text").as("n"),
+        TextAnalysis.redactPii($"text").as("r"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1 && got(1L)._4 == "contact <email> for info")
+    assert(got(2L)._3 == 1 && got(2L)._4 == "card <num> and order 12345 shipped")
+    assert(got(3L)._4 == "plain text with a small number 42")
+    // idempotent: masking already-masked text changes nothing
+    val once = rows.select(TextAnalysis.redactPii($"text").as("t"))
+    val twice = once.select(TextAnalysis.redactPii($"t")).as[String].collect()
+    assert(twice.toSet == once.as[String].collect().toSet)
+  }
+
   test("corpus bigram model flags gibberish transitions as rare") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs away"),
