@@ -50,6 +50,22 @@ object GraftFunctions {
     "graft_srp_sigs" -> { es =>
       require(es.length == 5, "graft_srp_sigs(vec, nBits, tables, dim, seed)")
       SrpSigsExpr(es.head, intLit(es(1)), intLit(es(2)), intLit(es(3)), longLit(es(4)))
+    },
+    "graft_sig_match" -> { es =>
+      require(es.length == 2, "graft_sig_match(sigA, sigB)")
+      SigMatchFractionExpr(es.head, es(1))
+    },
+    "graft_char_bigrams" -> { es =>
+      require(es.length == 1, "graft_char_bigrams(filteredText)")
+      CharBigramsExpr(es.head)
+    },
+    "graft_funnel_level" -> { es =>
+      require(es.length == 3, "graft_funnel_level(sortedSeq, nSteps, windowSeconds)")
+      FunnelLevelExpr(es.head, intLit(es(1)), longLit(es(2)))
+    },
+    "graft_quantile_estimate" -> { es =>
+      require(es.length == 2, "graft_quantile_estimate(state, q)")
+      KllEstimateExpr(es.head, doubleLit(es(1)))
     })
 
   private def intLit(e: Expression): Int = e.eval(null) match {
@@ -61,6 +77,15 @@ object GraftFunctions {
     case i: Int => i.toLong
     case l: Long => l
     case other => throw new IllegalArgumentException(s"expected long literal, got $other")
+  }
+  private def doubleLit(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
   }
 
   def register(spark: SparkSession): Unit =

@@ -146,6 +146,15 @@ class IngestAndPlanSpec extends SparkSpec {
       .orderBy("doc_id").limit(20)
       .select(graft.functions.NativeExprs.langId($"text")).as[String].collect()
     assert(rows.map(_.getString(1)).toSeq == viaApi.toSeq)
+    // round-2 registrations
+    val extra = spark.sql(
+      """SELECT graft_sig_match(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS m,
+                graft_char_bigrams('abc') AS bg,
+                graft_funnel_level(array(struct(10L AS t, 1 AS step)), 3, 100L) AS fl""")
+      .collect()(0)
+    assert(extra.getDouble(0) == 0.5)
+    assert(extra.getSeq[String](1) == Seq("ab", "bc"))
+    assert(extra.getInt(2) == 1)
   }
 
   test("parameterized SQL (F8): named parameters bind into the flagship query") {
