@@ -774,6 +774,35 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Tokenizer-vocabulary induction: the 100 most frequent words with
+    * counts — the seed step of building a BPE/WordPiece vocab over a corpus.
+    * One explode + count; map-side partial aggregation makes the shuffle
+    * O(distinct words), and the top-k is a TakeOrdered, not a global sort. */
+  private def vocabTopWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  /** Composed cleaning pipeline — the operators chained the way a real
+    * pre-training pass runs them: PII-redact → quality-gate (stopword ratio,
+    * token count, repetition) → exact-dedup (lowest id per normalized masked
+    * text) → per-language stats. Verifies COMPOSITION, not just each stage. */
+  private def pipelineCleanStats(s: SparkSession, dir: String): DataFrame = {
+    val masked = t(s, dir, "documents")
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    val gated = masked.filter(
+      TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+      TextAnalysis.tokenCount(col("text")) >= 20 &&
+      TextAnalysis.repetitionRatio(col("text")) < 0.2)
+    Dedup.dropExactDuplicates(gated)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   /** PII redaction pass: per-doc mask counts + digest of the masked text
     * (the digest proves the byte-exact transform, even where counts are 0). */
   private def piiRedaction(s: SparkSession, dir: String): DataFrame =
@@ -900,6 +929,8 @@ object SparkEntry {
     "contamination_check"  -> (contaminationCheck _),
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
+    "vocab_top_words"      -> (vocabTopWords _),
+    "pipeline_clean_stats" -> (pipelineCleanStats _),
     "multimodal_decode"    -> (multimodalDecode _),
   )
 
@@ -1431,6 +1462,44 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS digest
          FROM documents ORDER BY media_id""",
+
+    "vocab_top_words" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+
+    "pipeline_clean_stats" -> {
+      val toks = "regexp_extract_all(lower(text), '[a-z]+')"
+      val rep =
+        s"""coalesce((len(t3) - len(list_distinct(t3)))::DOUBLE / nullif(len(t3), 0), 0.0)"""
+      s"""WITH m AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(text,
+                     '${TextAnalysis.EmailPattern}', '<email>', 'g'),
+                     '${TextAnalysis.LongNumberPattern}', '<num>', 'g') AS text
+            FROM documents),
+          r AS (
+            SELECT *, CASE WHEN len($toks) >= 3
+                        THEN list_transform(range(1, len($toks) - 1),
+                               i -> array_to_string(list_slice($toks, i, i + 2), ' '))
+                        ELSE [] END AS t3
+            FROM m),
+          g AS (
+            SELECT doc_id, lang, text FROM r
+            WHERE coalesce(len(list_filter($toks, w -> list_contains([$EnStop], w)))::DOUBLE
+                           / nullif(len($toks), 0), 0.0) >= 0.05
+              AND len(regexp_extract_all(text, '\\S+')) >= 20
+              AND $rep < 0.2),
+          d AS (
+            SELECT *, row_number() OVER (
+                        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                        ORDER BY doc_id) AS rn
+            FROM g)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens
+          FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang"""
+    },
 
     "pii_redaction" -> {
       // DuckDB's standard SQL strings keep backslashes literal — embed the
