@@ -98,6 +98,37 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), s"no codegen span:\n$formatted")
   }
 
+  test("z-order layout: Morton code matches reference; curve localizes both dims") {
+    // bit-interleave reference
+    def morton(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val df = pts.toDF("x", "y")
+    val got = df.select($"x", $"y", sources.Layout.zvalue(Seq($"x", $"y"), bits = 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y, 8), s"($x,$y)") }
+    // locality: along the curve, 64-point chunks have small bounding boxes in
+    // BOTH dims — the property min/max row-group stats skip on
+    val sorted = got.sortBy(_._3).map(t => (t._1, t._2))
+    val boxes = sorted.grouped(64).map { chunk =>
+      val (xs, ys) = (chunk.map(_._1), chunk.map(_._2))
+      (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+    }.toSeq
+    val avgBox = boxes.sum.toDouble / boxes.size
+    assert(avgBox <= 4 * 64, s"z-curve chunks must stay local, avg box $avgBox")
+    // write path round-trips and prunes day partitions as appendSorted does
+    val root = tmpDir("zorder")
+    sources.Layout.appendZOrdered(df.withColumn("day", lit("2023-01-01")),
+      s"$root/z", Seq("x", "y"), bits = 8, partitionCol = Some("day"))
+    assert(spark.read.parquet(s"$root/z").count() == 1024)
+  }
+
   test("bucketed co-located join and aggregation plan with zero exchanges") {
     val root = tmpDir("bucketed")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
