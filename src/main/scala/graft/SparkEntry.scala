@@ -788,10 +788,18 @@ object SparkEntry {
   /** Composed cleaning pipeline — the operators chained the way a real
     * pre-training pass runs them: PII-redact → quality-gate (stopword ratio,
     * token count, repetition) → exact-dedup (lowest id per normalized masked
-    * text) → per-language stats. Verifies COMPOSITION, not just each stage. */
+    * text) → per-language stats. Verifies COMPOSITION, not just each stage.
+    *
+    * The redaction stage is MATERIALIZED (localCheckpoint) before the gates:
+    * otherwise Catalyst's projection collapse inlines the redaction regexes
+    * into every downstream consumer — filters, dedup key, token sum — and
+    * recomputes them per use (observed 6×: 23 s instead of ~2 s at sf0.1).
+    * A production pipeline persists each stage's output for the same reason. */
   private def pipelineCleanStats(s: SparkSession, dir: String): DataFrame = {
     val masked = t(s, dir, "documents")
-      .withColumn("text", TextAnalysis.redactPii(col("text")))
+      .select(col("doc_id"), col("lang"),
+              TextAnalysis.redactPii(col("text")).as("text"))
+      .localCheckpoint(true)
     val gated = masked.filter(
       TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
       TextAnalysis.tokenCount(col("text")) >= 20 &&

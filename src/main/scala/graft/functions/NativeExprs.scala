@@ -90,6 +90,17 @@ object NativeExprs {
   def sigMatchFraction(a: Column, b: Column): Column =
     col(SigMatchFractionExpr(expr(a), expr(b)))
 
+  /** Stopword hits per word in one tokenize pass; matches
+    * `TextAnalysis.stopwordRatio`'s HOF form. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    col(StopwordRatioExpr(expr(text), stopwords))
+
+  /** Duplicate-trigram fraction in one tokenize pass (trigrams compared by
+    * 64-bit hash); matches `TextAnalysis.repetitionRatio`'s HOF form up to
+    * hash collisions (~2^-64 per trigram pair). */
+  def repetitionRatio(text: Column): Column =
+    col(RepetitionRatioExpr(expr(text)))
+
   /** Character bigrams of an ALREADY [a-z ]-filtered text, as a byte loop —
     * the `transform(sequence, substr)` form is O(position) per substr and
     * goes quadratic on long documents. */
@@ -572,6 +583,89 @@ case class BoundedTStepCollect(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BoundedTStepCollect =
     copy(child = c)
+}
+
+/** Shared word tokenizer for the text-metric expressions: maximal runs of
+  * [a-z] after ASCII lowercasing, emitted as 64-bit xxhashes of the token
+  * bytes — one byte pass, no string allocation. (Unicode letters fall outside
+  * [a-z] under both this and the `lower()`+regex HOF form, so token
+  * boundaries agree — the same equivalence SimHash64Expr relies on.) */
+private[functions] object WordHashTokenizer {
+  /** Calls `f(hash)` per token; returns the token count. */
+  def foreachToken(t: UTF8String, f: Long => Unit): Int = {
+    val bytes = t.getBytes
+    val buf = new Array[Byte](bytes.length)
+    var count = 0
+    var i = 0
+    while (i <= bytes.length) {
+      var bLen = 0
+      var j = i
+      var run = true
+      while (j < bytes.length && run) {
+        val c = bytes(j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        if (lc >= 'a' && lc <= 'z') { buf(bLen) = lc; bLen += 1; j += 1 }
+        else run = false
+      }
+      if (bLen > 0) {
+        count += 1
+        f(XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                                bLen, 42L))
+      }
+      i = j + 1
+    }
+    count
+  }
+}
+
+/** Stopword-hit fraction over words, single pass; 0.0 for wordless text. */
+case class StopwordRatioExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val stopHashes: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    stopwords.foreach { w =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      s.add(XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                                  b.length, 42L))
+    }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    var hits = 0
+    val n = WordHashTokenizer.foreachToken(input.asInstanceOf[UTF8String],
+      h => if (stopHashes.contains(h)) hits += 1)
+    if (n == 0) 0.0 else hits.toDouble / n
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Duplicate-trigram fraction over words, single pass; trigram identity is a
+  * 64-bit combine of the three word hashes. */
+case class RepetitionRatioExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    WordHashTokenizer.foreachToken(input.asInstanceOf[UTF8String], hashes += _)
+    val nTri = hashes.length - 2
+    if (nTri <= 0) return 0.0
+    val seen = new java.util.HashSet[java.lang.Long](nTri * 2)
+    var dups = 0
+    var i = 0
+    while (i < nTri) {
+      val h = XXH64.hashLong(hashes(i + 2),
+                XXH64.hashLong(hashes(i + 1),
+                  XXH64.hashLong(hashes(i), 42L)))
+      if (!seen.add(h)) dups += 1
+      i += 1
+    }
+    dups.toDouble / nTri
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Equal-position fraction of two long arrays (MinHash signatures). */

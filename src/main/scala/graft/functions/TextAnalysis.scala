@@ -55,8 +55,13 @@ object TextAnalysis {
   }
 
   /** English-stopword hits per word (a classic quality signal: near-zero for
-    * keyword spam / non-language text). */
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    * keyword spam / non-language text). Native single-pass expression;
+    * [[stopwordRatioHof]] is the reference form. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    NativeExprs.stopwordRatio(text, Stopwords(lang))
+
+  /** Reference HOF form of [[stopwordRatio]] (parity-tested). */
+  def stopwordRatioHof(text: Column, lang: String = "en"): Column = {
     val ws = words(text)
     coalesce(hitCount(ws, Stopwords(lang)).cast("double") / nullif(size(ws), lit(0)), lit(0.0))
   }
@@ -118,8 +123,12 @@ object TextAnalysis {
 
   /** Repetition signal (C4/Gopher-style): fraction of word trigrams that are
     * duplicates of an earlier trigram in the same document. ~0 for natural
-    * text, → 1 for boilerplate loops and generator spam. */
-  def repetitionRatio(text: Column): Column = {
+    * text, → 1 for boilerplate loops and generator spam. Native single-pass
+    * expression; [[repetitionRatioHof]] is the reference form. */
+  def repetitionRatio(text: Column): Column = NativeExprs.repetitionRatio(text)
+
+  /** Reference HOF form of [[repetitionRatio]] (parity-tested). */
+  def repetitionRatioHof(text: Column): Column = {
     val t3 = wordTrigrams(text)
     coalesce((size(t3) - size(array_distinct(t3))).cast("double")
                / nullif(size(t3), lit(0)), lit(0.0))

@@ -114,6 +114,20 @@ class NativeExprParitySpec extends SparkSpec {
     assert(d2 == 0)
   }
 
+  test("stopwordRatio and repetitionRatio native == HOF") {
+    val weird = Seq("", "   ", "the the the", "a b", "spam spam spam spam spam")
+      .toDF("text")
+    for (frame <- Seq(docs.select($"text"), weird)) {
+      val d = frame.select(
+          NativeExprs.stopwordRatio($"text", TextAnalysis.Stopwords("en")).as("a"),
+          TextAnalysis.stopwordRatioHof($"text").as("b"),
+          NativeExprs.repetitionRatio($"text").as("c"),
+          TextAnalysis.repetitionRatioHof($"text").as("d"))
+        .filter(not($"a" <=> $"b") || not($"c" <=> $"d")).count()
+      assert(d == 0)
+    }
+  }
+
   test("charBigrams native == HOF; rareTransitionStats native == HOF") {
     import graft.operators.CorpusModel
     val weird = Seq("", "a", "A  b!! C", "the quick brown fox").toDF("text")

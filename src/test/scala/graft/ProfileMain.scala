@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
 object ProfileMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,16 +17,34 @@ object ProfileMain {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
-    // cold then warm
-    time("minhash pipeline COLD") {
-      graft.operators.Dedup.minhashNearDuplicates(docs, 0.5).count()
+    docs.count()
+    val masked = time("redact+checkpoint") {
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.redactPii(col("text")).as("text"))
+        .localCheckpoint(true)
     }
-    time("minhash pipeline WARM") {
-      graft.operators.Dedup.minhashNearDuplicates(docs, 0.5).count()
+    time("stopwordRatio gate") {
+      masked.filter(TextAnalysis.stopwordRatio(col("text")) >= 0.05).count()
     }
-    time("clusters WARM") {
-      graft.operators.Dedup.clusterNearDuplicates(
-        graft.operators.Dedup.minhashNearDuplicates(docs, 0.5)).count()
+    time("tokenCount gate") {
+      masked.filter(TextAnalysis.tokenCount(col("text")) >= 20).count()
+    }
+    time("repetitionRatio gate") {
+      masked.filter(TextAnalysis.repetitionRatio(col("text")) < 0.2).count()
+    }
+    time("dedup window") {
+      graft.operators.Dedup.dropExactDuplicates(masked).count()
+    }
+    time("full WARM") {
+      val gated = masked.filter(
+        TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.repetitionRatio(col("text")) < 0.2)
+      graft.operators.Dedup.dropExactDuplicates(gated)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+        .count()
     }
     spark.stop()
   }
