@@ -1,0 +1,43 @@
+package graft
+
+/** Plan lint over the WHOLE contract surface: every query's physical plan is
+  * checked for the two classic scale-killers —
+  *
+  *  - `CartesianProduct`: an unkeyed join that explodes quadratically;
+  *  - `Exchange SinglePartition`: a stage that funnels every row through ONE
+  *    task (global windows/sorts without partitioning).
+  *
+  * Queries whose OUTPUT is a single scalar row legitimately end in a
+  * single-partition final aggregate — those are allow-listed individually so
+  * any new offender must be justified here.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // eagerly-executing streaming queries: plans are exercised (and bounded) by
+  // their own specs; building them here would run full streaming lifecycles
+  private val streaming = Set("seg_stream_equiv", "seg_stream_native", "seg_stream_stateful")
+
+  // scalar/global outputs: the FINAL one-row aggregate is the result itself,
+  // upstream partial aggregation still runs distributed
+  private val scalarOutput = Set(
+    "q6_revenue",        // single global revenue row
+    "cohort_retention",  // one row of cohort counts
+    "seg_overlap_hll",   // one sketch-algebra row
+    "text_lang_dist",    // tiny final distribution (global agg then sort)
+    "top10_customers")   // global TakeOrdered boundary
+
+  test("no cartesian product in any contract plan") {
+    for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian join:\n$plan")
+    }
+  }
+
+  test("no single-partition exchange outside scalar-output queries") {
+    for ((name, fn) <- SparkEntry.queries if !streaming(name) && !scalarOutput(name)) {
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name funnels rows through one task:\n$plan")
+    }
+  }
+}
