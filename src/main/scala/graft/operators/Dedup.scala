@@ -197,6 +197,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- incremental
+
+  /** The persisted LSH index of a corpus: one (doc_id, band, bucket) row per
+    * band per document — 24 bytes/row, written once at ingest. New batches
+    * dedup against it WITHOUT touching historical text (see
+    * [[incrementalNearDuplicates]]); append each batch's own index rows to
+    * keep it current. */
+  def lshIndex(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+               shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+               seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    fanOutSmallInput(docs).select(
+        col(idCol),
+        graft.functions.NativeExprs.minhashSig(
+          graft.functions.TextAnalysis.normalized(col(textCol)),
+          shingleK, numHashes, seed).as("sig"))
+      .select(col(idCol),
+              explode(lshBands(col("sig"), bands, numHashes / bands)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Incremental near-duplicate detection — the daily-ingest shape at 100 TB:
+    * a NEW batch of documents is checked against the historical corpus via
+    * its persisted [[lshIndex]] (plus against itself), touching historical
+    * TEXT only for the docs that land in some candidate pair (a semi join
+    * into the corpus scan). Historical signatures are never recomputed; the
+    * corpus-side cost is O(index ∩ new buckets) + O(matched docs).
+    *
+    * Returns the same (id_a, id_b, jaccard) contract as
+    * [[minhashNearDuplicates]], restricted to pairs involving ≥1 new doc.
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, corpus: DataFrame,
+                                corpusIndex: DataFrame, threshold: Double,
+                                textCol: String = "text", idCol: String = "doc_id",
+                                shingleK: Int = 5, numHashes: Int = 128,
+                                bands: Int = 32, seed: Long = 42L): DataFrame = {
+    val newIndex = lshIndex(newDocs, textCol, idCol, shingleK, numHashes, bands, seed)
+      .localCheckpoint(true)
+    val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
+    // candidates vs the historical index + within the new batch itself
+    val vsCorpus = a.join(corpusIndex
+        .select(col("band"), col("bucket"), col(idCol).as("id_old")),
+        Seq("band", "bucket"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+              greatest(col("id_new"), col("id_old")).as("id_b"))
+    val b = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_b2"))
+    val vsSelf = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_new") < col("id_b2"))
+      .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
+    val candidates = vsCorpus.unionByName(vsSelf)
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    // shingle sets only for involved docs — new batch + matched historical
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = corpus.unionByName(newDocs)
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.NativeExprs.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- contamination
 
   /** Benchmark-contamination check — the decontamination primitive of a

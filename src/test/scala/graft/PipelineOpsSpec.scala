@@ -204,6 +204,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < 200, s"sample size ${a.size}")
   }
 
+  test("incremental near-dup == full brute force restricted to new docs") {
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" % 5 =!= 0)
+    val fresh = all.filter($"doc_id" % 5 === 0)
+    val index = Dedup.lshIndex(corpus)
+    val got = Dedup.incrementalNearDuplicates(fresh, corpus, index, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val freshIds = fresh.select($"doc_id").as[Long].collect().toSet
+    val want = Dedup.bruteForceJaccardPairs(all, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .filter(p => freshIds(p._1) || freshIds(p._2))
+    assert(got == want, s"incremental=${got.size} brute=${want.size}")
+    assert(want.nonEmpty, "fixture must exercise at least one cross-batch pair")
+  }
+
   test("ngram contamination: contained, overlapping, and clean probes") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta"),
