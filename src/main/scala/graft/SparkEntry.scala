@@ -232,6 +232,23 @@ object SparkEntry {
            dsum(col("value")).as("sum_value"))
       .orderBy("day")
 
+  /** ClickHouse `ORDER BY day WITH FILL` analog: daily counts with every
+    * missing calendar day emitted as a zero row. The day spine is generated
+    * from the aggregated bounds (a 1-row subplan broadcast into the join) —
+    * no driver round-trip, no assumption the data is dense. */
+  private def eventsDailyFilled(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+                               expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day")
+  }
+
   private def eventsPropsExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -903,6 +920,7 @@ object SparkEntry {
     "window_top2_orders"   -> (windowTop2Orders _),
     "agg_event_stats"      -> (aggEventStats _),
     "events_daily"         -> (eventsDaily _),
+    "events_daily_filled"  -> (eventsDailyFilled _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
@@ -1292,6 +1310,18 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_users,
                 CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "events_daily_filled" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(generate_series(
+                    (SELECT min(day) FROM daily),
+                    (SELECT max(day) FROM daily),
+                    INTERVAL 1 DAY))::DATE AS day)
+         SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day
+         ORDER BY day""",
 
     // NB: DuckDB sum(BIGINT) yields HUGEINT, which pandas fetches as float64
     // and the driver's value hash then disagrees with Spark's int64 — every

@@ -70,6 +70,26 @@ class InvariantSpec extends SparkSpec {
     assert(math.abs(merged - 200000.0) / 200000.0 < 0.05, s"estimate $merged")
   }
 
+  test("gap filling emits zero rows for missing days (WITH FILL semantics)") {
+    // contract-scale data is dense, so pin the fill behaviour on a sparse
+    // fixture: 3 event days spanning a 10-day range → 7 zero days
+    def ev(day: Int, id: Long) =
+      Ev("u1", "click", Timestamp.valueOf(f"2023-01-$day%02d 10:00:00"), s"m$id")
+    val df = Seq(ev(1, 1), ev(1, 2), ev(4, 3), ev(10, 4)).toDF()
+    val daily = df.groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+              coalesce($"n", lit(0L)).as("n"))
+      .orderBy("day")
+      .as[(String, Long)].collect()
+    assert(filled.length == 10)
+    assert(filled.map(_._2).sum == 4)
+    assert(filled.count(_._2 == 0L) == 7)
+    assert(filled.head == (("2023-01-01", 2L)) && filled.last == (("2023-01-10", 1L)))
+  }
+
   test("KLL quantile sketch: split-merge estimate within rank-error bound") {
     import graft.functions.QuantileSketch
     // 100k uniform doubles split into 4 partial sketches, re-merged; k=200

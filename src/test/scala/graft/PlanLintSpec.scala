@@ -20,11 +20,12 @@ class PlanLintSpec extends SparkSpec {
   // scalar/global outputs: the FINAL one-row aggregate is the result itself,
   // upstream partial aggregation still runs distributed
   private val scalarOutput = Set(
-    "q6_revenue",        // single global revenue row
-    "cohort_retention",  // one row of cohort counts
-    "seg_overlap_hll",   // one sketch-algebra row
-    "text_lang_dist",    // tiny final distribution (global agg then sort)
-    "top10_customers")   // global TakeOrdered boundary
+    "q6_revenue",          // single global revenue row
+    "cohort_retention",    // one row of cohort counts
+    "seg_overlap_hll",     // one sketch-algebra row
+    "text_lang_dist",      // tiny final distribution (global agg then sort)
+    "top10_customers",     // global TakeOrdered boundary
+    "events_daily_filled") // 1-row min/max bounds seed the date spine
 
   test("no cartesian product in any contract plan") {
     for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
