@@ -828,6 +828,25 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** ClickHouse `topK` via mergeable frequent-items sketches: per-half
+    * partial states over the corpus words, re-merged, top-20 extracted — the
+    * same split-merge lifecycle as the HLL/KLL states. Oracle-checked
+    * because the corpus vocabulary (31 words) is far below the sketch's
+    * map size, so it never evicts and estimates are EXACT; the evicting
+    * (approximate) regime is error-bound-tested in ScalaTest. */
+  private def topkWordsSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FrequencySketch
+    t(s, dir, "documents")
+      .select((col("doc_id") % 2).as("part"),
+              explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy(col("part"))
+      .agg(FrequencySketch.topKState(col("word")).as("state"))
+      .agg(FrequencySketch.topKMergeState(col("state")).as("merged"))
+      .select(explode(FrequencySketch.topKEstimate(col("merged"), 20)).as("t"))
+      .select(col("t.item").as("word"), col("t.est").as("n"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** PII redaction pass: per-doc mask counts + digest of the masked text
     * (the digest proves the byte-exact transform, even where counts are 0). */
   private def piiRedaction(s: SparkSession, dir: String): DataFrame =
@@ -956,6 +975,7 @@ object SparkEntry {
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
+    "topk_words_sketch"    -> (topkWordsSketch _),
     "pipeline_clean_stats" -> (pipelineCleanStats _),
     "multimodal_decode"    -> (multimodalDecode _),
   )
@@ -1506,6 +1526,14 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+
+    // exact while the vocabulary fits the sketch map (it does, by 8×) — see
+    // topkWordsSketch
+    "topk_words_sketch" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
     "pipeline_clean_stats" -> {
       val toks = "regexp_extract_all(lower(text), '[a-z]+')"

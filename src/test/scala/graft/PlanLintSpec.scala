@@ -25,7 +25,8 @@ class PlanLintSpec extends SparkSpec {
     "seg_overlap_hll",     // one sketch-algebra row
     "text_lang_dist",      // tiny final distribution (global agg then sort)
     "top10_customers",     // global TakeOrdered boundary
-    "events_daily_filled") // 1-row min/max bounds seed the date spine
+    "events_daily_filled", // 1-row min/max bounds seed the date spine
+    "topk_words_sketch")   // the merged sketch is one scalar state row
 
   test("no cartesian product in any contract plan") {
     for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
