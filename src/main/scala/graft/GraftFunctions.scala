@@ -66,6 +66,10 @@ object GraftFunctions {
     "graft_quantile_estimate" -> { es =>
       require(es.length == 2, "graft_quantile_estimate(state, q)")
       KllEstimateExpr(es.head, doubleLit(es(1)))
+    },
+    "graft_topk_estimate" -> { es =>
+      require(es.length == 2, "graft_topk_estimate(state, k)")
+      FreqTopKExpr(es.head, intLit(es(1)))
     })
 
   private def intLit(e: Expression): Int = e.eval(null) match {

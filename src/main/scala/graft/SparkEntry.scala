@@ -434,6 +434,12 @@ object SparkEntry {
     EventAnalytics.windowFunnel(t(s, dir, "events"), FunnelSteps, FunnelWindowS)
       .orderBy("user_id")
 
+  /** ClickHouse sequenceMatch: did the user ever click → purchase → signup
+    * in order (any gaps, unbounded window)? */
+  private def sequenceMatchUsers(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sequenceMatch(t(s, dir, "events"), FunnelSteps)
+      .orderBy("user_id")
+
   /** ClickHouse retention: weekly cohort counts anchored on week 1. */
   private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     def week(i: Int): Column = {
@@ -927,6 +933,7 @@ object SparkEntry {
     "stratified_sample"    -> (stratifiedSampleEvents _),
     "docs_filtered_stats"  -> (docsFilteredStats _),
     "funnel_levels"        -> (funnelLevels _),
+    "sequence_match"       -> (sequenceMatchUsers _),
     "cohort_retention"     -> (cohortRetention _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
@@ -1200,6 +1207,20 @@ object SparkEntry {
               ELSE 0 END AS funnel_level
           FROM u ORDER BY u.user_id"""
     },
+
+    "sequence_match" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type IN ('click', 'purchase', 'signup')),
+          e AS (SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+          SELECT u.user_id,
+                 EXISTS (SELECT 1 FROM e a, e b, e c
+                         WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                           AND c.user_id = u.user_id
+                           AND a.event_type = 'click' AND b.event_type = 'purchase'
+                           AND c.event_type = 'signup'
+                           AND a.t <= b.t AND b.t <= c.t) AS matched
+          FROM u ORDER BY u.user_id""",
 
     "cohort_retention" -> {
       def wk(i: Int) =

@@ -73,6 +73,18 @@ object EventAnalytics {
                 col("__seq"), steps.length, windowSeconds).as("funnel_level"))
   }
 
+  /** ClickHouse-style `sequenceMatch('(?1).*(?2)…')`: per user, whether
+    * events matching the steps occur in order (any gaps, no time bound) —
+    * the unbounded-window special case of the funnel DP, so it inherits the
+    * same hard-bounded per-user state. */
+  def sequenceMatch(events: DataFrame, steps: Seq[String],
+                    userCol: String = "user_id", typeCol: String = "event_type",
+                    tsCol: String = "ts",
+                    maxEventsPerUser: Int = 1 << 20): DataFrame =
+    windowFunnel(events, steps, windowSeconds = Long.MaxValue / 4,
+                 userCol, typeCol, tsCol, maxEventsPerUser)
+      .select(col(userCol), (col("funnel_level") === steps.length).as("matched"))
+
   /** ClickHouse-style `retention(cond0, cond1, …)`: per user, whether the
     * anchor condition held, and for each subsequent condition whether BOTH it
     * and the anchor held — aggregated to cohort counts. Conditions are
