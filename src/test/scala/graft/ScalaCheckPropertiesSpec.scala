@@ -59,4 +59,65 @@ class ScalaCheckPropertiesSpec extends AnyFunSuite {
       MinHashRef.signature(t, 5, 32, 42L).forall(_ != Long.MaxValue)
     })
   }
+
+  // pure mirror of Ranks.ntileExact's integer bucket formula
+  private def ntileBucket(r: Long, n: Long, k: Long): Long = {
+    val q = n / k; val rem = n % k
+    if (q == 0) r
+    else if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+    else rem + (r - 1 - rem * (q + 1)) / q + 1
+  }
+
+  test("ntile formula: SQL bucket-size law for any (n, k)") {
+    val nk = for (n <- Gen.choose(1L, 5000L); k <- Gen.choose(1L, 64L)) yield (n, k)
+    check("ntile")(Prop.forAll(nk) { case (n, k) =>
+      val buckets = (1L to n).map(ntileBucket(_, n, k))
+      val sizes = buckets.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val kEff = math.min(n, k)
+      // non-decreasing assignment, exactly min(n,k) buckets, sizes differ ≤ 1,
+      // and the first n%k buckets carry the extra row — the SQL ntile law
+      buckets.zip(buckets.tail).forall { case (a, b) => a <= b } &&
+        sizes.keySet == (1L to kEff).toSet &&
+        (sizes.values.max - sizes.values.min) <= 1 &&
+        (n % k == 0 || (1L to n % k).forall(b => sizes(b) == n / k + 1))
+    })
+  }
+
+  // pure mirror of Layout.zvalue for two dimensions
+  private def morton(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    for (b <- 0 until bits) {
+      z |= ((x >> b) & 1L) << (2 * b)
+      z |= ((y >> b) & 1L) << (2 * b + 1)
+    }
+    z
+  }
+
+  test("z-order: bijective within range and box-prefix locality") {
+    val xy = for (x <- Gen.choose(0L, 1023L); y <- Gen.choose(0L, 1023L)) yield (x, y)
+    check("bijective")(Prop.forAll(xy, xy) { case ((x1, y1), (x2, y2)) =>
+      (morton(x1, y1, 10) == morton(x2, y2, 10)) == (x1 == x2 && y1 == y2)
+    })
+    // points inside the same 2^k-aligned box share the z-value high bits —
+    // the property row-group min/max skipping exploits
+    check("locality")(Prop.forAll(xy, Gen.choose(1, 8)) { case ((x, y), k) =>
+      val (bx, by) = (x >> k, y >> k)
+      val zLo = morton(bx << k, by << k, 10)
+      val z = morton(x, y, 10)
+      (z >> (2 * k)) == (zLo >> (2 * k))
+    })
+  }
+
+  test("stub codec: deterministic, typed, and bounded metadata") {
+    val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check("codec")(Prop.forAll(bytesGen) { bytes =>
+      val m1 = graft.operators.Multimodal.StubCodec.decode(bytes)
+      val m2 = graft.operators.Multimodal.StubCodec.decode(bytes)
+      m1 == m2 &&
+        graft.operators.Multimodal.StubCodec.Formats.contains(m1.format) &&
+        m1.width >= 64 && m1.width < 64 + 1024 &&
+        m1.height >= 64 && m1.height < 64 + 1024 &&
+        m1.n_frames >= 1 && m1.n_frames <= 256
+    })
+  }
 }
