@@ -98,6 +98,42 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), s"no codegen span:\n$formatted")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // one hot key carrying ~90% of the fact rows; thresholds lowered so the
+    // optimization fires at test scale — the same mechanism that saves a
+    // 100 TB shuffle join from one straggler task
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(200000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0L ELSE id END AS k",
+                    "repeat('x', 32) AS pad")
+      val dim = spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS v")
+      // NB: aggregate on something other than the join key — re-grouping on k
+      // would force the join's output partitioning and AQE would (correctly)
+      // refuse to split skewed partitions rather than add a reshuffle
+      val joined = fact.join(dim, Seq("k")).agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      assert(joined.collect().nonEmpty) // finalize THIS df's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot-key join side as skewed:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("z-order layout: Morton code matches reference; curve localizes both dims") {
     // bit-interleave reference
     def morton(x: Long, y: Long, bits: Int): Long = {
