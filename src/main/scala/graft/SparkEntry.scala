@@ -292,6 +292,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS through the SQL surface (the generalization rollup/cube
+    * specialize): per-flag totals, per-status totals, and the grand total in
+    * one scan. */
+  private def groupingSetsPricing(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  /** ClickHouse groupUniqArray analog: per-user sorted distinct event types,
+    * emitted as a CSV string so the contract comparator stays scalar. */
+  private def userEventTypes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   private def setOpUsers(s: SparkSession, dir: String, op: String): DataFrame = {
     val ev = t(s, dir, "events")
     def users(tpe: String) =
@@ -952,6 +973,8 @@ object SparkEntry {
     "q4_late_shipments"    -> (q4LateShipments _),
     "rollup_pricing"       -> (rollupPricing _),
     "cube_pricing"         -> (cubePricing _),
+    "grouping_sets_pricing" -> (groupingSetsPricing _),
+    "user_event_types"     -> (userEventTypes _),
     "intersect_users"      -> ((s: SparkSession, d: String) => setOpUsers(s, d, "intersect")),
     "except_users"         -> ((s: SparkSession, d: String) => setOpUsers(s, d, "except")),
     "top10_customers"      -> (top10Customers _),
@@ -1399,6 +1422,18 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "grouping_sets_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "user_event_types" ->
+      """SELECT user_id,
+                array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+                count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "intersect_users" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
