@@ -43,6 +43,18 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(ts == java.sql.Timestamp.valueOf("2023-01-01 00:05:00").getTime / 1000)
   }
 
+  test("corrupt ingest rows: PERMISSIVE nulls them, FAILFAST throws") {
+    val lines = Seq(
+      """{"user_id":"1","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m1"}""",
+      """{"user_id":"2","event_name": BROKEN JSON""").toDS()
+    val permissive = Ingest.jsonLines(spark, lines, eventSchema).collect()
+    assert(permissive.length == 2)
+    assert(permissive.count(_.isNullAt(3)) == 1, "corrupt row surfaces as nulls")
+    intercept[org.apache.spark.SparkException] {
+      Ingest.jsonLines(spark, lines, eventSchema, strict = true).collect()
+    }
+  }
+
   test("duplicate delivery collapses via dedupByMessageId") {
     val lines = Seq(
       """{"user_id":"2","event_name":"BUTTON_CLICK","timestamp":"2023-01-01T00:00:00Z","message_id":"m3"}""",
