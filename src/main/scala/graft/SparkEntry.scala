@@ -73,6 +73,15 @@ object SparkEntry {
               col("value").as("latest_value"))
       .orderBy("user_id")
 
+  /** argMin complement of [[segLatestEvent]]: each user's EARLIEST event via
+    * `min_by` with the same pinned tie-break discipline. */
+  private def segFirstEvent(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+           min_by(col("value"), struct(col("ts"), col("event_id"))).as("first_value"))
+      .orderBy("user_id")
+
   private def segEventTime(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .filter(col("event_type") === ClickSeg.eventType)
@@ -935,6 +944,7 @@ object SparkEntry {
     "seg_w4_any"           -> (segW4Any _),
     "seg_w4_latest"        -> (segW4Latest _),
     "seg_latest_event"     -> (segLatestEvent _),
+    "seg_first_event"      -> (segFirstEvent _),
     "seg_eventtime"        -> (segEventTime _),
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
     "seg_stream_equiv"     -> (segStreamEquiv _),
@@ -1073,6 +1083,14 @@ object SparkEntry {
          FROM (SELECT user_id, event_type, value,
                       row_number() OVER (PARTITION BY user_id
                                          ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "seg_first_event" ->
+      """SELECT user_id, event_type AS first_type, value AS first_value
+         FROM (SELECT user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id""",
 
