@@ -747,13 +747,18 @@ object SparkEntry {
     * tiny 3-column pair rows. At 100 TB this is the same discipline — the
     * pair list is a persisted intermediate table, never recomputed per
     * consumer. */
+  // weak keys: a stopped session's cached (checkpointed) frames drop with it,
+  // and distinct sessions can never alias
   private val minhashPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
-      _ => Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
-             .localCheckpoint(true))
+    minhashPairsCache.synchronized {
+      minhashPairsCache
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir,
+          Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
+            .localCheckpoint(true))
+    }
 
   /** Near-dup connected components over the MinHash pair list (canonical-doc
     * assignment). Iterative — rows-only, validated against union-find in

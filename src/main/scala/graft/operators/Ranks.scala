@@ -25,7 +25,18 @@ object Ranks {
     * zero single-task stages. */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
                       out: String = "rank"): (DataFrame, Long) = {
-    val ranged = df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id())
+    // The count pass and the rank pass are SEPARATE queries, and Spark SQL
+    // does not reuse shuffle output across queries — each would re-execute
+    // the range exchange, whose boundary SAMPLING is seeded by the per-job
+    // RDD id. Slightly different boundaries between the two passes shift
+    // rows across partitions and corrupt the offsets (observed: overlapping
+    // rank ranges). Materializing the ranged frame once freezes the
+    // partitioning for both passes — the DataFrame analog of the shuffle
+    // reuse RDD.zipWithIndex gets for free within one lineage.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, c)) => pid -> (acc + c) }
