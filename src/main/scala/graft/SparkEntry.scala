@@ -632,6 +632,33 @@ object SparkEntry {
         .orderBy("user_id")
     }
 
+  /** Stream-stream interval join through the oracle gate: clicks and
+    * purchases replay as two streams; each purchase joins same-user clicks
+    * within the hour before it (watermarked on both sides, AvailableNow).
+    * The drained result must equal the batch interval join the oracle runs. */
+  private def segStreamAttribution(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_attr") { tmp =>
+      def source() = s.readStream.schema(EventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val joined = graft.streaming.StatefulOps.streamStreamAttribution(
+        source().filter(col("event_type") === "click"),
+        source().filter(col("event_type") === "purchase"),
+        attributionWindow = "1 hour", watermarkDelay = "40 days")
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("purchase_id"), col("user_id").cast("long").as("user_id"),
+                unix_timestamp(col("purchase_ts")).as("purchase_t"),
+                col("click_id"), unix_timestamp(col("click_ts")).as("click_t"))
+        .orderBy("purchase_id", "click_id")
+    }
+
   private def outerJoinNationSuppliers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_outer")
@@ -955,6 +982,7 @@ object SparkEntry {
     "seg_stream_equiv"     -> (segStreamEquiv _),
     "seg_stream_native"    -> (segStreamNative _),
     "seg_stream_stateful"  -> (segStreamStateful _),
+    "seg_stream_attribution" -> (segStreamAttribution _),
     "seg_multi"            -> (segMulti _),
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
@@ -1318,6 +1346,17 @@ object SparkEntry {
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id HAVING count(DISTINCT event_id) >= ${ClickSeg.minCount}
           ORDER BY user_id""",
+
+    "seg_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_t,
+                c.event_id AS click_id,
+                CAST(floor(epoch(c.ts)) AS BIGINT) AS click_t
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         ORDER BY purchase_id, click_id""",
 
     // exact because the per-user HLL sketch is still in coupon (exact) mode
     // at these cardinalities — see segStreamStateful

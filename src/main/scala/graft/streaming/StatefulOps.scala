@@ -94,6 +94,33 @@ object StatefulOps {
       }
   }
 
+  /** Stream-stream interval join — last-touch attribution as it runs live:
+    * each purchase joins the clicks of the SAME user whose event time falls
+    * within `attributionWindow` BEFORE the purchase. Watermarks on both
+    * sides bound the join state (clicks older than the window + delay are
+    * dropped from state; purchases likewise), which is what lets two
+    * unbounded streams join with finite memory — the streaming twin of
+    * [[graft.operators.AsOf]]'s batch point-in-time join. */
+  def streamStreamAttribution(clicks: DataFrame, purchases: DataFrame,
+                              attributionWindow: String = "1 hour",
+                              watermarkDelay: String = "10 minutes",
+                              userCol: String = "user_id"): DataFrame = {
+    val c = clicks
+      .select(col(userCol).cast("string").as("user_id"),
+              col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col(userCol).cast("string").as("p_user_id"),
+              col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(c,
+      expr(s"""p_user_id = user_id AND
+               click_ts <= purchase_ts AND
+               click_ts >= purchase_ts - INTERVAL $attributionWindow"""))
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+              col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming segment membership with a mergeable HLL sketch per user as
     * custom state — `uniqState` persisted in the engine's state store instead
     * of a parquet table (the [[graft.state.MicroBatchPipeline]] twin). Emits

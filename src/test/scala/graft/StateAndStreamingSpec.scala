@@ -183,6 +183,35 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming close-out must mirror batch sessionization")
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = graft.streaming.StatefulOps.streamStreamAttribution(
+      clicks.toDF(), purchases.toDF(),
+      attributionWindow = "1 hour", watermarkDelay = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    clicks.addData(
+      Ev("u1", "click", ts("2023-01-01 09:30:00"), "c1"),   // in window for p1
+      Ev("u1", "click", ts("2023-01-01 07:00:00"), "c2"),   // too old
+      Ev("u2", "click", ts("2023-01-01 09:45:00"), "c3"))   // other user
+    purchases.addData(
+      Ev("u1", "purchase", ts("2023-01-01 10:00:00"), "p1"))
+    q.processAllAvailable()
+    // advance both watermarks so the join emits and prunes
+    clicks.addData(Ev("u9", "click", ts("2023-01-01 23:00:00"), "c9"))
+    purchases.addData(Ev("u9", "purchase", ts("2023-01-02 23:30:00"), "p9"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attribution")
+      .select($"purchase_id", $"click_id").as[(String, String)].collect().toSet
+    assert(got.contains(("p1", "c1")), s"in-window click must attribute: $got")
+    assert(!got.exists(_._2 == "c2"), "out-of-window click must not attribute")
+    assert(!got.exists(p => p._1 == "p1" && p._2 == "c3"),
+      "another user's click must not attribute")
+  }
+
   test("mapGroupsWithState holds a mergeable HLL sketch per user (uniqState twin)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
