@@ -65,6 +65,19 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("schema evolution: a later batch's added column reads back under mergeSchema") {
+    val root = tmpDir("evolve")
+    Seq(("u1", 1L)).toDF("user_id", "n").write.parquet(s"$root/t/batch=1")
+    Seq(("u2", 2L, "mobile")).toDF("user_id", "n", "device")
+      .write.parquet(s"$root/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$root/t")
+    assert(merged.columns.toSet == Set("user_id", "n", "device", "batch"))
+    val rows = merged.select($"user_id", $"device").as[(String, Option[String])]
+      .collect().toMap
+    assert(rows("u1").isEmpty && rows("u2").contains("mobile"),
+      "old rows surface null for the added column")
+  }
+
   test("sorted day-partitioned append: partition pruning + row-group stats layout") {
     val root = tmpDir("ingest")
     val df = Seq(

@@ -42,6 +42,25 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq("A", "B"))
   }
 
+  test("batch REPLAY is idempotent: reprocessing a batch never changes membership") {
+    // a driver retry re-runs processBatch with the same slice; the sketch
+    // states are set-semantic (HLL unions of event ids) and the event-time
+    // max is idempotent, so duplicate state rows merge to the same answer
+    val paths = StateStorePaths(tmpDir("replay"))
+    val pipe = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    val batch = Seq(
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m1"),
+      Ev("1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"),
+      Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "m3")).toDF()
+    pipe.processBatch(batch, ts("2023-01-01 00:00:00"), ts("2023-01-01 01:00:00"))
+    val first = pipe.members().select($"user_id").as[String].collect().sorted
+    // the retry: same batch, same bounds
+    pipe.processBatch(batch, ts("2023-01-01 00:00:00"), ts("2023-01-01 01:00:00"))
+    val second = pipe.members().select($"user_id").as[String].collect().sorted
+    assert(first.toSeq == Seq("1") && second.toSeq == Seq("1"),
+      "replaying a batch must not change segment membership")
+  }
+
   test("state survives engine restart: a fresh pipeline instance continues") {
     val paths = StateStorePaths(tmpDir("restart"))
     val pipe1 = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
