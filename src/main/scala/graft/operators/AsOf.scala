@@ -56,6 +56,7 @@ object AsOf {
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
       .withColumnRenamed("__t", leftTime)
-      .select(leftCols.map(col) ++ payload.map(p => col("__p").getField(p).as(p)): _*)
+      .select(leftCols.toIndexedSeq.map(col) ++
+              payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }
