@@ -774,17 +774,20 @@ object SparkEntry {
     * tiny 3-column pair rows. At 100 TB this is the same discipline — the
     * pair list is a persisted intermediate table, never recomputed per
     * consumer. */
-  // weak keys: a stopped session's cached (checkpointed) frames drop with it,
-  // and distinct sessions can never alias
+  // Keyed by sessionUUID string, not the session object: a DataFrame value
+  // strongly references its session, so WeakHashMap keys would never collect
+  // (the documented weak-key caveat). A tiny access-order LRU bounds what a
+  // long JVM can retain to a handful of checkpointed plans.
   private val minhashPairsCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.LinkedHashMap[(String, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, String), DataFrame]) =
+        size() > 4
+    }
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsCache.synchronized {
-      minhashPairsCache
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir,
-          Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
-            .localCheckpoint(true))
+      minhashPairsCache.computeIfAbsent((System.identityHashCode(s).toString, dir), _ =>
+        Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
+          .localCheckpoint(true))
     }
 
   /** Near-dup connected components over the MinHash pair list (canonical-doc

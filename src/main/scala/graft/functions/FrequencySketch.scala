@@ -60,6 +60,8 @@ private[functions] object FreqSerde {
 case class FreqStateAgg(child: Expression, maxMapSize: Int,
                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+  require(maxMapSize > 0 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of two (DataSketches ItemsSketch), got $maxMapSize")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -94,6 +96,8 @@ case class FreqStateAgg(child: Expression, maxMapSize: Int,
 case class FreqMergeAgg(child: Expression, maxMapSize: Int,
                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+  require(maxMapSize > 0 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of two (DataSketches ItemsSketch), got $maxMapSize")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false

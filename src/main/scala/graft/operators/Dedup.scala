@@ -120,7 +120,10 @@ object Dedup {
     *     O(corpus × 1 KB) — AQE broadcasts it at contract scale, shuffles
     *     it by id at 100 TB) and keep pairs with estimated Jaccard ≥
     *     threshold − estMargin. For 128 hashes the estimate's σ ≤ 0.045, so
-    *     the default margin is >3σ — no true pair is pruned (asserted
+    *     the default margin is ~4.5σ: a borderline true pair's drop
+    *     probability is ~1e-5 per pair — negligible on any corpus this
+    *     pipeline is pointed at, but not zero; callers gated by an EXACT
+    *     oracle on a new corpus/seed should keep the margin ≥4σ (asserted
     *     against brute force in tests and the DuckDB oracle);
     *  4. exact shingle-set verification ONLY for the tiny survivor set —
     *     the 12 KB shingle arrays never ship for the bulk of candidates
@@ -131,7 +134,7 @@ object Dedup {
                             textCol: String = "text", idCol: String = "doc_id",
                             shingleK: Int = 5, numHashes: Int = 128,
                             bands: Int = 32, seed: Long = 42L,
-                            estMargin: Double = 0.15): DataFrame = {
+                            estMargin: Double = 0.2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // one signature pass over the corpus, reused by banding AND the

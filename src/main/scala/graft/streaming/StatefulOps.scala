@@ -72,7 +72,11 @@ object StatefulOps {
               val t = ts(i)
               cur match {
                 case Some(s) if t - s.last <= gapSeconds =>
-                  cur = Some(OpenSession(s.start, t, s.n + 1))
+                  // Extension covers both directions: a late-but-allowed event
+                  // (under the watermark delay, earlier than state.last) widens
+                  // the session envelope instead of regressing session_end.
+                  // Only a FORWARD gap (t > last + gap) opens a new session.
+                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start, s.last, s.n)
                   cur = Some(OpenSession(t, t, 1))

@@ -202,6 +202,39 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming close-out must mirror batch sessionization")
   }
 
+  test("stateful sessionization: late cross-batch event widens, never splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = graft.streaming.StatefulOps.statefulSessionize(
+      source.toDF(), gapSeconds = 600, watermarkDelay = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("late_sess")
+      .outputMode("append").start()
+    // batch 1: u1 opens a session at 00:10
+    source.addData(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:10:00"), "m1"))
+    q.processAllAvailable()
+    // batch 2: a LATE event (00:05, before state.last but above the watermark)
+    // must extend the envelope downward, not regress session_end
+    source.addData(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:05:00"), "m2"))
+    q.processAllAvailable()
+    // batch 3: a forward event within the gap keeps the same session open —
+    // a regressed `last` here would have split spuriously
+    source.addData(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:12:00"), "m3"))
+    q.processAllAvailable()
+    // push the watermark far past the gap horizon so u1's session times out
+    source.addData(Ev("u9", "BUTTON_CLICK", ts("2023-01-01 06:00:00"), "m4"))
+    q.processAllAvailable()
+    source.addData(Ev("u9", "BUTTON_CLICK", ts("2023-01-01 12:00:00"), "m5"))
+    q.processAllAvailable()
+    q.stop()
+    def t0(s: String) = ts(s).getTime / 1000
+    val u1 = spark.table("late_sess")
+      .filter($"user_id" === "u1")
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(u1 == Seq((t0("2023-01-01 00:05:00"), t0("2023-01-01 00:12:00"), 3L)),
+      s"late event must widen [start,end] without splitting; got $u1")
+  }
+
   test("stream-stream interval join: purchases attribute to in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
