@@ -843,6 +843,27 @@ object SparkEntry {
     Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Incremental near-dup — the daily-ingest shape: docs with doc_id % 5 == 0
+    * replay as the NEW batch against the remaining 80% as the historical
+    * corpus, whose persisted LSH index is probed without recomputing any
+    * historical signature. Pairs restricted to those touching a new doc. */
+  private def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.incrementalNearDuplicates(
+        newDocs, corpus, Dedup.lshIndex(corpus), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact word-bigram Jaccard pairs (adaptive AllPairs / count-based plan)
+    * — the deterministic complement to the probabilistic MinHash path. The
+    * corpus's true near-dups all score ≥ 0.909, so 0.8 keeps the same pair
+    * set as 0.5 with wide margins on both sides of the gate. */
+  private def ngramJaccardNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.8, n = 2)
+      .orderBy("id_a", "id_b")
+
   /** The synthetic corpus holds no true near-duplicate pairs (max pairwise
     * cosine ≈ 0.51 at sf0.01), which made a threshold-0.95 run vacuously
     * empty. The contract query therefore PLANTS near-dups: every 25th vector
@@ -1044,6 +1065,8 @@ object SparkEntry {
     "ann_topk_srp"         -> (annTopKSrp _),
     "ann_topk_ivf"         -> (annTopKIvf _),
     "minhash_neardup"      -> (minhashNearDup _),
+    "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
+    "incremental_neardup"  -> (incrementalNearDup _),
     "simhash_neardup"      -> (simhashNearDup _),
     "embedding_neardup"    -> (embeddingNearDup _),
     "multimodal_bytestats" -> (multimodalByteStats _),
@@ -1799,6 +1822,43 @@ object SparkEntry {
           SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
           FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5
           ORDER BY id_a, id_b""",
+
+    // Same brute-force 5-gram pair list as minhash_neardup (whose banding
+    // recall is verified total on this corpus), restricted to pairs touching
+    // the 20% "new batch" — the incremental path verifies candidates with the
+    // same exact-Jaccard join, so the sets must agree identically.
+    "incremental_neardup" ->
+      s"""WITH $NearDupPairCtes
+          SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+          FROM pairs
+          WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+            AND (id_a % 5 = 0 OR id_b % 5 = 0)
+          ORDER BY id_a, id_b""",
+
+    // Exact word-bigram Jaccard, brute-forced over all pairs in SQL; the
+    // Spark side's prefix filter is exact (AllPairs bound), so the sets must
+    // agree identically. The size prefilter is the same J<=min/max necessary
+    // condition used by the minhash oracle.
+    "ngram_jaccard_neardup" ->
+      """WITH n AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i + 1])) AS sh
+           FROM w WHERE len(w) >= 2),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.sh, b.sh)) AS inter,
+                  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+           FROM g a JOIN g b
+             ON a.doc_id < b.doc_id
+            AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh)))
+         SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+         FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+         ORDER BY id_a, id_b""",
 
     // Connected components over the same brute-force pair list: transitive
     // closure via a recursive CTE, cluster id = min reachable doc id —

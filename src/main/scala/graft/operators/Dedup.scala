@@ -200,6 +200,104 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** EXACT word-n-gram Jaccard near-duplicate pairs — the deterministic
+    * complement to [[minhashNearDuplicates]] (same duty as the reference's
+    * dedup passes, cf. `/root/reference/src/2-idempotent.test.ts:13-107`
+    * idempotent-set semantics, generalized to similarity). Two exact plans,
+    * chosen adaptively from one scalar of gram-frequency statistics:
+    *
+    *  - **Prefix-filtered (AllPairs/PPJoin family)** — the 100 TB text
+    *    shape: each doc indexes only its |g| − ⌈t·|g|⌉ + 1 globally-rarest
+    *    grams; two docs with J ≥ t MUST share a prefix gram, so the
+    *    candidate self-join runs on the rare tail of the inverted index and
+    *    hot stopword grams never become join keys. Candidates pass a size
+    *    filter (J ≤ min/max — a necessary condition, not a heuristic), then
+    *    exact verification joins the full gram arrays for survivors only.
+    *
+    *  - **Count-based** — dense gram universes (small vocabulary, long
+    *    posting lists), where the prefix bound admits nearly every pair and
+    *    the array-verify join becomes the cost: the number of shared grams
+    *    per pair IS the intersection size, so a posting self-join +
+    *    `groupBy(pair).count()` computes exact Jaccard with no arrays and
+    *    no distinct. Chosen when Σ df² (exactly that join's output rows,
+    *    read from the already-built frequency table, AQE-style) is small.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 2,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDenseJoinRows: Double = 5e8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val grams = fanOutSmallInput(docs).select(
+        col(idCol).as("id"),
+        split(TextAnalysis.normalized(col(textCol)), " ").as("w"))
+      .select(col("id"),
+        when(size(col("w")) >= n,
+             array_distinct(expr(
+               s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+          .otherwise(array().cast("array<string>")).as("g"))
+      .filter(size(col("g")) > 0) // J is undefined against an empty set
+      .localCheckpoint(true)
+    val sizes = grams.select(col("id"), size(col("g")).as("sz"))
+    // set size rides inline on the posting rows — no join needed to reach it
+    val posting = grams.select(col("id"), size(col("g")).as("sz"),
+                               explode(col("g")).as("gram"))
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+    // Strategy choice from one scalar of shuffle-sized statistics (the same
+    // footprint AQE collects): Σ df² is EXACTLY the posting self-join's
+    // output cardinality. Dense gram universes (small vocab, long posting
+    // lists — where prefix filtering admits nearly all pairs anyway) take
+    // the count-based plan; Zipf universes (the 100 TB text shape, where
+    // Σ df² explodes on stopword grams) take the prefix-filtered plan.
+    val joinRows = gramDf.agg(sum(col("df").cast("double") * col("df")))
+      .first().getDouble(0)
+    if (joinRows <= maxDenseJoinRows) {
+      // Count-based exact plan: shared-gram co-occurrence count IS the
+      // intersection size, so no gram arrays ever ship and no distinct is
+      // needed — one join on the gram, one partial-aggregated groupBy on the
+      // pair, sizes carried inline on the posting rows. The size filter
+      // runs BEFORE the aggregation: at high thresholds it discards most of
+      // the joined rows, which is what keeps this plan cheap.
+      val pa = posting.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val pb = posting.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+      pa.join(pb, Seq("gram"))
+        .filter(col("id_a") < col("id_b") &&
+          least(col("sz_a"), col("sz_b")).cast("double")
+            >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+    } else {
+      // Prefix-filtered exact plan (AllPairs): rarest-first order =
+      // (document frequency, gram), ties broken by the gram string so the
+      // order is total and run-deterministic.
+      val prefix = posting.drop("sz").join(gramDf, "gram")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+        .join(sizes, "id")
+        .select(col("id"), expr(
+          s"transform(slice(sorted, 1, sz - CAST(ceil($threshold * sz) AS INT) + 1), s -> s.gram)")
+          .as("pref"))
+        .select(col("id"), explode(col("pref")).as("gram"))
+      val cand = prefix.select(col("gram"), col("id").as("id_a"))
+        .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val szA = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
+      val szB = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
+      val sized = cand.join(szA, "id_a").join(szB, "id_b")
+        .filter(least(col("sz_a"), col("sz_b")).cast("double")
+          >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      sized
+        .join(grams.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
+        .join(grams.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+    }
+  }
+
   // ---------------------------------------------------------------- incremental
 
   /** The persisted LSH index of a corpus: one (doc_id, band, bucket) row per
@@ -235,7 +333,8 @@ object Dedup {
                                 corpusIndex: DataFrame, threshold: Double,
                                 textCol: String = "text", idCol: String = "doc_id",
                                 shingleK: Int = 5, numHashes: Int = 128,
-                                bands: Int = 32, seed: Long = 42L): DataFrame = {
+                                bands: Int = 32, seed: Long = 42L,
+                                estMargin: Double = 0.2): DataFrame = {
     val newIndex = lshIndex(newDocs, textCol, idCol, shingleK, numHashes, bands, seed)
       .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
@@ -253,14 +352,35 @@ object Dedup {
     val candidates = vsCorpus.unionByName(vsSelf)
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint(true)
-    // shingle sets only for involved docs — new batch + matched historical
+    // 1 KB signatures recomputed ONLY for docs in some candidate pair (a
+    // production index would persist (doc_id, sig) beside the buckets and
+    // skip even this pass), then the same estimate prune as the batch
+    // pipeline — the 12 KB shingle arrays ship for the tiny survivor set,
+    // never for the raw LSH candidate flood.
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    val sh = corpus.unionByName(newDocs)
+    // no checkpoint here: on a flood-prone corpus candIds covers most docs,
+    // and re-scanning the (column-pruned) source twice is cheaper than
+    // materializing every candidate text body
+    val candDocs = corpus.unionByName(newDocs)
       .join(candIds, Seq(idCol), "left_semi")
+    val sigs = candDocs.select(col(idCol),
+      graft.functions.NativeExprs.minhashSig(
+        graft.functions.TextAnalysis.normalized(col(textCol)),
+        shingleK, numHashes, seed).as("sig"))
+    val pruned = candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
+                >= threshold - estMargin)
+      .select(col("id_a"), col("id_b"))
+    val survivorIds = pruned.select(col("id_a").as(idCol))
+      .union(pruned.select(col("id_b").as(idCol))).distinct()
+    val sh = candDocs
+      .join(survivorIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
-    candidates
+    pruned
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",

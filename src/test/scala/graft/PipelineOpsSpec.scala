@@ -39,6 +39,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("prefix-filtered ngram jaccard equals brute force (exact, with scores)") {
+    // brute-force word-bigram jaccard, computed independently of the operator
+    def bigrams(text: String): Set[String] = {
+      val w = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      if (w.length < 2) Set.empty else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val local = docs.as[(Long, String)].collect()
+    val brute = (for {
+      (ia, ta) <- local; (ib, tb) <- local if ia < ib
+      (ga, gb) = (bigrams(ta), bigrams(tb)) if ga.nonEmpty && gb.nonEmpty
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size if j >= 0.5
+    } yield (ia, ib, math.round(j * 10000) / 10000.0)).toSet
+    assert(brute.exists(p => p._1 == 0L && p._2 == 3L), "exact dup pair expected in fixture")
+    // both exact plans (count-based dense, prefix-filtered AllPairs) must
+    // agree with brute force INCLUDING scores — force each via the Σdf² knob
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.ngramJaccardPairs(docs, threshold = 0.5, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"plan (denseLimit=$denseLimit) must be exact; got $got vs $brute")
+    }
+  }
+
+  test("ngram jaccard prefix filter: threshold sweep stays exact") {
+    def pairsAt(t: Double) =
+      Dedup.ngramJaccardPairs(docs, threshold = t, n = 2)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // thresholds shrink the prefix (fewer postings) but must never lose a pair
+    val loose = pairsAt(0.3); val mid = pairsAt(0.5); val tight = pairsAt(0.99)
+    assert(mid.subsetOf(loose) && tight.subsetOf(mid), "monotone in threshold")
+    assert(tight.contains((0L, 3L)), "identical docs survive any threshold <= 1")
+  }
+
   test("minhash signature similarity estimates jaccard") {
     val sigs = docs.filter($"doc_id".isin(0L, 1L))
       .select(Dedup.minhashSignature(Dedup.shingleHashes($"text"), 128).as("sig"))

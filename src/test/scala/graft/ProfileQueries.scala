@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Warm profiling for individual contract queries: runs each named query
+  * twice (cold, warm) against sf0.1 and prints both timings. Bench noise is
+  * ±15%; believe a regression only if the warm pass shows it too. */
+object ProfileQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteLatestWinsWindow
+    Seq("lineitem", "events", "documents", "embeddings", "orders", "customer")
+      .foreach(t => try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () })
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[profile] $name: UNKNOWN")
+        case Some(fn) =>
+          def once(): Double = {
+            val t0 = System.nanoTime(); fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cold = once(); val warm = once()
+          println(f"[profile] $name: cold $cold%.2f s, warm $warm%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
