@@ -62,6 +62,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: degenerate docs (empty, one-word) never pair, never crash") {
+    val weird = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "word"), (4L, "   "), (5L, "word")
+    ).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.ngramJaccardPairs(weird, threshold = 0.5, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      // docs with <2 words have no bigram set: J is undefined, so they are
+      // excluded — including the identical one-word docs 3 and 5
+      assert(got == Set((0L, 1L)), s"only the real pair may surface; got $got")
+    }
+  }
+
   test("ngram jaccard prefix filter: threshold sweep stays exact") {
     def pairsAt(t: Double) =
       Dedup.ngramJaccardPairs(docs, threshold = t, n = 2)
