@@ -843,6 +843,12 @@ object SparkEntry {
     Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Top-3 rarity-weighted terms per doc (log-free tf-idf variant; see
+    * CorpusModel.topTermsByRarity for the determinism rationale). */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    CorpusModel.topTermsByRarity(t(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "term")
+
   /** Incremental near-dup — the daily-ingest shape: docs with doc_id % 5 == 0
     * replay as the NEW batch against the remaining 80% as the historical
     * corpus, whose persisted LSH index is probed without recomputing any
@@ -1067,6 +1073,7 @@ object SparkEntry {
     "minhash_neardup"      -> (minhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "incremental_neardup"  -> (incrementalNearDup _),
+    "tfidf_top_terms"      -> (tfidfTopTerms _),
     "simhash_neardup"      -> (simhashNearDup _),
     "embedding_neardup"    -> (embeddingNearDup _),
     "multimodal_bytestats" -> (multimodalByteStats _),
@@ -1726,6 +1733,30 @@ object SparkEntry {
 
     // Same Laplace-smoothed bigram model retrained in SQL; only exact ints,
     // IEEE division, and order-independent count/min — bit-reproducible.
+    // Log-free rarity score: tf·(N+1)/(df+1) in per-row double math over
+    // exact integers — identical bits in both engines, unlike libm ln().
+    // Rounded BEFORE ranking on both sides so rank and value agree.
+    "tfidf_top_terms" ->
+      """WITH nrm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM nrm),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tok WHERE term <> '' GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                  round(CAST(tf.tf AS DOUBLE) * (nn.n + 1) / (dfreq.df + 1), 4) AS score
+           FROM tf JOIN dfreq USING (term), nn),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rn
+           FROM scored)
+         SELECT doc_id, term, tf, df, score
+         FROM ranked WHERE rn <= 3
+         ORDER BY doc_id, term""",
+
     "text_bigram_rarity" ->
       s"""WITH n AS (
             SELECT doc_id,

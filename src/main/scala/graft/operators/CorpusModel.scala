@@ -69,6 +69,38 @@ object CorpusModel {
               col("__s.min_p").as("min_p"))
   }
 
+  /** Rarity-weighted term relevance — the tf-idf shape with the log damping
+    * traded for bit-reproducible arithmetic (the same determinism choice as
+    * the bigram model): score = tf · (N+1)/(df+1), per-row double math over
+    * exact integer inputs, so any engine computes identical bits. Returns the
+    * top-k terms per document by (score desc, term asc).
+    *
+    * Scale shape: three key-partitioned shuffles — (doc, term) term counts,
+    * per-term document frequency, and the per-document top-k window — plus
+    * one metadata-sized driver scalar (the corpus row count, same footprint
+    * as [[bigramModel]]'s collect). No global window, no broadcast of
+    * anything corpus-sized. */
+  def topTermsByRarity(docs: DataFrame, k: Int, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol),
+              explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // round BEFORE ranking so emitted scores and rank order can never
+    // disagree; ties at equal rounded score break on the term string
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf").cast("double") * lit((n + 1).toDouble) / (col("df") + 1), 4))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Reference HOF form of [[rareTransitionStats]]'s scoring (parity-tested;
     * interpreted map lookups per bigram — do not use in hot paths). */
   def rareTransitionStatsHof(docs: DataFrame, rareThreshold: Double = 0.01,

@@ -306,6 +306,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(twice.toSet == once.as[String].collect().toSet)
   }
 
+  test("rarity-weighted top terms match a hand-computed oracle") {
+    val tiny = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple banana")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 3, cherry 1; score = tf*(N+1)/(df+1)
+    val got = graft.operators.CorpusModel.topTermsByRarity(tiny, k = 2)
+      .select($"doc_id", $"term", $"tf", $"df", $"score")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val expected = Set(
+      (0L, "apple", 2L, 2L, 2.6667), (0L, "banana", 1L, 3L, 1.0),
+      (1L, "cherry", 1L, 1L, 2.0), (1L, "banana", 1L, 3L, 1.0),
+      (2L, "apple", 1L, 2L, 1.3333), (2L, "banana", 1L, 3L, 1.0))
+    assert(got == expected, s"got $got")
+  }
+
   test("corpus bigram model flags gibberish transitions as rare") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs away"),
