@@ -535,7 +535,7 @@ object SparkEntry {
     // per-partition checkpoint/delta files dominate a contract-scale run, so
     // scope streaming to few, fatter state partitions (a fresh checkpoint dir
     // per run means the count never has to match an older checkpoint)
-    s.conf.set(shufKey, "8")
+    s.conf.set(shufKey, "4")
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     try body(tmp).localCheckpoint(true)
     finally {
