@@ -258,10 +258,13 @@ object Dedup {
       // the joined rows, which is what keeps this plan cheap.
       val pa = posting.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
       val pb = posting.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+      // the −1e-9 mirrors the prefix-length guard: t·sz in doubles can land
+      // a hair ABOVE the rational product (e.g. (1/91)·273 → 3.0000000000000004)
+      // and drop a pair sitting exactly on the J = t size boundary
       pa.join(pb, Seq("gram"))
         .filter(col("id_a") < col("id_b") &&
           least(col("sz_a"), col("sz_b")).cast("double")
-            >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+            >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(count(lit(1)).cast("double").as("inter"))
         .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
@@ -275,8 +278,13 @@ object Dedup {
         .groupBy("id")
         .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("sorted"))
         .join(sizes, "id")
+        // ceil must see the RATIONAL t·sz, not its binary-double image:
+        // (1/91)·273 = 3.0000000000000004 in doubles, whose ceil (4) would
+        // cut the prefix one gram short of the AllPairs bound and silently
+        // drop pairs at exactly J = t. The epsilon under-ceilings at worst,
+        // which only lengthens the prefix — conservative, still exact.
         .select(col("id"), expr(
-          s"transform(slice(sorted, 1, sz - CAST(ceil($threshold * sz) AS INT) + 1), s -> s.gram)")
+          s"transform(slice(sorted, 1, sz - CAST(ceil($threshold * sz - 1e-9) AS INT) + 1), s -> s.gram)")
           .as("pref"))
         .select(col("id"), explode(col("pref")).as("gram"))
       val cand = prefix.select(col("gram"), col("id").as("id_a"))
@@ -287,7 +295,7 @@ object Dedup {
       val szB = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
       val sized = cand.join(szA, "id_a").join(szB, "id_b")
         .filter(least(col("sz_a"), col("sz_b")).cast("double")
-          >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+          >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
       sized
         .join(grams.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
         .join(grams.select(col("id").as("id_b"), col("g").as("gb")), "id_b")

@@ -78,6 +78,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: pair at exactly J = t survives double-arithmetic boundaries") {
+    // B's 8 bigrams are a subset of A's 10 → J = 8/10 = exactly the 0.8
+    // threshold; both plans must keep a pair sitting right on the gate.
+    val subset = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 x y"),
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")
+    ).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.ngramJaccardPairs(subset, threshold = 0.8, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((0L, 1L, 0.8)),
+        s"boundary pair must survive (denseLimit=$denseLimit); got $got")
+    }
+    // Adversarial float case: t = 1/91 with |A| = 273 grams makes t·sz in
+    // doubles land ABOVE the rational product (3.0000000000000004), so an
+    // unguarded size filter / prefix ceil drops this exactly-on-boundary
+    // pair (B ⊂ A, J = 3/273 = 1/91). Regression for the −1e-9 guards.
+    val big = (0 to 273).map(i => s"w$i").mkString(" ")
+    val sub = (0 to 3).map(i => s"w$i").mkString(" ")
+    val adversarial = Seq((0L, big), (1L, sub)).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.ngramJaccardPairs(adversarial, threshold = 1.0 / 91, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 1L)),
+        s"float-boundary pair must survive (denseLimit=$denseLimit); got $got")
+    }
+  }
+
   test("ngram jaccard prefix filter: threshold sweep stays exact") {
     def pairsAt(t: Double) =
       Dedup.ngramJaccardPairs(docs, threshold = t, n = 2)
