@@ -774,20 +774,27 @@ object SparkEntry {
     * tiny 3-column pair rows. At 100 TB this is the same discipline — the
     * pair list is a persisted intermediate table, never recomputed per
     * consumer. */
-  // Keyed by sessionUUID string, not the session object: a DataFrame value
-  // strongly references its session, so WeakHashMap keys would never collect
-  // (the documented weak-key caveat). A tiny access-order LRU bounds what a
-  // long JVM can retain to a handful of checkpointed plans.
+  // Keyed by identity hash + a weak-ref identity check, not the session
+  // object: a DataFrame value strongly references its session, so WeakHashMap
+  // keys would never collect (the documented weak-key caveat). The weak ref
+  // guards against a recycled identityHashCode aliasing a dead session's
+  // entry; a tiny access-order LRU bounds what a long JVM can retain.
   private val minhashPairsCache =
-    new java.util.LinkedHashMap[(String, String), DataFrame](8, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(String, String), DataFrame]) =
+    new java.util.LinkedHashMap[(Int, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]) =
         size() > 4
     }
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsCache.synchronized {
-      minhashPairsCache.computeIfAbsent((System.identityHashCode(s).toString, dir), _ =>
-        Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
-          .localCheckpoint(true))
+      val key = (System.identityHashCode(s), dir)
+      val hit = Option(minhashPairsCache.get(key)).filter(_._1.get() eq s)
+      hit.map(_._2).getOrElse {
+        val built = Dedup.minhashNearDuplicates(t(s, dir, "documents"), threshold = 0.5)
+          .localCheckpoint(true)
+        minhashPairsCache.put(key, (new java.lang.ref.WeakReference(s), built))
+        built
+      }
     }
 
   /** Near-dup connected components over the MinHash pair list (canonical-doc
