@@ -850,6 +850,19 @@ object SparkEntry {
     Dedup.simhashNearDuplicates(t(s, dir, "documents"), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Z-order (Morton) key math through the oracle gate: the 50 events whose
+    * (user, second-of-day) interleave lowest on the space-filling curve. The
+    * layout op itself is write-time (Layout.appendZOrdered, plan-asserted in
+    * tests); this pins the bit math an external engine must agree on. */
+  private def zorderEventKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+              (col("user_id").cast("long") % 65536).as("u"),
+              (unix_timestamp(col("ts")) % 65536).as("sec"))
+      .withColumn("z", graft.sources.Layout.zvalue(Seq(col("u"), col("sec")), bits = 16))
+      .orderBy("z", "event_id")
+      .limit(50)
+
   /** Top-3 rarity-weighted terms per doc (log-free tf-idf variant; see
     * CorpusModel.topTermsByRarity for the determinism rationale). */
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
@@ -1081,6 +1094,7 @@ object SparkEntry {
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "incremental_neardup"  -> (incrementalNearDup _),
     "tfidf_top_terms"      -> (tfidfTopTerms _),
+    "zorder_event_keys"    -> (zorderEventKeys _),
     "simhash_neardup"      -> (simhashNearDup _),
     "embedding_neardup"    -> (embeddingNearDup _),
     "multimodal_bytestats" -> (multimodalByteStats _),
@@ -1740,6 +1754,20 @@ object SparkEntry {
 
     // Same Laplace-smoothed bigram model retrained in SQL; only exact ints,
     // IEEE division, and order-independent count/min — bit-reproducible.
+    // Morton interleave regenerated term-by-term in SQL (bit b of u → even
+    // position, bit b of sec → odd): pure integer shifts, engine-portable.
+    "zorder_event_keys" -> {
+      val zTerms = (0 until 16).flatMap(b => Seq(
+        s"(((u >> $b) & 1) << ${2 * b})",
+        s"(((sec >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH k AS (
+            SELECT event_id, CAST(user_id AS BIGINT) % 65536 AS u,
+                   CAST(floor(epoch(ts)) AS BIGINT) % 65536 AS sec
+            FROM events),
+          z AS (SELECT event_id, u, sec, ($zTerms) AS z FROM k)
+          SELECT event_id, u, sec, z FROM z ORDER BY z, event_id LIMIT 50"""
+    },
+
     // Log-free rarity score: tf·(N+1)/(df+1) in per-row double math over
     // exact integers — identical bits in both engines, unlike libm ln().
     // Rounded BEFORE ranking on both sides so rank and value agree.
