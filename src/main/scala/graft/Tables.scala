@@ -23,6 +23,11 @@ object Tables {
     * 2^53 ns (~1970+104 days); `DIV` keeps it exact. DuckDB keeps full ns
     * precision; every oracle comparison is at ≥second granularity or
     * tie-broken by `event_id`, so the µs truncation is observation-free.
+    *
+    * The conf is deliberately session-global (not set/restored): the
+    * returned frame is LAZY, so the flag must still be true whenever the
+    * scan executes. It only changes how TIMESTAMP(NANOS) parquet is read —
+    * no other query's semantics depend on it.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
