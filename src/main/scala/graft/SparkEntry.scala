@@ -418,14 +418,33 @@ object SparkEntry {
 
   /** Higher moments with deterministic math: skewness/kurtosis from exact
     * decimal power sums combined by a fixed double formula (the built-in
-    * `skewness`/`kurtosis` aggregates are float-order-dependent). */
-  private def aggMoments(s: SparkSession, dir: String): DataFrame =
+    * `skewness`/`kurtosis` aggregates are float-order-dependent).
+    *
+    * The powers are raised in DECIMAL, not double: `value` is an exact
+    * 2-decimal quantity, so d·d·d at scale 6 is exact integer arithmetic —
+    * cubing in doubles first puts the rounding-to-decimal step close enough
+    * to grid midpoints (|err| ~1e-8 vs half-step 5e-7 at 1e8 magnitude)
+    * that engines occasionally disagree on the row (seen at sf0.1). Tight
+    * precisions keep Spark's product types well under 38 so no rescale —
+    * and no rounding — ever happens.
+    *
+    * The sums convert decimal→double THROUGH THEIR DIGIT STRING: a direct
+    * cast of a scale-6 decimal whose scaled integer exceeds 2^53 (the cube
+    * sum is ~1.5e16 at sf0.1) is double-rounded by engines that compute
+    * (double)int / 10^scale, landing one ulp off a single correct rounding;
+    * and rescaling the decimal first hits half-way digits engines also
+    * round differently. The digit string is exact and identical everywhere,
+    * and string→double parse is correctly rounded in every engine — one
+    * deterministic rounding, same bits. */
+  private def aggMoments(s: SparkSession, dir: String): DataFrame = {
+    val d = col("value").cast("string").cast("decimal(7,2)")
+    def d2d(c: Column) = c.cast("string").cast("double")
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-           dsum(col("value")).as("s1"),
-           dsum(col("value") * col("value")).as("s2"),
-           dsum(col("value") * col("value") * col("value")).as("s3"))
+           d2d(sum(d)).as("s1"),
+           d2d(sum(d * d)).as("s2"),
+           d2d(sum(d * d * d)).as("s3"))
       .select(col("event_type"), col("n"),
               (col("s1") / col("n")).as("mean"), col("s2"), col("s3"))
       .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
@@ -434,6 +453,7 @@ object SparkEntry {
       .select(col("event_type"), col("n"), col("mean"),
               (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"))
       .orderBy("event_type")
+  }
 
   /** Pipeline composition: quality-gate the corpus, then aggregate — the
     * filter predicates reuse the text metrics the oracle recomputes in SQL. */
@@ -1261,13 +1281,19 @@ object SparkEntry {
                 FROM events)
           WHERE rn <= 5 ORDER BY event_type, event_id""",
 
+    // powers raised in exact DECIMAL from the shortest string repr (2-decimal
+    // source values → scale-6 cubes are exact), never cubed in doubles first:
+    // double→decimal rounding near grid midpoints diverges across engines
     "agg_moments" ->
-      """WITH s AS (
+      """WITH dv AS (
+           SELECT event_type, CAST(CAST(value AS VARCHAR) AS DECIMAL(7,2)) AS d
+           FROM events),
+         s AS (
            SELECT event_type, count(*) AS n,
-                  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
-                  CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2,
-                  CAST(sum(CAST(value * value * value AS DECIMAL(27,6))) AS DOUBLE) AS s3
-           FROM events GROUP BY event_type),
+                  CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(d * d) AS VARCHAR) AS DOUBLE) AS s2,
+                  CAST(CAST(sum(d * d * d) AS VARCHAR) AS DOUBLE) AS s3
+           FROM dv GROUP BY event_type),
          m AS (
            SELECT event_type, n, s1 / n AS mean, s2, s3 FROM s),
          mm AS (
@@ -1616,8 +1642,21 @@ object SparkEntry {
                 (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
          FROM customer c ORDER BY c_custkey""",
 
+    // Keep the lowest doc_id per normalized-text digest — NOT just "all
+    // docs": the corpus itself contains exact duplicates at sf0.1 (8 digest
+    // collisions among 5000 docs), which the doubled-then-deduped Spark side
+    // rightly collapses. Caught by the sf0.1 spot-check; at sf0.01 all 500
+    // texts are unique, so the two formulations coincided.
     "dedup_exact_demo" ->
-      """SELECT doc_id, source FROM documents ORDER BY doc_id""",
+      """WITH k AS (
+           SELECT doc_id, source,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dg
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+           FROM k)
+         SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     "dedup_exact_stats" ->
       """SELECT source, count(*) AS n_docs,
