@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import graft.operators.Dedup
+
+/** Streaming incremental near-duplicate detection — the daily-ingest loop of
+  * [[graft.operators.Dedup.incrementalNearDuplicates]] run as a LIVE stream:
+  * each micro-batch of documents is checked against the persisted LSH index
+  * of everything seen so far (plus itself), emits its near-dup pairs, and
+  * then extends the index with its own banding rows.
+  *
+  * Persisted layout (all parquet, append-only):
+  *  - `<stateDir>/index`  — (doc_id, band, bucket): 24-byte rows, the only
+  *    thing future batches probe. O(corpus × bands) but tiny per doc.
+  *  - `<stateDir>/corpus` — (doc_id, text): consulted ONLY for docs that
+  *    land in a candidate pair (semi-join-restricted scan), never re-read
+  *    in full.
+  *  - `<stateDir>/pairs`  — (id_a, id_b, jaccard, batch_id): the verified
+  *    output log. Each true pair appears exactly once, in the batch that
+  *    ingests its LATER member — so the union over batches equals the batch
+  *    operator's pair set over the same corpus (asserted in tests).
+  *
+  * At 100 TB the per-batch cost is O(batch + index∩batch buckets + matched
+  * docs) — historical signatures are never recomputed, historical text only
+  * ships for verification survivors. */
+object StreamingDedup {
+
+  def foreachBatchNearDup(docs: DataFrame, stateDir: String,
+                          threshold: Double,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          trigger: Option[Trigger] = None): DataStreamWriter[Row] = {
+    val base = docs.writeStream.outputMode(OutputMode.Append)
+    trigger.fold(base)(base.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+          // empty state bootstraps from correctly-typed empty frames (derived
+          // from the batch itself) so batch 0 takes the same code path
+          def readOr(path: String, empty: => DataFrame): DataFrame =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+              spark.read.parquet(path)
+            else empty
+          val index = readOr(s"$stateDir/index",
+            Dedup.lshIndex(b.limit(0), textCol = textCol, idCol = idCol))
+          val corpus = readOr(s"$stateDir/corpus", b.limit(0))
+          val pairs = Dedup.incrementalNearDuplicates(
+            b, corpus, index, threshold, textCol = textCol, idCol = idCol)
+          pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$stateDir/pairs")
+          Dedup.lshIndex(b, textCol = textCol, idCol = idCol)
+            .write.mode("append").parquet(s"$stateDir/index")
+          b.write.mode("append").parquet(s"$stateDir/corpus")
+        }
+      }
+  }
+}

@@ -235,6 +235,37 @@ class StateAndStreamingSpec extends SparkSpec {
       s"late event must widen [start,end] without splitting; got $u1")
   }
 
+  test("streaming incremental near-dup: batch union equals whole-corpus brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+      (4L, "sphinx of black quartz judge my vow"),
+      (5L, "the quick brown fox jumps over the lazy dogs"))  // near-dup of 0/3
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.foreachBatchNearDup(
+      source.toDF().toDF("doc_id", "text"), stateDir, threshold = 0.5).start()
+    // three ingest days: each batch sees pairs vs everything already indexed
+    source.addData(docs(0), docs(1)); q.processAllAvailable()
+    source.addData(docs(2), docs(3)); q.processAllAvailable()
+    source.addData(docs(4), docs(5)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$stateDir/pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val brute = graft.operators.Dedup.bruteForceJaccardPairs(
+        docs.toDF("doc_id", "text"), threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 3L)) && brute.size >= 3, s"fixture must have pairs: $brute")
+    assert(streamed == brute,
+      s"each pair must surface exactly when its later member arrives; got $streamed vs $brute")
+    // no pair is reported twice across batches
+    val n = spark.read.parquet(s"$stateDir/pairs").count()
+    assert(n == brute.size, s"pairs log must be duplicate-free: $n rows for ${brute.size} pairs")
+  }
+
   test("stream-stream interval join: purchases attribute to in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
