@@ -34,26 +34,41 @@ object StreamingDedup {
     val base = docs.writeStream.outputMode(OutputMode.Append)
     trigger.fold(base)(base.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
-          // empty state bootstraps from correctly-typed empty frames (derived
-          // from the batch itself) so batch 0 takes the same code path
-          def readOr(path: String, empty: => DataFrame): DataFrame =
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-              spark.read.parquet(path)
-            else empty
-          val index = readOr(s"$stateDir/index",
-            Dedup.lshIndex(b.limit(0), textCol = textCol, idCol = idCol))
-          val corpus = readOr(s"$stateDir/corpus", b.limit(0))
-          val pairs = Dedup.incrementalNearDuplicates(
-            b, corpus, index, threshold, textCol = textCol, idCol = idCol)
-          pairs.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$stateDir/pairs")
-          Dedup.lshIndex(b, textCol = textCol, idCol = idCol)
-            .write.mode("append").parquet(s"$stateDir/index")
-          b.write.mode("append").parquet(s"$stateDir/corpus")
-        }
+        if (!batch.isEmpty) processBatch(batch, batchId, stateDir, threshold, textCol, idCol)
       }
+  }
+
+  /** One micro-batch of the loop, REPLAY-IDEMPOTENT: every state table is
+    * partitioned by batch_id and written with dynamic partition overwrite,
+    * so a batch replayed after a failure overwrites exactly its own prior
+    * output instead of double-appending pairs and index rows (the same
+    * guarantee foreachBatch sinks must provide themselves — Spark may
+    * re-deliver a batch id). Exposed for direct testing. */
+  def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                   threshold: Double,
+                   textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // empty state bootstraps from correctly-typed empty frames (derived
+    // from the batch itself) so batch 0 takes the same code path; a replay
+    // must not see its OWN prior output as history, hence the filters
+    def readOr(path: String, empty: => DataFrame): DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        spark.read.parquet(path).filter(col("batch_id") =!= batchId)
+      else empty.withColumn("batch_id", lit(batchId))
+    val index = readOr(s"$stateDir/index",
+      Dedup.lshIndex(b.limit(0), textCol = textCol, idCol = idCol))
+    val corpus = readOr(s"$stateDir/corpus", b.limit(0))
+    val pairs = Dedup.incrementalNearDuplicates(
+      b, corpus.drop("batch_id"), index.drop("batch_id"), threshold,
+      textCol = textCol, idCol = idCol)
+    def overwriteOwn(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+    overwriteOwn(pairs, s"$stateDir/pairs")
+    overwriteOwn(Dedup.lshIndex(b, textCol = textCol, idCol = idCol), s"$stateDir/index")
+    overwriteOwn(b, s"$stateDir/corpus")
   }
 }

@@ -266,6 +266,26 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(n == brute.size, s"pairs log must be duplicate-free: $n rows for ${brute.size} pairs")
   }
 
+  test("streaming incremental near-dup: batch replay is idempotent") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_replay_dedup").toString
+    val b1 = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+                 (1L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "the quick brown fox jumps over the lazy dogs")).toDF("doc_id", "text")
+    graft.streaming.StreamingDedup.processBatch(b1, 0L, stateDir, threshold = 0.5)
+    graft.streaming.StreamingDedup.processBatch(b2, 1L, stateDir, threshold = 0.5)
+    def state() = (
+      spark.read.parquet(s"$stateDir/pairs").select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().sorted.toSeq,
+      spark.read.parquet(s"$stateDir/index").count(),
+      spark.read.parquet(s"$stateDir/corpus").count())
+    val before = state()
+    assert(before._1 == Seq((0L, 2L)), s"near-dup pair expected: $before")
+    // Spark may re-deliver a batch id after failure: replaying batch 1 must
+    // overwrite its own prior output, not double-append
+    graft.streaming.StreamingDedup.processBatch(b2, 1L, stateDir, threshold = 0.5)
+    assert(state() == before, s"replay must be a no-op; got ${state()} vs $before")
+  }
+
   test("stream-stream interval join: purchases attribute to in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
