@@ -247,7 +247,10 @@ object Dedup {
     // lists — where prefix filtering admits nearly all pairs anyway) take
     // the count-based plan; Zipf universes (the 100 TB text shape, where
     // Σ df² explodes on stopword grams) take the prefix-filtered plan.
-    val joinRows = gramDf.agg(sum(col("df").cast("double") * col("df")))
+    // coalesce: an all-short corpus (every doc < n words) yields ZERO gram
+    // rows, and sum over zero rows is NULL — take the empty-join (0.0) path
+    val joinRows = gramDf.agg(coalesce(sum(col("df").cast("double") * col("df")),
+                                       lit(0.0)))
       .first().getDouble(0)
     if (joinRows <= maxDenseJoinRows) {
       // Count-based exact plan: shared-gram co-occurrence count IS the

@@ -41,7 +41,15 @@ object StatefulOps {
 
   /** Streaming gap sessionization. Input needs `userCol` and an event-time
     * `tsCol`; the watermark bounds how late events may arrive and drives
-    * session-close timeouts. Emits [[ClosedSession]] rows (Append mode). */
+    * session-close timeouts. Emits [[ClosedSession]] rows (Append mode).
+    *
+    * Late-data semantics: each batch chains its (sorted) events together
+    * with the single open-session interval, reproducing the batch
+    * sessionizer's result over everything delivered so far — including late
+    * events OLDER than the open session, which close as their own earlier
+    * sessions rather than being absorbed. The one O(1)-state approximation:
+    * a session emitted closed in an earlier batch cannot be re-opened by a
+    * still-later arrival, a divergence bounded by the watermark delay. */
   def statefulSessionize(events: DataFrame, gapSeconds: Long,
                          watermarkDelay: String = "10 minutes",
                          userCol: String = "user_id",
@@ -63,25 +71,33 @@ object StatefulOps {
             state.remove()
             Iterator.single(ClosedSession(user, s.start, s.last, s.n))
           } else {
-            val ts = rows.map(_._2.getTime / 1000).toArray
-            java.util.Arrays.sort(ts)
+            // Chain the batch's events AND the open-session interval in full
+            // time order — exactly the batch sessionizer's recurrence over
+            // the same multiset (the open session's interior gaps are
+            // already <= gap, so it participates as one interval). This
+            // covers every late-but-allowed arrival correctly: an event in
+            // [start - gap, last + gap] widens the envelope; one earlier
+            // than start - gap forms its own EARLIER session (emitted
+            // closed) instead of being absorbed; only a forward gap
+            // (t > last + gap) closes the open session and starts the next.
+            val intervals =
+              (rows.map(r => OpenSession(r._2.getTime / 1000, r._2.getTime / 1000, 1)) ++
+               state.getOption.iterator).toArray
+            java.util.Arrays.sort(intervals,
+              Ordering.by((s: OpenSession) => (s.start, s.last)))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption
+            var cur: Option[OpenSession] = None
             var i = 0
-            while (i < ts.length) {
-              val t = ts(i)
+            while (i < intervals.length) {
+              val iv = intervals(i)
               cur match {
-                case Some(s) if t - s.last <= gapSeconds =>
-                  // Extension covers both directions: a late-but-allowed event
-                  // (under the watermark delay, earlier than state.last) widens
-                  // the session envelope instead of regressing session_end.
-                  // Only a FORWARD gap (t > last + gap) opens a new session.
-                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) if iv.start - s.last <= gapSeconds =>
+                  cur = Some(OpenSession(s.start, math.max(s.last, iv.last), s.n + iv.n))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start, s.last, s.n)
-                  cur = Some(OpenSession(t, t, 1))
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(OpenSession(t, t, 1))
+                  cur = Some(iv)
               }
               i += 1
             }

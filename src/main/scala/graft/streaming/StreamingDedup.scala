@@ -51,24 +51,44 @@ object StreamingDedup {
     val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
     // empty state bootstraps from correctly-typed empty frames (derived
     // from the batch itself) so batch 0 takes the same code path; a replay
-    // must not see its OWN prior output as history, hence the filters
-    def readOr(path: String, empty: => DataFrame): DataFrame =
+    // must not see its OWN prior output as history, hence the filters.
+    // The read schema is always EXPLICIT: a state where every batch wrote
+    // zero rows has partition dirs with no data files, and schema inference
+    // would fail there where a declared schema reads fine (zero rows).
+    def readOr(path: String, empty: => DataFrame): DataFrame = {
+      val withId = empty.withColumn("batch_id", lit(batchId))
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-        spark.read.parquet(path).filter(col("batch_id") =!= batchId)
-      else empty.withColumn("batch_id", lit(batchId))
+        spark.read.schema(withId.schema).parquet(path)
+          .filter(col("batch_id") =!= batchId)
+      else withId
+    }
     val index = readOr(s"$stateDir/index",
       Dedup.lshIndex(b.limit(0), textCol = textCol, idCol = idCol))
     val corpus = readOr(s"$stateDir/corpus", b.limit(0))
     val pairs = Dedup.incrementalNearDuplicates(
       b, corpus.drop("batch_id"), index.drop("batch_id"), threshold,
       textCol = textCol, idCol = idCol)
+    // Static overwrite of THIS batch's own partition directory. Dynamic
+    // partition overwrite only replaces partitions PRESENT in the written
+    // frame — a replay whose recomputed pairs frame is empty would leave
+    // the failed attempt's rows in place. Overwriting the batch_id=<id>
+    // path replaces the prior attempt unconditionally, empty or not; the
+    // batch_id value itself is carried by the directory name and surfaces
+    // as a partition column on read.
     def overwriteOwn(df: DataFrame, path: String): Unit =
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(path)
+      df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
     overwriteOwn(pairs, s"$stateDir/pairs")
     overwriteOwn(Dedup.lshIndex(b, textCol = textCol, idCol = idCol), s"$stateDir/index")
     overwriteOwn(b, s"$stateDir/corpus")
   }
+
+  /** Schema-safe reader for the verified pair log: parquet schema inference
+    * fails on a state where every batch emitted zero pairs (partition dirs
+    * exist but hold no data files); the declared schema reads that state as
+    * an empty frame instead. */
+  def readPairs(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+                idType: String = "BIGINT"): DataFrame =
+    spark.read
+      .schema(s"id_a $idType, id_b $idType, jaccard DOUBLE, batch_id BIGINT")
+      .parquet(s"$stateDir/pairs")
 }

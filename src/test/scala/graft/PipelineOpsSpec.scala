@@ -78,6 +78,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: corpus with NO n-grams at all returns empty, no NPE") {
+    // every doc < n words → zero gram rows → the Σdf² statistic aggregates
+    // over an empty frame (NULL sum); regression for the coalesce guard
+    val allShort = Seq((0L, "word"), (1L, ""), (2L, "x")).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.ngramJaccardPairs(allShort, threshold = 0.5, n = 2,
+          maxDenseJoinRows = denseLimit)
+      assert(got.count() == 0, s"all-short corpus must yield no pairs")
+    }
+  }
+
   test("ngram jaccard: pair at exactly J = t survives double-arithmetic boundaries") {
     // B's 8 bigrams are a subset of A's 10 → J = 8/10 = exactly the 0.8
     // threshold; both plans must keep a pair sitting right on the gate.

@@ -235,6 +235,39 @@ class StateAndStreamingSpec extends SparkSpec {
       s"late event must widen [start,end] without splitting; got $u1")
   }
 
+  test("stateful sessionization: late event older than start-gap closes as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = graft.streaming.StatefulOps.statefulSessionize(
+      source.toDF(), gapSeconds = 600, watermarkDelay = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("early_sess")
+      .outputMode("append").start()
+    // batch 1: u1 opens a session at 01:00
+    source.addData(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 01:00:00"), "m1"))
+    q.processAllAvailable()
+    // batch 2: a late-but-allowed event at 00:10 — more than the gap BEFORE
+    // the open session's start. The batch sessionizer would put it in a
+    // separate earlier session; absorbing it into [01:00,…] would be wrong.
+    source.addData(Ev("u1", "BUTTON_CLICK", ts("2023-01-01 00:10:00"), "m2"))
+    q.processAllAvailable()
+    // advance the watermark far past the gap horizon to flush the open one
+    source.addData(Ev("u9", "BUTTON_CLICK", ts("2023-01-01 08:00:00"), "m3"))
+    q.processAllAvailable()
+    source.addData(Ev("u9", "BUTTON_CLICK", ts("2023-01-01 16:00:00"), "m4"))
+    q.processAllAvailable()
+    q.stop()
+    def t0(s: String) = ts(s).getTime / 1000
+    val u1 = spark.table("early_sess")
+      .filter($"user_id" === "u1")
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (t0("2023-01-01 00:10:00"), t0("2023-01-01 00:10:00"), 1L),
+      (t0("2023-01-01 01:00:00"), t0("2023-01-01 01:00:00"), 1L))
+    assert(u1 == expected,
+      s"too-early late event must form its own earlier session; got $u1")
+  }
+
   test("streaming incremental near-dup: batch union equals whole-corpus brute force") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
