@@ -880,6 +880,7 @@ object SparkEntry {
   def warmIngestArtifacts(s: SparkSession, dir: String): Unit = {
     val corpus = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
     materialized(s, dir, "lsh_index_hist") { Dedup.lshIndex(corpus) }
+    materialized(s, dir, "lsh_sigs_hist") { Dedup.lshSignatures(corpus) }
     ()
   }
 
@@ -970,7 +971,9 @@ object SparkEntry {
     val newDocs = docs.filter(col("doc_id") % 5 === 0)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val index = materialized(s, dir, "lsh_index_hist") { Dedup.lshIndex(corpus) }
-    Dedup.incrementalNearDuplicates(newDocs, corpus, index, threshold = 0.5)
+    val sigs = materialized(s, dir, "lsh_sigs_hist") { Dedup.lshSignatures(corpus) }
+    Dedup.incrementalNearDuplicates(newDocs, corpus, index, threshold = 0.5,
+        corpusSigs = Some(sigs))
       .orderBy("id_a", "id_b")
   }
 

@@ -274,32 +274,10 @@ object Dedup {
         .filter(col("jac") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
     } else {
-      // Prefix-filtered exact plan (AllPairs): rarest-first order =
-      // (document frequency, gram), ties broken by the gram string so the
-      // order is total and run-deterministic.
-      val prefix = posting.drop("sz").join(gramDf, "gram")
-        .groupBy("id")
-        .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("sorted"))
-        .join(sizes, "id")
-        // ceil must see the RATIONAL t·sz, not its binary-double image:
-        // (1/91)·273 = 3.0000000000000004 in doubles, whose ceil (4) would
-        // cut the prefix one gram short of the AllPairs bound and silently
-        // drop pairs at exactly J = t. The epsilon under-ceilings at worst,
-        // which only lengthens the prefix — conservative, still exact.
-        .select(col("id"), expr(
-          s"transform(slice(sorted, 1, sz - CAST(ceil($threshold * sz - 1e-9) AS INT) + 1), s -> s.gram)")
-          .as("pref"))
-        .select(col("id"), explode(col("pref")).as("gram"))
-      val cand = prefix.select(col("gram"), col("id").as("id_a"))
-        .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val cand = prefixFilteredCandidates(posting, gramDf, sizes, threshold)
       val szA = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
       val szB = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
-      val sized = cand.join(szA, "id_a").join(szB, "id_b")
-        .filter(least(col("sz_a"), col("sz_b")).cast("double")
-          >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
-      sized
+      cand.join(szA, "id_a").join(szB, "id_b")
         .join(grams.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
         .join(grams.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
         .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
@@ -307,6 +285,63 @@ object Dedup {
         .filter(col("jac") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
     }
+  }
+
+  /** Candidate generation for the prefix-filtered exact plan (AllPairs):
+    * rarest-first order = (document frequency, gram), ties broken by the
+    * gram string so the order is total and run-deterministic.
+    *
+    * Skew hardening — a Zipf head gram is a hot join key whose naive
+    * fan-out is df², so two exact filters run INSIDE the candidate join,
+    * before the dedup shuffle ever sees the flood:
+    *  - size-ratio: J ≥ t forces min(sz)/max(sz) ≥ t — head-gram pairs
+    *    between incompatible sizes die immediately;
+    *  - positional (PPJoin lemma): a shared gram at 0-based sorted
+    *    positions (pa, pb) admits overlap ≤ min(pa,pb) + 1 +
+    *    min(sz_a−pa−1, sz_b−pb−1); pairs where that bound misses
+    *    o = ⌈t/(1+t)·(sz_a+sz_b)⌉ are impossible. Exact: for a
+    *    qualifying pair's FIRST common prefix gram, common-before is 0
+    *    (any earlier common gram would itself be a common prefix gram),
+    *    so the bound degenerates to the classic 1 + min(suffix) ≥ o and
+    *    the pair survives through that gram.
+    * Hot grams sort LAST in the rarest-first order, so they enter prefixes
+    * at late positions with short suffixes — exactly where the positional
+    * bound bites hardest. Residual in-partition skew is AQE's skew-join
+    * split (enabled in the engine session defaults).
+    *
+    * Input contracts: `posting` = (id, sz, gram) one row per (doc, distinct
+    * gram); `gramDf` = (gram, df); `sizes` = (id, sz). */
+  private[graft] def prefixFilteredCandidates(posting: DataFrame, gramDf: DataFrame,
+                                              sizes: DataFrame,
+                                              threshold: Double): DataFrame = {
+    // ceil must see the RATIONAL t·sz, not its binary-double image:
+    // (1/91)·273 = 3.0000000000000004 in doubles, whose ceil (4) would
+    // cut the prefix one gram short of the AllPairs bound and silently
+    // drop pairs at exactly J = t. The epsilon under-ceilings at worst,
+    // which only lengthens the prefix — conservative, still exact.
+    val prefix = posting.drop("sz").join(gramDf, "gram")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+      .join(sizes, "id")
+      .select(col("id"), col("sz"), expr(
+        s"transform(slice(sorted, 1, sz - CAST(ceil($threshold * sz - 1e-9) AS INT) + 1), s -> s.gram)")
+        .as("pref"))
+      .select(col("id"), col("sz"), posexplode(col("pref")).as(Seq("pos", "gram")))
+    val pa = prefix.select(col("gram"), col("id").as("id_a"),
+                           col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val pb = prefix.select(col("gram"), col("id").as("id_b"),
+                           col("sz").as("sz_b"), col("pos").as("pos_b"))
+    pa.join(pb, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .filter(
+        (least(col("pos_a"), col("pos_b")) + lit(1) +
+         least(col("sz_a") - col("pos_a") - 1, col("sz_b") - col("pos_b") - 1))
+          .cast("double")
+        >= ceil(lit(threshold / (1.0 + threshold))
+                  * (col("sz_a") + col("sz_b")) - lit(1e-9)))
+      .select("id_a", "id_b").distinct()
   }
 
   // ---------------------------------------------------------------- incremental
@@ -320,15 +355,25 @@ object Dedup {
                shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    lshSignatures(docs, textCol, idCol, shingleK, numHashes, seed)
+      .select(col(idCol),
+              explode(lshBands(col("sig"), bands, numHashes / bands)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** The signature half of the persisted index: (doc_id, sig) — ~1 KB/doc,
+    * written at ingest beside the [[lshIndex]] bucket rows. Feeding this to
+    * [[incrementalNearDuplicates]] spares the probe from recomputing any
+    * historical signature for estimate pruning (the dominant probe cost on
+    * flood-prone corpora, where candidates touch most of the corpus). */
+  def lshSignatures(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", shingleK: Int = 5,
+                    numHashes: Int = 128, seed: Long = 42L): DataFrame =
     fanOutSmallInput(docs).select(
         col(idCol),
         graft.functions.NativeExprs.minhashSig(
           graft.functions.TextAnalysis.normalized(col(textCol)),
           shingleK, numHashes, seed).as("sig"))
-      .select(col(idCol),
-              explode(lshBands(col("sig"), bands, numHashes / bands)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-  }
 
   /** Incremental near-duplicate detection — the daily-ingest shape at 100 TB:
     * a NEW batch of documents is checked against the historical corpus via
@@ -345,7 +390,8 @@ object Dedup {
                                 textCol: String = "text", idCol: String = "doc_id",
                                 shingleK: Int = 5, numHashes: Int = 128,
                                 bands: Int = 32, seed: Long = 42L,
-                                estMargin: Double = 0.2): DataFrame = {
+                                estMargin: Double = 0.2,
+                                corpusSigs: Option[DataFrame] = None): DataFrame = {
     val newIndex = lshIndex(newDocs, textCol, idCol, shingleK, numHashes, bands, seed)
       .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
@@ -363,11 +409,12 @@ object Dedup {
     val candidates = vsCorpus.unionByName(vsSelf)
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint(true)
-    // 1 KB signatures recomputed ONLY for docs in some candidate pair (a
-    // production index would persist (doc_id, sig) beside the buckets and
-    // skip even this pass), then the same estimate prune as the batch
-    // pipeline — the 12 KB shingle arrays ship for the tiny survivor set,
-    // never for the raw LSH candidate flood.
+    // 1 KB signatures fetched from the persisted sig table when the caller
+    // has one (the production shape — written at ingest beside the bucket
+    // rows), recomputed only for docs in some candidate pair otherwise;
+    // then the same estimate prune as the batch pipeline — the 12 KB
+    // shingle arrays ship for the tiny survivor set, never for the raw LSH
+    // candidate flood.
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
     // no checkpoint here: on a flood-prone corpus candIds covers most docs,
@@ -375,10 +422,17 @@ object Dedup {
     // materializing every candidate text body
     val candDocs = corpus.unionByName(newDocs)
       .join(candIds, Seq(idCol), "left_semi")
-    val sigs = candDocs.select(col(idCol),
-      graft.functions.NativeExprs.minhashSig(
-        graft.functions.TextAnalysis.normalized(col(textCol)),
-        shingleK, numHashes, seed).as("sig"))
+    val sigs = corpusSigs match {
+      case Some(cs) =>
+        lshSignatures(newDocs, textCol, idCol, shingleK, numHashes, seed)
+          .unionByName(cs.select(col(idCol), col("sig")))
+          .join(candIds, Seq(idCol), "left_semi")
+      case None =>
+        candDocs.select(col(idCol),
+          graft.functions.NativeExprs.minhashSig(
+            graft.functions.TextAnalysis.normalized(col(textCol)),
+            shingleK, numHashes, seed).as("sig"))
+    }
     val pruned = candidates
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

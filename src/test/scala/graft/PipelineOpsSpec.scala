@@ -119,6 +119,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard prefix plan: Zipf head gram does not flood candidate generation") {
+    // every doc shares one stopword-ish tail gram (df = n) while the rest of
+    // each doc is unique filler; sizes span 2..41 so most pairs are
+    // size-incompatible at t=0.5. Naive per-gram fan-out on the hot key
+    // would be n·(n−1)/2 pairs; rarest-first prefixes (hot grams sort last,
+    // falling OUT of prefixes) plus the in-join size/positional filters
+    // must keep the candidate set at a small fraction of that.
+    val n = 40
+    val docs = (0 until n).map { i =>
+      val fillers = (0 to i).map(j => s"f${i}x$j").mkString(" ")
+      (i.toLong, s"$fillers zz yy")
+    }.toDF("doc_id", "text")
+    val norm = docs.select(col("doc_id").as("id"),
+        split(functions.TextAnalysis.normalized(col("text")), " ").as("w"))
+      .select(col("id"), array_distinct(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("g"))
+      .filter(size(col("g")) > 0)
+    val sizes = norm.select(col("id"), size(col("g")).as("sz"))
+    val posting = norm.select(col("id"), size(col("g")).as("sz"),
+                              explode(col("g")).as("gram"))
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+    val hotDf = gramDf.agg(max("df")).as[Long].head()
+    assert(hotDf == n, s"fixture must have one gram in every doc (df=$hotDf)")
+    val cands = Dedup.prefixFilteredCandidates(posting, gramDf, sizes, 0.5).count()
+    val naiveHot = n.toLong * (n - 1) / 2
+    assert(cands <= naiveHot / 10,
+      s"head-gram flood not suppressed: $cands candidates vs naive $naiveHot")
+    // and the full pairs result on this fixture is exact (empty here: no
+    // pair reaches J >= 0.5)
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5, n = 2,
+      maxDenseJoinRows = 0.0).count()
+    assert(pairs == 0, s"no fixture pair reaches the threshold; got $pairs")
+  }
+
   test("ngram jaccard prefix filter: threshold sweep stays exact") {
     def pairsAt(t: Double) =
       Dedup.ngramJaccardPairs(docs, threshold = t, n = 2)
@@ -308,6 +342,15 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(p => freshIds(p._1) || freshIds(p._2))
     assert(got == want, s"incremental=${got.size} brute=${want.size}")
     assert(want.nonEmpty, "fixture must exercise at least one cross-batch pair")
+    // the persisted-signature fast path (production probe shape) must emit
+    // the identical pair set AND identical scores
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val viaSigs = scored(Dedup.incrementalNearDuplicates(fresh, corpus, index,
+      threshold = 0.5, corpusSigs = Some(Dedup.lshSignatures(corpus))))
+    val recomputed = scored(Dedup.incrementalNearDuplicates(fresh, corpus, index,
+      threshold = 0.5))
+    assert(viaSigs == recomputed, "persisted-sig probe must match recompute probe")
   }
 
   test("ngram contamination: contained, overlapping, and clean probes") {
