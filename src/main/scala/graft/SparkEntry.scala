@@ -637,6 +637,46 @@ object SparkEntry {
       pipe.members().orderBy("user_id")
     }
 
+  /** Change-log TTL under a LIVE stream, through the oracle gate (T9/S5 —
+    * the reference's `TTL … + interval 100 day` on the trigger table,
+    * 3-microBatch.test.ts:36-38). The segment's events are split into four
+    * source files so the drain runs four micro-batches; each batch's stamp
+    * advances one day and a 2-day retention expires the older change-log
+    * partitions WHILE the stream is still running — by the last batch the
+    * first day's change log is gone. The segment read-back must still equal the global
+    * batch aggregate: the merge pass only reads the current batch's
+    * change-log partition, so aging out old trigger rows is invisible to
+    * results (exactly why ClickHouse can TTL this table). A spec asserts
+    * partitions were actually dropped; this query asserts dropping them
+    * changed nothing. */
+  private def segRetentionStream(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_retention") { tmp =>
+      // replay only the segment's event type (processBatch filters to it
+      // anyway, and so does the oracle) across four source files → four
+      // micro-batches; per-trigger fixed cost dominates this query, so the
+      // batch count IS its bench cost
+      t(s, dir, "events").filter(col("event_type") === ClickSeg.eventType)
+        .withColumn("shard", pmod(col("event_id"), lit(4)).cast("int"))
+        .repartition(4, col("shard")) // exactly one file per shard dir
+        .write.partitionBy("shard").parquet(s"$tmp/src")
+      val pipe = new graft.state.MicroBatchPipeline(
+        s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
+      val stream = s.readStream
+        .schema(t(s, dir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/src")
+      val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
+          stream, pipe,
+          epochToTs = id => java.sql.Timestamp.valueOf(
+            java.time.LocalDate.parse("2030-01-01").plusDays(id).atStartOfDay()),
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+          retentionDays = Some(2))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      pipe.members().orderBy("user_id")
+    }
+
   /** The NATIVE streaming rendition through the oracle gate: watermarked
     * streaming aggregation (dedup + count + max event time) over the same
     * file-stream source, drained with AvailableNow in UPDATE mode through a
@@ -1125,6 +1165,7 @@ object SparkEntry {
     "seg_eventtime"        -> (segEventTime _),
     "seg_microbatch_equiv" -> (segMicroBatchEquiv _),
     "seg_stream_equiv"     -> (segStreamEquiv _),
+    "seg_retention_stream" -> (segRetentionStream _),
     "seg_stream_native"    -> (segStreamNative _),
     "seg_stream_stateful"  -> (segStreamStateful _),
     "seg_stream_attribution" -> (segStreamAttribution _),
@@ -1212,6 +1253,53 @@ object SparkEntry {
   // ----------------------------------------------------------------------
 
   private val EnStop = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB SQL for `ann_topk_srp`, generated with the SRP hyperplane
+    * constants embedded. Exactness argument: each plane coefficient is
+    * emitted via `Double.toString` (shortest repr — parses back to the
+    * identical double in any engine); each projection is an explicit
+    * left-associated `e[1]*p1 + e[2]*p2 + …` chain, the same sequential
+    * double accumulation as `SrpSigsExpr.nullSafeEval`'s loop; float→double
+    * element casts are exact. Identical inputs + identical IEEE op sequence
+    * → identical sign bits → identical buckets → identical candidate set;
+    * the re-rank then matches exactly as `ann_topk_brute`'s does. */
+  private def srpOracleSql: String = {
+    val nBits = 4; val tables = 8; val dim = 64; val seed = 42L
+    def bucketCol(t: Int): String = {
+      // same gaussian stream as SrpSigsExpr / Similarity.hyperplanes
+      val rnd = new scala.util.Random(seed + t * 7919L)
+      val planes = Array.fill(nBits * dim)(rnd.nextGaussian())
+      (0 until nBits).map { j =>
+        val chain = (0 until dim).map { i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${planes(j * dim + i)}"
+        }.mkString(" + ")
+        s"(CASE WHEN ($chain) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val bucketCols = (0 until tables)
+      .map(t => s"(${bucketCol(t)}) AS b$t").mkString(", ")
+    val sameBucket = (0 until tables).map(t => s"cb.b$t = qb.b$t").mkString(" OR ")
+    s"""WITH b AS (SELECT vec_id, $bucketCols FROM embeddings),
+        qb AS (SELECT * FROM b WHERE vec_id < $AnnQueries),
+        cb AS (SELECT * FROM b),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM cb JOIN qb ON ($sameBucket)
+          WHERE cb.vec_id <> qb.vec_id),
+        s AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(ce.embedding AS DOUBLE[])) AS sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.query_id
+          JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM s)
+        SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+        FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk"""
+  }
 
   /** Shared CTE chain (normalized text → distinct 5-gram sets → candidate
     * pairs with intersection/union sizes) used by the `minhash_neardup` and
@@ -1525,6 +1613,14 @@ object SparkEntry {
           GROUP BY user_id HAVING count(DISTINCT event_id) >= ${ClickSeg.minCount}
           ORDER BY user_id""",
 
+    // change-log TTL fires mid-stream; results must still equal the global
+    // aggregate (the TTL'd table is a trigger log, not an input to results)
+    "seg_retention_stream" ->
+      s"""SELECT user_id, CAST(1 AS BOOLEAN) AS latest_value
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id HAVING count(DISTINCT event_id) >= ${ClickSeg.minCount}
+          ORDER BY user_id""",
+
     "seg_stream_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
                 CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_t,
@@ -1811,6 +1907,15 @@ object SparkEntry {
     "doc_fingerprints" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
          FROM documents ORDER BY doc_id""",
+
+    // The SRP pipeline recomputed end-to-end in SQL: the pinned-seed
+    // hyperplanes are EMBEDDED as literals (Double.toString round-trips
+    // exactly; the projection is an explicit left-associated sum chain, the
+    // same sequential double accumulation as SrpSigsExpr's loop), buckets
+    // re-derived per table, candidates = same-bucket-in-same-table pairs,
+    // then the exact cosine re-rank the brute oracle already hash-matches.
+    // This oracles the APPROXIMATE result itself — no recall proviso needed.
+    "ann_topk_srp" -> srpOracleSql,
 
     "ann_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -49,7 +49,7 @@ final case class StateStorePaths(root: String) {
 class MicroBatchPipeline(
     spark: SparkSession,
     seg: SegmentDef,
-    paths: StateStorePaths,
+    val paths: StateStorePaths,
     userCol: String = "user_id",
     typeCol: String = "event_type",
     idCol: String = "event_id",

@@ -33,18 +33,35 @@ object StreamingSegments {
   /** Wire a streaming event source into the persisted-state pipeline. The
     * epoch's batch id becomes the `computed_at` stamp (monotone per batch, as
     * the reference's `now` cursor is). Caller starts/stops the query.
+    *
+    * `retentionDays` is the live rendition of the reference's change-log TTL
+    * (`TTL toStartOfDay(computed_at) + interval 100 day`,
+    * /root/reference/src/3-microBatch.test.ts:36-38): after each batch
+    * commits, change-log partitions whose `computed_date` is older than the
+    * horizon (measured from that batch's own stamp — the stream's clock) are
+    * dropped. Safe by construction: the merge pass only ever reads the
+    * CURRENT batch's change-log partition (T4), and segment read-back reads
+    * the assignment log, so aging out old trigger rows can never alter
+    * results — the same reason ClickHouse can TTL this table. State and
+    * assignment tables are deliberately NOT expired (the reference's TTL is
+    * change-log-only; uniq-over-all-history needs full state).
     */
   def foreachBatchPipeline(
       events: DataFrame, // streaming DataFrame
       pipeline: MicroBatchPipeline,
       epochToTs: Long => Timestamp,
-      trigger: Option[Trigger] = None): DataStreamWriter[Row] = {
+      trigger: Option[Trigger] = None,
+      retentionDays: Option[Int] = None): DataStreamWriter[Row] = {
     val base = events.writeStream.outputMode(OutputMode.Append)
     trigger.fold(base)(base.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ts = epochToTs(batchId)
         val lower = new Timestamp(0L) // offsets bound the slice; no cursor needed
         pipeline.processBatch(batch, lower, ts)
+        retentionDays.foreach(days =>
+          graft.state.Retention.expire(
+            batch.sparkSession, pipeline.paths.changeLog,
+            ts.toLocalDateTime.toLocalDate, days))
       }
   }
 

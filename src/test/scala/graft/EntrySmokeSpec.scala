@@ -16,12 +16,12 @@ class EntrySmokeSpec extends SparkSpec {
 
   test("rows-only queries are exactly the documented approximate/engine-defined set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // seg_microbatch_hll / seg_overlap_hll graduated to oracle-checked in
-    // round 4: they emit exact counts plus a deterministic est_ok envelope
-    // column the oracle reproduces as a literal.
+    // Round 4 graduated seg_microbatch_hll / seg_overlap_hll (exact counts
+    // plus a deterministic est_ok envelope column) and ann_topk_srp (oracle
+    // SQL generated with the hyperplane constants embedded) to
+    // oracle-checked; only genuinely engine-defined sketch OUTPUTS remain.
     val expected = Set(
       "seg_idempotent_approx",                                 // approximate sketch output
-      "ann_topk_srp",                                          // LSH candidate generation
       "pct_value_sketch")                                      // KLL quantile sketch (approximate)
     assert(rowsOnly == expected,
       s"new queries must ship an oracle or be added here deliberately: ${rowsOnly -- expected}")

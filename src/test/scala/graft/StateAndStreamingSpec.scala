@@ -42,6 +42,39 @@ class StateAndStreamingSpec extends SparkSpec {
     assert(after.toSeq == Seq("A", "B"))
   }
 
+  test("streaming change-log TTL drops old partitions mid-stream, results unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val paths = StateStorePaths(tmpDir("stream_ttl"))
+    val pipe = new MicroBatchPipeline(spark, seg, paths, procTimeCol = "ts")
+    val source = MemoryStream[Ev]
+    // stamps advance one day per batch; a 2-day TTL must age out the early
+    // change-log partitions while later batches are still arriving
+    val q = StreamingSegments.foreachBatchPipeline(
+        source.toDF(), pipe,
+        epochToTs = id => Timestamp.valueOf(
+          java.time.LocalDate.parse("2030-01-01").plusDays(id).atStartOfDay()),
+        retentionDays = Some(2))
+      .start()
+    for (i <- 0 until 5) {
+      source.addData(
+        Ev("1", "BUTTON_CLICK", ts(s"2023-01-0${i + 1} 00:00:00"), s"m$i"),
+        Ev("2", "BUTTON_CLICK", ts("2023-01-01 00:00:00"), "dup")) // same id each batch
+      q.processAllAvailable()
+    }
+    q.stop()
+    val partsLeft = new java.io.File(paths.changeLog).list()
+      .filter(_.startsWith("computed_date=")).toSeq.sorted
+    assert(partsLeft == Seq("computed_date=2030-01-03",
+                            "computed_date=2030-01-04",
+                            "computed_date=2030-01-05"),
+      s"2-day TTL as of 2030-01-05 must keep exactly 3 partitions; got $partsLeft")
+    // membership still reflects ALL history: user 1 has 5 distinct ids,
+    // user 2 only ever re-delivered one message id
+    val members = pipe.members().select($"user_id").as[String].collect().sorted
+    assert(members.toSeq == Seq("1"),
+      "aging out trigger-log partitions must not change membership")
+  }
+
   test("batch REPLAY is idempotent: reprocessing a batch never changes membership") {
     // a driver retry re-runs processBatch with the same slice; the sketch
     // states are set-semantic (HLL unions of event ids) and the event-time
