@@ -140,8 +140,26 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** ClickHouse `uniq` (A2, the approximate form) through the oracle gate:
+    * one scan computes BOTH the exact distinct count (which DuckDB
+    * reproduces) and Spark's HLL++ `approx_count_distinct`; `est_ok`
+    * asserts the approximation within max(1, 0.15·n) — ≈9× the rsd=0.016
+    * envelope; per-user cardinalities here sit in HLL++'s exact sparse
+    * regime anyway, so the column is deterministically true and a broken
+    * estimator fails the hash gate. Membership derives from the exact
+    * count. */
   private def segIdempotentApprox(s: SparkSession, dir: String): DataFrame =
-    Segments.idempotentApprox(t(s, dir, "events"), ClickSeg).orderBy("user_id")
+    t(s, dir, "events")
+      .filter(col("event_type") === ClickSeg.eventType)
+      .groupBy(col("user_id"))
+      .agg(count_distinct(col("event_id")).as("n_unique"),
+           Sketches.uniq(col("event_id")).as("n_approx"))
+      .withColumn("in_segment", col("n_unique") >= ClickSeg.minCount)
+      .withColumn("est_ok",
+        abs(col("n_approx") - col("n_unique")).cast("double")
+          <= greatest(lit(1.0), lit(0.15) * col("n_unique")))
+      .select(col("user_id"), col("n_unique"), col("in_segment"), col("est_ok"))
+      .orderBy("user_id")
 
   // ======================================================================
   // Relational coverage beyond the reference (joins, windows, TPC-H-ish)
@@ -806,8 +824,16 @@ object SparkEntry {
   /** Mergeable quantile sketch algebra (ClickHouse quantileState /
     * quantileMerge): per-type partial KLL states built on two disjoint halves
     * of the data, re-merged, then estimated — the split-merge lifecycle the
-    * micro-batch state store runs. Approximate (KLL compaction flips coins)
-    * → rows-only; error-bound-tested in ScalaTest. */
+    * micro-batch state store runs.
+    *
+    * Oracle-able via an exact-RANK gate (the value-space estimate is
+    * engine-defined and KLL compaction flips unseeded coins, so the VALUE
+    * can differ run to run): the emitted booleans assert the estimate's
+    * exact inclusive rank sits within 0.05 of the target quantile — 3× the
+    * k=200 sketch's ~1.65% normalized rank-error bound, far into its
+    * subgaussian tail, so the gate holds for every compaction outcome. The
+    * rank is computed by one exact pass over the data (count of values ≤
+    * estimate), which is what DuckDB reproduces as a literal TRUE. */
   private def pctValueSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileSketch
     val ev = t(s, dir, "events")
@@ -815,13 +841,21 @@ object SparkEntry {
     def partial(batch: DataFrame) =
       batch.groupBy(col("event_type"))
         .agg(QuantileSketch.quantileState(col("value")).as("state"))
-    partial(ev.filter(col("ts") < cut))
+    val est = partial(ev.filter(col("ts") < cut))
       .unionByName(partial(ev.filter(col("ts") >= cut)))
       .groupBy(col("event_type"))
       .agg(QuantileSketch.quantileMergeState(col("state")).as("merged"))
       .select(col("event_type"),
               QuantileSketch.quantileEstimate(col("merged"), 0.5).as("p50_est"),
               QuantileSketch.quantileEstimate(col("merged"), 0.9).as("p90_est"))
+    ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+           sum(when(col("value") <= col("p90_est"), 1L).otherwise(0L)).as("le90"))
+      .select(col("event_type"), col("n"),
+              (abs(col("le50").cast("double") / col("n") - 0.5) <= 0.05).as("p50_rank_ok"),
+              (abs(col("le90").cast("double") / col("n") - 0.9) <= 0.05).as("p90_rank_ok"))
       .orderBy("event_type")
   }
 
@@ -1132,6 +1166,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Same decontamination result behind the corpus Bloom prefilter — the
+    * shape that sheds the probe-gram shuffle at 100 TB. Exact (see
+    * [[graft.operators.Dedup.ngramContaminationBloom]]), so it shares the
+    * plain operator's oracle. */
+  private def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramContaminationBloom(
+        corpus = docs.filter(col("doc_id") % 50 =!= 0),
+        probes = docs.filter(col("doc_id") % 50 === 0),
+        n = ContamN)
+      .orderBy("doc_id")
+  }
+
   private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("media_id")
@@ -1235,6 +1282,7 @@ object SparkEntry {
     "embedding_neardup"    -> (embeddingNearDup _),
     "multimodal_bytestats" -> (multimodalByteStats _),
     "contamination_check"  -> (contaminationCheck _),
+    "contamination_bloom"  -> (contaminationBloom _),
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
@@ -1244,15 +1292,37 @@ object SparkEntry {
   )
 
   // ----------------------------------------------------------------------
-  // DuckDB oracles. Omitted for: approximate sketch OUTPUTS
-  // (seg_idempotent_approx, pct_value_sketch) and LSH candidate generation
-  // (ann_topk_srp). Those are rows-only here and property-tested against
-  // exact oracles in ScalaTest. The HLL pipelines seg_microbatch_hll /
-  // seg_overlap_hll ARE oracle-checked: they emit exact counts plus a
-  // deterministic est_ok error-envelope column.
+  // DuckDB oracles — one per query; the rows-only set is EMPTY since round
+  // 4. Approximate operators gate through deterministic est_ok/rank-gate
+  // envelope columns over exact quantities; pinned-seed LSH (ann_topk_srp)
+  // gates through generated SQL with the hash constants embedded.
   // ----------------------------------------------------------------------
 
   private val EnStop = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  private lazy val contaminationOracle: String =
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= $ContamN THEN
+                       list_distinct(list_transform(
+                         range(1, len(ws) - ${ContamN - 2}),
+                         i -> array_to_string(list_slice(ws, i, i + ${ContamN - 1}), ' ')))
+                     ELSE [] END AS grams
+              FROM w),
+        corpus AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                   WHERE doc_id % 50 <> 0),
+        probe AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 = 0),
+        pg AS (SELECT doc_id, unnest(grams) AS gram FROM probe),
+        m AS (SELECT pg.doc_id, count(*) AS n_contaminated
+              FROM pg WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.gram = pg.gram)
+              GROUP BY pg.doc_id)
+        SELECT p.doc_id, len(p.grams) AS n_grams,
+               coalesce(m.n_contaminated, 0) AS n_contaminated,
+               coalesce(CAST(coalesce(m.n_contaminated, 0) AS DOUBLE)
+                        / nullif(len(p.grams), 0), 0.0) AS contamination
+        FROM probe p LEFT JOIN m ON p.doc_id = m.doc_id
+        ORDER BY p.doc_id"""
 
   /** DuckDB SQL for `ann_topk_srp`, generated with the SRP hyperplane
     * constants embedded. Exactness argument: each plane coefficient is
@@ -1330,6 +1400,13 @@ object SparkEntry {
     "seg_idempotent" ->
       s"""SELECT user_id, count(DISTINCT event_id) AS n_unique,
                  count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment
+          FROM events WHERE event_type = '${ClickSeg.eventType}'
+          GROUP BY user_id ORDER BY user_id""",
+
+    "seg_idempotent_approx" ->
+      s"""SELECT user_id, count(DISTINCT event_id) AS n_unique,
+                 count(DISTINCT event_id) >= ${ClickSeg.minCount} AS in_segment,
+                 TRUE AS est_ok
           FROM events WHERE event_type = '${ClickSeg.eventType}'
           GROUP BY user_id ORDER BY user_id""",
 
@@ -1831,6 +1908,14 @@ object SparkEntry {
                 quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // the rank-gate booleans are deterministically TRUE for every KLL
+    // compaction outcome (0.05 ≈ 3× the sketch's rank-error bound); DuckDB
+    // asserts the exact counts and the literals
+    "pct_value_sketch" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "sql_orders_per_customer" ->
       """SELECT c_custkey,
                 (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
@@ -2061,29 +2146,10 @@ object SparkEntry {
           FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
           ORDER BY n.doc_id""",
 
-    "contamination_check" ->
-      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-                     FROM documents),
-          g AS (SELECT doc_id,
-                       CASE WHEN len(ws) >= $ContamN THEN
-                         list_distinct(list_transform(
-                           range(1, len(ws) - ${ContamN - 2}),
-                           i -> array_to_string(list_slice(ws, i, i + ${ContamN - 1}), ' ')))
-                       ELSE [] END AS grams
-                FROM w),
-          corpus AS (SELECT DISTINCT unnest(grams) AS gram FROM g
-                     WHERE doc_id % 50 <> 0),
-          probe AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 = 0),
-          pg AS (SELECT doc_id, unnest(grams) AS gram FROM probe),
-          m AS (SELECT pg.doc_id, count(*) AS n_contaminated
-                FROM pg WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.gram = pg.gram)
-                GROUP BY pg.doc_id)
-          SELECT p.doc_id, len(p.grams) AS n_grams,
-                 coalesce(m.n_contaminated, 0) AS n_contaminated,
-                 coalesce(CAST(coalesce(m.n_contaminated, 0) AS DOUBLE)
-                          / nullif(len(p.grams), 0), 0.0) AS contamination
-          FROM probe p LEFT JOIN m ON p.doc_id = m.doc_id
-          ORDER BY p.doc_id""",
+    "contamination_check" -> contaminationOracle,
+    // exact by construction (Bloom has no false negatives; false positives
+    // die in the verify join) → shares the plain operator's oracle
+    "contamination_bloom" -> contaminationOracle,
 
     // IVF reproduced end-to-end: exact decimal centroids per label cell,
     // probe the 3 nearest cells per query, exact re-rank inside them. The

@@ -472,9 +472,61 @@ object Dedup {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     val grams = TextAnalysis.wordNgrams(col(textCol), n)
-    val corpusGrams = corpus.select(explode(grams).as("gram")).distinct()
-    val probeGrams = probes
+    // fan out: a small parquet corpus arrives as ONE split, serializing the
+    // compute-bound n-gram explode onto a single core
+    val corpusGrams = fanOutSmallInput(corpus)
+      .select(explode(grams).as("gram")).distinct()
+    val probeGrams = fanOutSmallInput(probes)
       .select(col(idCol), explode(array_distinct(grams)).as("gram"))
+    val matched = probeGrams.join(corpusGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    probes.select(col(idCol), size(array_distinct(grams)).as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination",
+        coalesce(col("n_contaminated").cast("double") / nullif(col("n_grams"), lit(0)),
+                 lit(0.0)))
+  }
+
+  /** [[ngramContamination]] behind a corpus BLOOM prefilter — the 100 TB
+    * shape the plain version's scaladoc points at: most grams of a CLEAN
+    * probe never reach the semi-join exchange, because a driver-broadcast
+    * Bloom filter over the corpus's distinct grams rejects them map-side.
+    *
+    * EXACT, not approximate: Bloom membership has no false negatives, so no
+    * contaminated gram is ever lost; false positives pass the prefilter and
+    * are then eliminated by the same exact semi join as the plain operator.
+    * The result is row-identical to [[ngramContamination]] (spec-pinned, and
+    * it shares that query's oracle shape).
+    *
+    * Scale math: at fpp=0.01 the filter costs ~1.2 bytes/gram — a 10^9-gram
+    * corpus fits in ~1.2 GB broadcast (size `expectedGrams` accordingly, or
+    * shard the filter by gram hash at larger vocabularies); the semi join
+    * then shuffles only the ~1% false-positive stragglers of clean probes
+    * instead of every probe gram. */
+  def ngramContaminationBloom(corpus: DataFrame, probes: DataFrame, n: Int,
+                              expectedGrams: Long = 0L, fpp: Double = 0.01,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    val grams = TextAnalysis.wordNgrams(col(textCol), n)
+    // the filter builds from the RAW gram stream — Bloom insertion is
+    // idempotent, so no distinct, no exchange, nothing materialized: one
+    // columnar scan with map-side partials OR-merged on the driver (the
+    // same zero-shuffle shape approx_count_distinct uses for the sizing).
+    // fanOut first: a single-split corpus would serialize the explode.
+    val corpusGramsAll = fanOutSmallInput(corpus).select(explode(grams).as("gram"))
+    val items = if (expectedGrams > 0) expectedGrams
+                else math.max(1L, corpusGramsAll
+                  .agg(approx_count_distinct(col("gram")).as("n"))
+                  .first().getLong(0))
+    val bloom = corpusGramsAll.stat.bloomFilter("gram", items, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    val probeGrams = fanOutSmallInput(probes)
+      .select(col(idCol), explode(array_distinct(grams)).as("gram"))
+      .filter(mightContain(col("gram"))) // map-side shed: no shuffle for rejected grams
+    val corpusGrams = corpusGramsAll.distinct() // verify side, same as the plain operator
     val matched = probeGrams.join(corpusGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
     probes.select(col(idCol), size(array_distinct(grams)).as("n_grams"))

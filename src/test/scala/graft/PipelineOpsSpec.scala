@@ -370,6 +370,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._2 == 0L, "probe 3 is clean")
   }
 
+  test("bloom-prefiltered contamination is row-identical to the exact operator") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val probes = docs.filter($"doc_id" % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_grams", $"n_contaminated")
+        .as[(Long, Int, Long)].collect().toSet
+    val exact = rows(Dedup.ngramContamination(corpus, probes, n = 5))
+    // default fpp AND an absurdly collision-happy filter: false positives
+    // only ever ADD verify work, never change the result
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = rows(Dedup.ngramContaminationBloom(corpus, probes, n = 5,
+        expectedGrams = 1L << 16, fpp = fpp))
+      assert(bloom == exact, s"fpp=$fpp must not change results")
+    }
+    assert(exact.exists(_._3 > 0L) && exact.exists(r => r._3 < r._2.toLong),
+      "fixture must exercise both contaminated and clean grams")
+  }
+
   test("PII redaction masks emails and long digit runs, leaves prose alone") {
     val rows = Seq(
       (1L, "contact jane.doe+spam@example-mail.co for info"),
