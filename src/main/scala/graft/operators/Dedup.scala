@@ -499,6 +499,14 @@ object Dedup {
     * The result is row-identical to [[ngramContamination]] (spec-pinned, and
     * it shares that query's oracle shape).
     *
+    * Because the exact verify side needs the corpus's DISTINCT gram frame
+    * regardless, the Bloom filter builds from that frame after one eager
+    * materialization (`localCheckpoint`): one corpus scan + one distinct
+    * exchange feed the sizing count, the filter build, and the semi join.
+    * (A purely approximate prefilter with no verify stage would instead
+    * build from the raw gram stream — Bloom insertion is idempotent, so
+    * that variant needs no distinct and no exchange at all.)
+    *
     * Scale math: at fpp=0.01 the filter costs ~1.2 bytes/gram — a 10^9-gram
     * corpus fits in ~1.2 GB broadcast (size `expectedGrams` accordingly, or
     * shard the filter by gram hash at larger vocabularies); the semi join
@@ -510,23 +518,19 @@ object Dedup {
                               textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
     val grams = TextAnalysis.wordNgrams(col(textCol), n)
-    // the filter builds from the RAW gram stream — Bloom insertion is
-    // idempotent, so no distinct, no exchange, nothing materialized: one
-    // columnar scan with map-side partials OR-merged on the driver (the
-    // same zero-shuffle shape approx_count_distinct uses for the sizing).
     // fanOut first: a single-split corpus would serialize the explode.
-    val corpusGramsAll = fanOutSmallInput(corpus).select(explode(grams).as("gram"))
+    // Eagerly materialized so the three consumers below (count, Bloom
+    // build, semi join) share one explode+distinct instead of re-running it.
+    val corpusGrams = fanOutSmallInput(corpus)
+      .select(explode(grams).as("gram")).distinct().localCheckpoint(true)
     val items = if (expectedGrams > 0) expectedGrams
-                else math.max(1L, corpusGramsAll
-                  .agg(approx_count_distinct(col("gram")).as("n"))
-                  .first().getLong(0))
-    val bloom = corpusGramsAll.stat.bloomFilter("gram", items, fpp)
+                else math.max(1L, corpusGrams.count())
+    val bloom = corpusGrams.stat.bloomFilter("gram", items, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
     val probeGrams = fanOutSmallInput(probes)
       .select(col(idCol), explode(array_distinct(grams)).as("gram"))
       .filter(mightContain(col("gram"))) // map-side shed: no shuffle for rejected grams
-    val corpusGrams = corpusGramsAll.distinct() // verify side, same as the plain operator
     val matched = probeGrams.join(corpusGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
     probes.select(col(idCol), size(array_distinct(grams)).as("n_grams"))

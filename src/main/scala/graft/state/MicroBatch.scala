@@ -92,12 +92,22 @@ class MicroBatchPipeline(
       .withColumn("computed_at", lit(batchTs))
       .withColumn("computed_date", to_date(lit(batchTs)))
       .cache()
-    partials.write.mode("append").partitionBy("computed_date").parquet(paths.states)
+    // AQE cannot coalesce here (disabled inside foreachBatch / stateful
+    // workloads), so a small batch would fan numShufflePartitions near-empty
+    // files into every table — and each later batch re-lists and re-reads
+    // them all. Size the write from the observed batch key count instead
+    // (~500k users/file); a 100 TB batch keeps full write parallelism.
+    // The count is free: it materializes the cache the three writes share.
+    val outParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      partials.count() / 500000L + 1)).toInt
+    val sized = partials.coalesce(outParts)
+    sized.write.mode("append").partitionBy("computed_date").parquet(paths.states)
 
     // --- the "materialized view": co-write the same inserted block's keys to
     //     the change log (3-microBatch.test.ts:50-56 — ClickHouse MVs trigger
     //     on the inserted block, so we project from `partials`, not a rescan)
-    partials.select(col(userCol), col("computed_at"), col("computed_date"))
+    sized.select(col(userCol), col("computed_at"), col("computed_date"))
       .write.mode("append").partitionBy("computed_date").parquet(paths.changeLog)
     partials.unpersist()
 
@@ -115,7 +125,9 @@ class MicroBatchPipeline(
       .agg(mergeAggs.head, mergeAggs.tail: _*)
       .withColumn("assigned_at", lit(batchTs))
       .withColumn("assigned_date", to_date(lit(batchTs)))
-    merged.write.mode("append").partitionBy("assigned_date").parquet(paths.assignments)
+    // same write sizing as above: touched users ≤ batch users
+    merged.coalesce(outParts)
+      .write.mode("append").partitionBy("assigned_date").parquet(paths.assignments)
   }
 
   /** Segment read-back: latest-wins over the assignment log, HAVING
