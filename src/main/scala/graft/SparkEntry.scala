@@ -1030,6 +1030,19 @@ object SparkEntry {
     CorpusModel.topTermsByRarity(t(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "term")
 
+  private val Bm25Terms = Seq("spark", "vector", "customer")
+
+  /** BM25 ranked retrieval ([[CorpusModel.bm25TopK]]): top-10 documents for
+    * a fixed 3-term query. The emitted columns are the integer per-doc
+    * stats; the float score stays internal (libm `ln` is not bit-pinned
+    * across engines) — the top-k SET is the oracle-checked contract, and
+    * score gaps between distinct tf/dl profiles dwarf the ≤1-ulp `ln`
+    * divergence. */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame =
+    CorpusModel.bm25TopK(t(s, dir, "documents"), Bm25Terms, topK = 10)
+      .select(col("doc_id"), col("n_hits"), col("tf_total"), col("dl"))
+      .orderBy("doc_id")
+
   /** Incremental near-dup — the daily-ingest shape: docs with doc_id % 5 == 0
     * replay as the NEW batch against the remaining 80% as the historical
     * corpus, whose persisted LSH index is probed without recomputing any
@@ -1057,6 +1070,20 @@ object SparkEntry {
     * set as 0.5 with wide margins on both sides of the gate. */
   private def ngramJaccardNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.8, n = 2)
+      .orderBy("id_a", "id_b")
+
+  /** Fuzzy key dedup: exact edit-distance self-join (Ed-Join q-gram prefix
+    * filter + banded thresholded levenshtein, [[graft.operators.Dedup
+    * .editDistancePairs]]) on each document's leading 64 characters — the
+    * "same record, typo-level divergence" dedup a title/URL key carries in a
+    * real pipeline. k=8 on this corpus surfaces the exact-prefix groups plus
+    * one genuine fuzzy pair; the oracle brute-forces thresholded
+    * levenshtein over the length-banded pair space in DuckDB. */
+  private def editDistNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 64).as("key")),
+        maxDist = 8, q = 2, keyCol = "key")
       .orderBy("id_a", "id_b")
 
   /** The synthetic corpus holds no true near-duplicate pairs (max pairwise
@@ -1275,6 +1302,8 @@ object SparkEntry {
     "ann_topk_ivf"         -> (annTopKIvf _),
     "minhash_neardup"      -> (minhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
+    "editdist_neardup"     -> (editDistNearDup _),
+    "bm25_search"          -> (bm25Search _),
     "incremental_neardup"  -> (incrementalNearDup _),
     "tfidf_top_terms"      -> (tfidfTopTerms _),
     "zorder_event_keys"    -> (zorderEventKeys _),
@@ -2232,6 +2261,58 @@ object SparkEntry {
             AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh)))
          SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
          FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // BM25 recomputed end-to-end: same tokenization as tfidf_top_terms, same
+    // Lucene-idf formula with identical parenthesization (the IEEE op
+    // sequence matches the Spark side except libm ln's ≤1 ulp), per-doc
+    // score folded in term order (sum ... ORDER BY term). Only the top-10
+    // SET with integer stats is emitted; boundary ties break on doc_id in
+    // both engines.
+    "bm25_search" ->
+      """WITH nrm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         dls AS (SELECT doc_id,
+                        len(list_filter(string_split(t, ' '), x -> x <> '')) AS dl
+                 FROM nrm),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+         tok AS (SELECT nrm.doc_id, dls.dl,
+                        unnest(string_split(nrm.t, ' ')) AS term
+                 FROM nrm JOIN dls USING (doc_id)),
+         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                FROM tok WHERE term IN ('spark', 'vector', 'customer')
+                GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+                  sum(ln((CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+                          / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf.tf AS DOUBLE) * 2.2
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * CAST(tf.dl AS DOUBLE)
+                                  / (CAST(stats.sum_dl AS DOUBLE) / stats.n))))
+                      ORDER BY tf.term) AS score,
+                  count(*) AS n_hits, CAST(sum(tf.tf) AS BIGINT) AS tf_total,
+                  CAST(max(tf.dl) AS BIGINT) AS dl
+           FROM tf JOIN dfreq USING (term), stats
+           GROUP BY tf.doc_id)
+         SELECT doc_id, n_hits, tf_total, dl
+         FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+         ORDER BY doc_id""",
+
+    // Brute-force thresholded levenshtein over the length-banded pair space
+    // (|len diff| > k is a levenshtein lower bound, so the band is lossless);
+    // the Spark side's Ed-Join prefix filter is exact, so the pair sets and
+    // distances must agree identically.
+    "editdist_neardup" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM d a JOIN d b
+           ON a.doc_id < b.doc_id
+          AND abs(length(a.s) - length(b.s)) <= 8
+         WHERE levenshtein(a.s, b.s) <= 8
          ORDER BY id_a, id_b""",
 
     // Connected components over the same brute-force pair list: transitive

@@ -64,6 +64,13 @@ object NativeExprs {
   def shingleSet(text: Column, k: Int): Column =
     col(ShingleSetExpr(NormalizeTextExpr(expr(text)), k))
 
+  /** Distinct hashed character k-shingles of the RAW text — no
+    * normalization, for callers whose semantics are defined on the exact
+    * byte sequence (e.g. the edit-distance q-gram prefilter, where
+    * candidates only need to be a superset and the verify is exact). */
+  def rawShingleSet(text: Column, k: Int): Column =
+    col(ShingleSetExpr(expr(text), k))
+
   /** Whitespace-collapse + lowercase + trim; byte-identical to
     * `trim(regexp_replace(lower(text), "\\s+", " "))`. */
   def normalizeText(text: Column): Column = col(NormalizeTextExpr(expr(text)))

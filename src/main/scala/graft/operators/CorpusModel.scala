@@ -101,6 +101,54 @@ object CorpusModel {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** BM25 ranked retrieval over the corpus (Robertson–Spärck Jones
+    * probabilistic weighting with Lucene's nonnegative idf,
+    * `ln((N − df + ½)/(df + ½) + 1)`): score every document against a fixed
+    * term query, return the top-k with per-term stats.
+    *
+    * Plan shape for 100 TB: the query term list is a literal IN filter
+    * pushed into the token explode, so the tf shuffle carries only
+    * query-term hits (O(hits), not O(tokens)); df and the (N, Σdl) corpus
+    * stats are one broadcast row each; the top-k is a TakeOrdered, never a
+    * global sort or single-partition window.
+    *
+    * Determinism: each document's score folds its per-term contributions in
+    * TERM ORDER (`array_sort` + left fold) rather than through a
+    * partition-order `sum(double)` — bit-stable run to run, and an engine
+    * reproducing the same fold gets the identical IEEE sequence up to libm
+    * `ln` (≤1 ulp), far below any real score gap. Ties (identical
+    * per-term profiles) are broken by id. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(TextAnalysis.normalized(col(textCol)), " "), t => t =!= "").as("w"))
+    val dls = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+         (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))))
+      .groupBy("doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+             lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
+           count(lit(1)).as("n_hits"), sum(col("tf")).as("tf_total"),
+           first(col("dl")).as("dl"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Reference HOF form of [[rareTransitionStats]]'s scoring (parity-tested;
     * interpreted map lookups per bigram — do not use in hot paths). */
   def rareTransitionStatsHof(docs: DataFrame, rareThreshold: Double = 0.01,

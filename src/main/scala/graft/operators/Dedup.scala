@@ -344,6 +344,82 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  // ---------------------------------------------------------------- edit distance
+
+  /** Exact edit-distance similarity self-join over a short key column —
+    * fuzzy dedup on titles, URLs, or leading sentences, where typo-level
+    * divergence marks near-duplicate records. Returns (id_a, id_b, dist)
+    * for every unordered pair with levenshtein(key_a, key_b) ≤ maxDist.
+    *
+    * Plan — the q-gram count-filter skeleton of Ed-Join (Xiao, Wang, Lin,
+    * VLDB'08; public algorithm): one edit destroys at most q of a string's
+    * character q-grams, so strings within distance k share at least one
+    * gram among the (k·q+1) RAREST distinct grams of each (rarest-first
+    * global order = (df, gram)). The candidate join therefore touches only
+    * rare grams — a head gram never enters a prefix, which keeps per-key
+    * fan-out bounded at 100 TB, exactly like [[prefixFilteredCandidates]].
+    * Grams ride as [[graft.functions.ShingleSetExpr]] 64-bit hashes (one
+    * native pass, 8 B join keys): a hash collision can only ADD a candidate
+    * pair, which the exact verify then discards — completeness is
+    * unaffected. Candidates verify with the banded O(k·len) thresholded
+    * levenshtein built-in.
+    *
+    * The prefix lemma is void for strings with ≤ k·q DISTINCT grams (k
+    * edits can rewrite the whole gram set — short keys, or long but
+    * degenerate-repetitive ones). Those route through a length-banded
+    * brute-force join against all keys within ±k length (equi-joined on an
+    * exploded length band, so it plans as a hash join): a bounded sliver of
+    * any realistic key corpus.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
+                        keyCol: String = "key", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val kq = maxDist * q
+    val keys = fanOutSmallInput(docs)
+      .select(col(idCol).as("id"), col(keyCol).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s"), length(col("s")).as("len"),
+        graft.functions.NativeExprs.rawShingleSet(col("s"), q).as("g"))
+      .localCheckpoint(true)
+
+    // fallback zone: too few distinct grams for the lemma → banded brute force
+    val weak = keys.filter(size(col("g")) <= kq)
+    val weakCand = weak
+      .select(col("id").as("id_x"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len"))
+      .join(keys.select(col("id").as("id_y"), col("len")), Seq("len"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+              greatest(col("id_x"), col("id_y")).as("id_b"))
+
+    // prefix zone: (k·q+1) rarest grams of each key, symmetric join
+    val posting = keys.filter(size(col("g")) > kq)
+      .select(col("id"), col("len"), explode(col("g")).as("gram"))
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(gramDf, "gram")
+      .groupBy("id")
+      .agg(first(col("len")).as("len"),
+           sort_array(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+      .select(col("id"), col("len"),
+        explode(expr(s"transform(slice(sorted, 1, ${kq + 1}), x -> x.gram)")).as("gram"))
+    val prefCand = prefix.select(col("gram"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(prefix.select(col("gram"), col("id").as("id_b"), col("len").as("len_b")),
+            Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+              abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b")
+
+    // exact verify on the deduped candidates: banded threshold levenshtein
+    // returns -1 above maxDist, the true distance otherwise
+    weakCand.unionByName(prefCand).distinct()
+      .join(keys.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(keys.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   // ---------------------------------------------------------------- incremental
 
   /** The persisted LSH index of a corpus: one (doc_id, band, bucket) row per

@@ -119,6 +119,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance pairs equal brute-force thresholded levenshtein (exact, with distances)") {
+    // fixture stresses every routing path: exact dups, typo pairs, short
+    // strings (no real q-grams), a degenerate-repetitive long string whose
+    // distinct-gram count voids the prefix lemma, empty strings, and a
+    // seeded random tail with planted perturbations
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val base = (0 until 30).map(i => (100L + i, randStr(20 + rnd.nextInt(30))))
+    val perturbed = base.take(8).map { case (id, s) =>
+      val i = rnd.nextInt(s.length)
+      (id + 1000L, s.substring(0, i) + ('a' + rnd.nextInt(6)).toChar + s.substring(math.min(i + 1, s.length)))
+    }
+    val fixture = Seq(
+      (0L, "the quick brown fox"), (1L, "the quick brown fax"), // dist 1
+      (2L, "the quick brown fox"),                              // exact dup of 0
+      (3L, "ab"), (4L, "ba"), (5L, "b"),                        // short zone
+      (6L, "ababababababababababababab"),                      // repetitive: 2 distinct grams
+      (7L, "babababababababababababab"),                       // dist 2 from 6 (del front, add back)
+      (8L, ""), (9L, "x")
+    ) ++ base ++ perturbed
+    val df = fixture.toDF("doc_id", "key")
+    for (k <- Seq(0, 1, 2, 3)) {
+      val brute = (for {
+        (ia, sa) <- fixture; (ib, sb) <- fixture if ia < ib
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      val got = Dedup.editDistancePairs(df, maxDist = k, keyCol = "key")
+        .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
+      assert(got == brute, s"k=$k: got ${got.size} pairs vs brute ${brute.size}: " +
+        s"missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("ngram jaccard prefix plan: Zipf head gram does not flood candidate generation") {
     // every doc shares one stopword-ish tail gram (df = n) while the rest of
     // each doc is unique filler; sizes span 2..41 so most pairs are

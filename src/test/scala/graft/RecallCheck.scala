@@ -39,11 +39,28 @@ object RecallCheck {
     println(s"[recall] incremental pairs: ${inc.size} vs restricted brute ${bruteInc.size}; " +
       s"missed=${(bruteInc -- inc).size} extra=${(inc -- bruteInc).size}")
 
+    // edit-distance fuzzy join: its DuckDB oracle is a full O(n²·len²) pair
+    // scan — intractable at this scale — so brute-force the length-banded
+    // thresholded levenshtein in Spark instead (banded O(k·len) built-in)
+    val keys = docs.select(col("doc_id"), substring(col("text"), 1, 64).as("key"))
+      .localCheckpoint(true)
+    val edBrute = keys.select(col("doc_id").as("id_a"), col("key").as("ka"))
+      .join(keys.select(col("doc_id").as("id_b"), col("key").as("kb")),
+        col("id_a") < col("id_b") &&
+          abs(length(col("ka")) - length(col("kb"))) <= 8)
+      .filter(levenshtein(col("ka"), col("kb"), 8) >= 0)
+    val edBruteSet = pairSet(edBrute)
+    val ed = pairSet(graft.operators.Dedup.editDistancePairs(keys, maxDist = 8, keyCol = "key"))
+    println(s"[recall] editdist pairs: ${ed.size} vs brute ${edBruteSet.size}; " +
+      s"missed=${(edBruteSet -- ed).size} extra=${(ed -- edBruteSet).size}")
+
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
+    val okEd = ed == edBruteSet
     println(s"[recall] RESULT: minhash=${if (okLsh) "EXACT" else "MISMATCH"} " +
-      s"incremental=${if (okInc) "EXACT" else "MISMATCH"}")
+      s"incremental=${if (okInc) "EXACT" else "MISMATCH"} " +
+      s"editdist=${if (okEd) "EXACT" else "MISMATCH"}")
     spark.stop()
-    if (!okLsh || !okInc) sys.exit(1)
+    if (!okLsh || !okInc || !okEd) sys.exit(1)
   }
 }
