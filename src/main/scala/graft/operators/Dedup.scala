@@ -351,28 +351,46 @@ object Dedup {
     * divergence marks near-duplicate records. Returns (id_a, id_b, dist)
     * for every unordered pair with levenshtein(key_a, key_b) ≤ maxDist.
     *
-    * Plan — the q-gram count-filter skeleton of Ed-Join (Xiao, Wang, Lin,
-    * VLDB'08; public algorithm): one edit destroys at most q of a string's
-    * character q-grams, so strings within distance k share at least one
-    * gram among the (k·q+1) RAREST distinct grams of each (rarest-first
-    * global order = (df, gram)). The candidate join therefore touches only
-    * rare grams — a head gram never enters a prefix, which keeps per-key
-    * fan-out bounded at 100 TB, exactly like [[prefixFilteredCandidates]].
-    * Grams ride as [[graft.functions.ShingleSetExpr]] 64-bit hashes (one
-    * native pass, 8 B join keys): a hash collision can only ADD a candidate
-    * pair, which the exact verify then discards — completeness is
-    * unaffected. Candidates verify with the banded O(k·len) thresholded
-    * levenshtein built-in.
+    * Adaptive between two exact plans, chosen from two metadata-sized
+    * statistics (mirroring [[ngramJaccardPairs]]'s Σdf² dispatch):
     *
-    * The prefix lemma is void for strings with ≤ k·q DISTINCT grams (k
-    * edits can rewrite the whole gram set — short keys, or long but
-    * degenerate-repetitive ones). Those route through a length-banded
-    * brute-force join against all keys within ±k length (equi-joined on an
-    * exploded length band, so it plans as a hash join): a bounded sliver of
-    * any realistic key corpus.
+    *  - PREFIX plan — the q-gram skeleton of Ed-Join (Xiao, Wang, Lin,
+    *    VLDB'08; public algorithm): one edit destroys at most q of a
+    *    string's character q-grams, so strings within distance k share at
+    *    least one gram among the (k·q+1) RAREST distinct grams of each
+    *    (rarest-first global order = (df, gram)). The candidate join
+    *    touches only rare grams — a head gram never enters a prefix — so
+    *    per-key fan-out stays bounded on the Zipf gram universes of real
+    *    keys (URLs, titles) at 100 TB. Grams ride as
+    *    [[graft.functions.ShingleSetExpr]] 64-bit hashes (one native pass,
+    *    8 B join keys): a collision can only ADD a candidate, which the
+    *    exact verify discards. Strings with ≤ k·q DISTINCT grams get no
+    *    guarantee from the prefix lemma (k edits can rewrite their whole
+    *    gram set); they route through the banded join below against the
+    *    short zone only.
+    *  - DIRECT banded plan: explode each key's admissible partner lengths
+    *    ([len−k, len+k]) and equi-join on length — each unordered pair
+    *    materializes exactly once (via the lower id's band row), with NO
+    *    pair-dedup shuffle — then verify in the same stage. On a DENSE gram
+    *    universe (tiny alphabet/vocabulary) the prefix join degenerates to
+    *    ~all banded pairs anyway, and this plan skips its posting + sort +
+    *    11M-row distinct entirely (7× at sf0.1: 20 s → 3 s). The length
+    *    join has few distinct keys, but the pair side is a broadcast-sized
+    *    key table whenever this plan is the right choice — a corpus both
+    *    huge AND gram-dense has Ω(n²) true output and no exact plan at all.
+    *
+    * Dispatch: the prefix join's output is ≥ (rows²/universe) by
+    * Cauchy–Schwarz, so prefix filtering only prunes when the gram universe
+    * G is large relative to the (k·q+1)² per-key prefix fan-out. Choose
+    * prefix iff G·β > directJoinFactor·(k·q+1)², where β = banded fraction
+    * of the pair space (from a per-length histogram, ≤ one row per distinct
+    * key length) and G = approx distinct grams (one zero-shuffle pass).
+    * Verification is the banded O(k·len) thresholded levenshtein built-in
+    * in both plans — both exact, spec-pinned against brute force.
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
-                        keyCol: String = "key", idCol: String = "doc_id"): DataFrame = {
+                        keyCol: String = "key", idCol: String = "doc_id",
+                        directJoinFactor: Double = 4.0): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(q >= 1, "q must be >= 1")
     val kq = maxDist * q
@@ -383,17 +401,55 @@ object Dedup {
         graft.functions.NativeExprs.rawShingleSet(col("s"), q).as("g"))
       .localCheckpoint(true)
 
-    // fallback zone: too few distinct grams for the lemma → banded brute force
-    val weak = keys.filter(size(col("g")) <= kq)
-    val weakCand = weak
+    def verified(cand: DataFrame): DataFrame = cand
+      .join(keys.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(keys.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+    // length-banded oriented pairs via the band explode on the x side;
+    // `xFilter` restricts the exploding side (whole corpus for the direct
+    // plan, lemma-void keys for the prefix plan's fallback lane). Each
+    // unordered pair with BOTH endpoints passing xFilter appears in both
+    // orientations; pairs with only x passing appear once.
+    def bandedOriented(xFilter: Column): DataFrame = keys.filter(xFilter)
       .select(col("id").as("id_x"),
         explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len"))
       .join(keys.select(col("id").as("id_y"), col("len")), Seq("len"))
       .filter(col("id_x") =!= col("id_y"))
+
+    // ---- dispatch statistics (both metadata-sized)
+    val lenCounts = keys.groupBy("len").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val n = lenCounts.map(_._2).sum.toDouble
+    val banded = lenCounts.iterator.map { case (la, ca) =>
+      ca.toDouble * lenCounts.iterator
+        .filter { case (lb, _) => math.abs(la - lb) <= maxDist }.map(_._2).sum
+    }.sum
+    val beta = if (n == 0) 0.0 else banded / (n * n)
+    val g = math.max(1L, keys
+      .select(explode(col("g")).as("gram"))
+      .agg(approx_count_distinct(col("gram"))).first().getLong(0)).toDouble
+    val prefixWins = g * beta > directJoinFactor * (kq + 1.0) * (kq + 1.0)
+
+    if (!prefixWins) {
+      // DIRECT: keeping only the orientation where the exploding side has
+      // the lower id yields each unordered pair exactly once → verify
+      // inline, no pair-dedup shuffle anywhere in the plan
+      return verified(bandedOriented(lit(true))
+        .filter(col("id_x") < col("id_y"))
+        .select(col("id_x").as("id_a"), col("id_y").as("id_b")))
+    }
+
+    // PREFIX plan. Fallback lane: lemma-void keys via the banded join
+    // (their partners are within ±k length, so the lane is complete);
+    // weak-weak pairs arrive in both orientations — canonicalize, and the
+    // downstream distinct dedups them
+    val weakCand = bandedOriented(size(col("g")) <= kq)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
               greatest(col("id_x"), col("id_y")).as("id_b"))
 
-    // prefix zone: (k·q+1) rarest grams of each key, symmetric join
     val posting = keys.filter(size(col("g")) > kq)
       .select(col("id"), col("len"), explode(col("g")).as("gram"))
     val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -410,14 +466,7 @@ object Dedup {
               abs(col("len_a") - col("len_b")) <= maxDist)
       .select("id_a", "id_b")
 
-    // exact verify on the deduped candidates: banded threshold levenshtein
-    // returns -1 above maxDist, the true distance otherwise
-    weakCand.unionByName(prefCand).distinct()
-      .join(keys.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(keys.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    verified(weakCand.unionByName(prefCand).distinct())
   }
 
   // ---------------------------------------------------------------- incremental

@@ -153,10 +153,15 @@ class PipelineOpsSpec extends SparkSpec {
         (ia, sa) <- fixture; (ib, sb) <- fixture if ia < ib
         d = lev(sa, sb) if d <= k
       } yield (ia, ib, d.toLong)).toSet
-      val got = Dedup.editDistancePairs(df, maxDist = k, keyCol = "key")
-        .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
-      assert(got == brute, s"k=$k: got ${got.size} pairs vs brute ${brute.size}: " +
-        s"missing=${brute -- got} extra=${got -- brute}")
+      // force BOTH exact plans via the dispatch knob: 0 → prefix-filtered
+      // (with its lemma-void fallback lane), +∞ → direct banded
+      for (factor <- Seq(0.0, Double.PositiveInfinity)) {
+        val got = Dedup.editDistancePairs(df, maxDist = k, keyCol = "key",
+            directJoinFactor = factor)
+          .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
+        assert(got == brute, s"k=$k factor=$factor: got ${got.size} pairs vs " +
+          s"brute ${brute.size}: missing=${brute -- got} extra=${got -- brute}")
+      }
     }
   }
 
