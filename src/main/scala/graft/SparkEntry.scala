@@ -965,6 +965,25 @@ object SparkEntry {
     Dedup.clusterNearDuplicates(minhashPairs(s, dir))
       .orderBy("id")
 
+  /** Leakage-free train/test split over the same shared pair list: every
+    * near-dup cluster lands wholly in one split ([[Dedup.leakageFreeSplit]];
+    * the oracle recomputes the cluster closure and the integer split hash). */
+  private def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.leakageFreeSplit(t(s, dir, "documents"), minhashPairs(s, dir),
+        testPct = 10)
+      .orderBy("doc_id")
+
+  /** Quality-tiered downsampling ([[Sampling.tieredSample]]): long documents
+    * kept outright, mid-length at 30%, short at 10% — all-integer tier CASE
+    * and keep hash, so the kept set is exactly engine-reproducible. */
+  private def qualityTieredSample(s: SparkSession, dir: String): DataFrame = {
+    val pct = when(col("n_chars") >= 400, lit(100L))
+      .when(col("n_chars") >= 250, lit(30L)).otherwise(lit(10L))
+    Sampling.tieredSample(t(s, dir, "documents"), "doc_id", pct)
+      .select(col("doc_id"), col("n_chars"), pct.as("keep_pct"))
+      .orderBy("doc_id")
+  }
+
   private def textLangDist(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1304,6 +1323,8 @@ object SparkEntry {
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "editdist_neardup"     -> (editDistNearDup _),
     "bm25_search"          -> (bm25Search _),
+    "leakage_split"        -> (leakageSplit _),
+    "quality_tiered_sample" -> (qualityTieredSample _),
     "incremental_neardup"  -> (incrementalNearDup _),
     "tfidf_top_terms"      -> (tfidfTopTerms _),
     "zorder_event_keys"    -> (zorderEventKeys _),
@@ -2300,6 +2321,39 @@ object SparkEntry {
          SELECT doc_id, n_hits, tf_total, dl
          FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
          ORDER BY doc_id""",
+
+    // Cluster closure recomputed via the recursive CTE (as dedup_clusters),
+    // then the same all-integer multiplicative split hash on the canonical
+    // cluster id; singletons fall back to their own id through the LEFT JOIN.
+    "leakage_split" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+          np AS (SELECT id_a, id_b FROM pairs
+                 WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+          e AS (SELECT id_a AS a, id_b AS b FROM np
+                UNION ALL SELECT id_b, id_a FROM np),
+          reach(src, dst) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+          cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+          SELECT d.doc_id,
+                 coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                 CASE WHEN (coalesce(cl.cluster_id, d.doc_id) * ${Sampling.Knuth}) % 100 < 10
+                      THEN 'test' ELSE 'train' END AS split
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+          ORDER BY d.doc_id""",
+
+    // All-integer tier CASE + multiplicative keep hash — bit-free of floats,
+    // so the kept set is exactly reproducible.
+    "quality_tiered_sample" ->
+      s"""SELECT doc_id, n_chars,
+                 CASE WHEN n_chars >= 400 THEN 100
+                      WHEN n_chars >= 250 THEN 30 ELSE 10 END AS keep_pct
+          FROM documents
+          WHERE (doc_id * ${Sampling.Knuth}) % 100 <
+                CASE WHEN n_chars >= 400 THEN 100
+                     WHEN n_chars >= 250 THEN 30 ELSE 10 END
+          ORDER BY doc_id""",
 
     // Brute-force thresholded levenshtein over the length-banded pair space
     // (|len diff| > k is a levenshtein lower bound, so the band is lossless);

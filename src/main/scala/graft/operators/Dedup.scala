@@ -666,6 +666,29 @@ object Dedup {
                  lit(0.0)))
   }
 
+  /** Leakage-free train/test split: near-duplicate documents must land in
+    * the SAME split, or test examples leak (near-verbatim) into training —
+    * the standard eval-hygiene failure near-dup detection exists to
+    * prevent. Connected components over the pair list assign every doc a
+    * cluster (singletons are their own); the CLUSTER's canonical id — not
+    * the doc's — is hashed to pick the split, so all members move together.
+    * The hash is [[Sampling.Knuth]] multiplicative (all-integer,
+    * partitioning-independent, reproducible in any engine).
+    *
+    * Returns (idCol, cluster_id, split) for every input doc,
+    * split ∈ {"test", "train"} with ~testPct% of CLUSTERS in test. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, testPct: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(testPct >= 0 && testPct <= 100, "testPct must be in [0, 100]")
+    val clusters = clusterNearDuplicates(pairs).withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(pmod(col("cluster_id") * lit(Sampling.Knuth), lit(100L)) < testPct,
+             lit("test")).otherwise(lit("train")))
+  }
+
   // ---------------------------------------------------------------- clustering
 
   /** Connected components over a near-duplicate pair list → (id, cluster_id)

@@ -46,6 +46,15 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(pmod(col(idCol) * lit(Knuth), lit(100L)) < pct)
 
+  /** Tiered downsampling — the "downsample low-quality data instead of
+    * dropping it" knob of a training pipeline: keep each row with a per-ROW
+    * percentage (`pctCol`, integral 0–100, typically a CASE over quality
+    * tiers). Same engine-agnostic multiplicative hash as [[hashSample]]:
+    * all-integer arithmetic, so any engine reproduces the identical kept
+    * set and the keep decision is independent of partitioning. */
+  def tieredSample(df: DataFrame, idCol: String, pctCol: Column): DataFrame =
+    df.filter(pmod(col(idCol) * lit(Knuth), lit(100L)) < pctCol)
+
   /** Deterministic stratified sample: the `perGroup` rows with the smallest
     * hash within each group — reproducible "random" representatives. */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Dedup / similarity / text / multimodal operators, validated against exact
   * oracles computed in-process (brute force) on small data.
@@ -163,6 +163,40 @@ class PipelineOpsSpec extends SparkSpec {
           s"brute ${brute.size}: missing=${brute -- got} extra=${got -- brute}")
       }
     }
+  }
+
+  test("leakage-free split: every near-dup cluster lands wholly in one split") {
+    // chain 10-11-12 is one component; 20-21 another; 0..5 singletons
+    val ids = ((0L to 5L) ++ Seq(10L, 11L, 12L, 20L, 21L)).map(i => Tuple1(i))
+    val docsDf = ids.toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    for (pct <- Seq(0, 10, 50, 100)) {
+      val out = Dedup.leakageFreeSplit(docsDf, pairs, testPct = pct)
+        .select($"doc_id", $"cluster_id", $"split").as[(Long, Long, String)].collect()
+      assert(out.length == ids.length, "every input doc must get a split")
+      // constant split (and canonical cluster id) within each component
+      val byCluster = out.groupBy(_._2)
+      assert(byCluster(10L).map(_._1).toSet == Set(10L, 11L, 12L))
+      assert(byCluster(20L).map(_._1).toSet == Set(20L, 21L))
+      for ((_, members) <- byCluster)
+        assert(members.map(_._3).toSet.size == 1, s"mixed split in a cluster: $members")
+      if (pct == 0) assert(out.forall(_._3 == "train"))
+      if (pct == 100) assert(out.forall(_._3 == "test"))
+    }
+  }
+
+  test("tiered sample: per-row pct boundaries (0 drops, 100 keeps, tiers reproducible)") {
+    val df = (0L until 200L).map(i => (i, i % 3)).toDF("id", "tier")
+    assert(Sampling.tieredSample(df, "id", lit(0)).count() == 0)
+    assert(Sampling.tieredSample(df, "id", lit(100)).count() == 200)
+    // tier pct column: kept set == hashSample of each tier separately
+    val pct = when($"tier" === 0, lit(100)).when($"tier" === 1, lit(30)).otherwise(lit(0))
+    val got = Sampling.tieredSample(df, "id", pct).select($"id").as[Long].collect().toSet
+    val expect = (0L until 200L).filter { i =>
+      val p = if (i % 3 == 0) 100 else if (i % 3 == 1) 30 else 0
+      java.lang.Math.floorMod(i * Sampling.Knuth, 100L) < p
+    }.toSet
+    assert(got == expect)
   }
 
   test("ngram jaccard prefix plan: Zipf head gram does not flood candidate generation") {
