@@ -221,10 +221,23 @@ object Dedup {
     *    `groupBy(pair).count()` computes exact Jaccard with no arrays and
     *    no distinct. Chosen when Σ df² (exactly that join's output rows,
     *    read from the already-built frequency table, AQE-style) is small.
+    *
+    *  - **Direct** — DEGENERATE density: when Σ df² exceeds
+    *    `directDensityFactor` × n² (the posting join would emit more rows
+    *    than the full pair matrix holds), brute force is strictly cheaper
+    *    than either "filter". A broadcast cross join streams every ordered
+    *    pair through a two-stage verify with NO shuffle at all: a native
+    *    Jaccard over xxhash64'd gram arrays first (collisions can only
+    *    RAISE the estimate — a strict superset gate), then the exact
+    *    string-array intersection for the survivors. Guarded by
+    *    `maxDirectDocs` (the corpus must broadcast); a corpus both huge and
+    *    this dense has Ω(n²) true output and no exact plan at all.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 2,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxDenseJoinRows: Double = 5e8): DataFrame = {
+                        maxDenseJoinRows: Double = 5e8,
+                        directDensityFactor: Double = 0.5,
+                        maxDirectDocs: Long = 100000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val grams = fanOutSmallInput(docs).select(
         col(idCol).as("id"),
@@ -252,6 +265,38 @@ object Dedup {
     val joinRows = gramDf.agg(coalesce(sum(col("df").cast("double") * col("df")),
                                        lit(0.0)))
       .first().getDouble(0)
+    val nDocs = grams.count() // cheap: grams is checkpointed
+    if (nDocs <= maxDirectDocs &&
+        joinRows > directDensityFactor * nDocs.toDouble * nDocs.toDouble) {
+      // DIRECT plan: the cross join carries ONLY hashed arrays and sizes
+      // (the string arrays stay out of the broadcast and the per-pair row
+      // copies), and the hashed Jaccard gate (J_hash ≥ J_true — collisions
+      // only raise it, a strict superset) runs as the join's own filter.
+      // Survivors are a bare (id_a, id_b) frame; the exact string-array
+      // verify joins the grams back BY ID in a separate subtree, so
+      // Catalyst cannot fold the expensive intersection into the
+      // nested-loop condition over all n² pairs.
+      val hsets = grams.select(col("id"), size(col("g")).as("sz"),
+        transform(col("g"), x => xxhash64(x)).as("hg"))
+      val cand = hsets
+        .select(col("id").as("id_a"), col("sz").as("sz_a"), col("hg").as("hga"))
+        .crossJoin(broadcast(hsets.select(col("id").as("id_b"),
+          col("sz").as("sz_b"), col("hg").as("hgb"))))
+        .filter(col("id_a") < col("id_b") &&
+          least(col("sz_a"), col("sz_b")).cast("double")
+            >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9) &&
+          graft.functions.NativeExprs.jaccard(col("hga"), col("hgb")) >= threshold)
+        .select("id_a", "id_b")
+      return cand
+        .join(grams.select(col("id").as("id_a"), col("g").as("ga"),
+          size(col("g")).as("sz_a")), "id_a")
+        .join(grams.select(col("id").as("id_b"), col("g").as("gb"),
+          size(col("g")).as("sz_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+    }
     if (joinRows <= maxDenseJoinRows) {
       // Count-based exact plan: shared-gram co-occurrence count IS the
       // intersection size, so no gram arrays ever ship and no distinct is

@@ -39,6 +39,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  /** Force each of the three exact ngramJaccardPairs plans via its dispatch
+    * knobs: (maxDenseJoinRows, directDensityFactor). */
+  private val ngramPlans = Seq(
+    ("count", 5e8, Double.PositiveInfinity),
+    ("prefix", 0.0, Double.PositiveInfinity),
+    ("direct", 5e8, 0.0))
+
   test("prefix-filtered ngram jaccard equals brute force (exact, with scores)") {
     // brute-force word-bigram jaccard, computed independently of the operator
     def bigrams(text: String): Set[String] = {
@@ -54,11 +61,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(brute.exists(p => p._1 == 0L && p._2 == 3L), "exact dup pair expected in fixture")
     // both exact plans (count-based dense, prefix-filtered AllPairs) must
     // agree with brute force INCLUDING scores — force each via the Σdf² knob
-    for (denseLimit <- Seq(5e8, 0.0)) {
+    for ((plan, denseLimit, densityFactor) <- ngramPlans) {
       val got = Dedup.ngramJaccardPairs(docs, threshold = 0.5, n = 2,
-          maxDenseJoinRows = denseLimit)
+          maxDenseJoinRows = denseLimit, directDensityFactor = densityFactor)
         .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
-      assert(got == brute, s"plan (denseLimit=$denseLimit) must be exact; got $got vs $brute")
+      assert(got == brute, s"plan $plan must be exact; got $got vs $brute")
     }
   }
 
@@ -68,13 +75,13 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, ""), (3L, "word"), (4L, "   "), (5L, "word")
     ).toDF("doc_id", "text")
-    for (denseLimit <- Seq(5e8, 0.0)) {
+    for ((plan, denseLimit, densityFactor) <- ngramPlans) {
       val got = Dedup.ngramJaccardPairs(weird, threshold = 0.5, n = 2,
-          maxDenseJoinRows = denseLimit)
+          maxDenseJoinRows = denseLimit, directDensityFactor = densityFactor)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       // docs with <2 words have no bigram set: J is undefined, so they are
       // excluded — including the identical one-word docs 3 and 5
-      assert(got == Set((0L, 1L)), s"only the real pair may surface; got $got")
+      assert(got == Set((0L, 1L)), s"plan $plan: only the real pair may surface; got $got")
     }
   }
 
@@ -82,10 +89,10 @@ class PipelineOpsSpec extends SparkSpec {
     // every doc < n words → zero gram rows → the Σdf² statistic aggregates
     // over an empty frame (NULL sum); regression for the coalesce guard
     val allShort = Seq((0L, "word"), (1L, ""), (2L, "x")).toDF("doc_id", "text")
-    for (denseLimit <- Seq(5e8, 0.0)) {
+    for ((plan, denseLimit, densityFactor) <- ngramPlans) {
       val got = Dedup.ngramJaccardPairs(allShort, threshold = 0.5, n = 2,
-          maxDenseJoinRows = denseLimit)
-      assert(got.count() == 0, s"all-short corpus must yield no pairs")
+          maxDenseJoinRows = denseLimit, directDensityFactor = densityFactor)
+      assert(got.count() == 0, s"plan $plan: all-short corpus must yield no pairs")
     }
   }
 
@@ -96,12 +103,12 @@ class PipelineOpsSpec extends SparkSpec {
       (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 x y"),
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")
     ).toDF("doc_id", "text")
-    for (denseLimit <- Seq(5e8, 0.0)) {
+    for ((plan, denseLimit, densityFactor) <- ngramPlans) {
       val got = Dedup.ngramJaccardPairs(subset, threshold = 0.8, n = 2,
-          maxDenseJoinRows = denseLimit)
+          maxDenseJoinRows = denseLimit, directDensityFactor = densityFactor)
         .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
       assert(got == Set((0L, 1L, 0.8)),
-        s"boundary pair must survive (denseLimit=$denseLimit); got $got")
+        s"boundary pair must survive (plan $plan); got $got")
     }
     // Adversarial float case: t = 1/91 with |A| = 273 grams makes t·sz in
     // doubles land ABOVE the rational product (3.0000000000000004), so an
@@ -110,12 +117,12 @@ class PipelineOpsSpec extends SparkSpec {
     val big = (0 to 273).map(i => s"w$i").mkString(" ")
     val sub = (0 to 3).map(i => s"w$i").mkString(" ")
     val adversarial = Seq((0L, big), (1L, sub)).toDF("doc_id", "text")
-    for (denseLimit <- Seq(5e8, 0.0)) {
+    for ((plan, denseLimit, densityFactor) <- ngramPlans) {
       val got = Dedup.ngramJaccardPairs(adversarial, threshold = 1.0 / 91, n = 2,
-          maxDenseJoinRows = denseLimit)
+          maxDenseJoinRows = denseLimit, directDensityFactor = densityFactor)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(got == Set((0L, 1L)),
-        s"float-boundary pair must survive (denseLimit=$denseLimit); got $got")
+        s"float-boundary pair must survive (plan $plan); got $got")
     }
   }
 
