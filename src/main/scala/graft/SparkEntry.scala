@@ -462,6 +462,15 @@ object SparkEntry {
     TextChunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Greedy context-window packing of the same chunk stream
+    * ([[TextChunking.packChunks]]); the oracle replays the integer
+    * recurrence as a recursive CTE. */
+  private def packedChunks(s: SparkSession, dir: String): DataFrame =
+    TextChunking.packChunks(
+        TextChunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16),
+        budgetTokens = 150)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Deterministic multiplicative-hash sample (~7%). */
   private def sampleEventsHash(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSample(t(s, dir, "events"), "event_id", pct = 7)
@@ -1268,6 +1277,7 @@ object SparkEntry {
     "sessions_stats"       -> (sessionsStats _),
     "agg_moments"          -> (aggMoments _),
     "doc_chunks"           -> (docChunks _),
+    "packed_chunks"        -> (packedChunks _),
     "pivot_user_activity"  -> (pivotUserActivity _),
     "text_repetition"      -> (textRepetition _),
     "unpivot_user_activity" -> (unpivotUserActivity _),
@@ -1580,6 +1590,33 @@ object SparkEntry {
                 len(list_slice(toks, s.start + 1, s.start + 64)) AS n_chunk_tokens
          FROM d, LATERAL (SELECT unnest(range(0, len(toks), 48)) AS start) s
          ORDER BY doc_id, chunk_idx""",
+
+    // The greedy packing recurrence replayed row-by-row as a recursive CTE
+    // over the same reproduced chunk stream — pure integer state, so the
+    // assignment is exactly engine-portable.
+    "packed_chunks" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+           FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+         c AS (SELECT doc_id,
+                      CAST(s.start / 48 AS INT) AS chunk_idx,
+                      CAST(len(list_slice(toks, s.start + 1, s.start + 64)) AS INT)
+                        AS n_chunk_tokens,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY s.start) AS rn
+               FROM d, LATERAL (SELECT unnest(range(0, len(toks), 48)) AS start) s),
+         r AS (
+           SELECT doc_id, rn, chunk_idx, n_chunk_tokens,
+                  0 AS pack_id, n_chunk_tokens AS used
+           FROM c WHERE rn = 1
+           UNION ALL
+           SELECT c.doc_id, c.rn, c.chunk_idx, c.n_chunk_tokens,
+                  CASE WHEN r.used + c.n_chunk_tokens <= 150
+                       THEN r.pack_id ELSE r.pack_id + 1 END,
+                  CASE WHEN r.used + c.n_chunk_tokens <= 150
+                       THEN r.used + c.n_chunk_tokens ELSE c.n_chunk_tokens END
+           FROM r JOIN c ON c.doc_id = r.doc_id AND c.rn = r.rn + 1)
+         SELECT doc_id, chunk_idx, n_chunk_tokens, pack_id
+         FROM r ORDER BY doc_id, chunk_idx""",
 
     "sample_events_hash" ->
       s"""SELECT event_id, user_id, event_type FROM events

@@ -32,6 +32,39 @@ object TextChunking {
               size(slice(col("__toks"), col("start") + 1, lit(chunkTokens)))
                 .as("n_chunk_tokens"))
   }
+
+  /** Greedy sequence packing — assign each chunk to a fixed-token-budget
+    * pack (the context-window packing step of a training pipeline): chunks
+    * are taken in `orderCol` order; a chunk that would overflow the open
+    * pack starts a new one (a chunk alone larger than the budget gets its
+    * own pack). Returns (idCol, orderCol, pack_id, pack pos is implied by
+    * order).
+    *
+    * Packing is SEQUENTIAL by definition, so the distributable form packs
+    * within a key (per document here; per shard for corpus-level packing —
+    * pass a shard column as idCol). Per-key chunk counts are bounded by
+    * document length, so the collect_list + fold runs in O(chunks/key)
+    * state — the same bounded-group shape as the funnel DP. The fold is a
+    * pure integer recurrence, reproducible in any engine. */
+  def packChunks(chunks: DataFrame, budgetTokens: Int,
+                 idCol: String = "doc_id", orderCol: String = "chunk_idx",
+                 tokensCol: String = "n_chunk_tokens"): DataFrame =
+    chunks.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).as("i"),
+        col(tokensCol).as("t")))).as("cs"))
+      .select(col(idCol), explode(expr(
+        s"""aggregate(cs,
+              named_struct(
+                'out', cast(array() as array<struct<i:int,t:int,pack_id:int>>),
+                'pack', -1, 'used', ${budgetTokens + 1}),
+              (acc, x) -> named_struct(
+                'out', array_append(acc.out, named_struct('i', x.i, 't', x.t,
+                  'pack_id', if(acc.used + x.t <= $budgetTokens, acc.pack, acc.pack + 1))),
+                'pack', if(acc.used + x.t <= $budgetTokens, acc.pack, acc.pack + 1),
+                'used', if(acc.used + x.t <= $budgetTokens, acc.used + x.t, x.t)),
+              acc -> acc.out)""")).as("o"))
+      .select(col(idCol), col("o.i").as(orderCol), col("o.t").as(tokensCol),
+              col("o.pack_id"))
 }
 
 /** Reproducible corpus sampling: engine-agnostic multiplicative hashing, so

@@ -192,6 +192,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("greedy chunk packing matches a reference fold (overflow starts a pack, oversize chunk stands alone)") {
+    import graft.operators.TextChunking
+    // (doc, chunk_idx, tokens): doc 1 packs [40,60] [70] [200] [10,90] at
+    // budget 100 — an overflow boundary, an exactly-full pack, an oversize
+    // chunk alone, and a restart after it; doc 2 is a single chunk
+    val chunks = Seq(
+      (1L, 0, 40), (1L, 1, 60), (1L, 2, 70), (1L, 3, 200), (1L, 4, 10), (1L, 5, 90),
+      (2L, 0, 100)
+    ).toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val got = TextChunking.packChunks(chunks, budgetTokens = 100)
+      .select($"doc_id", $"chunk_idx", $"pack_id").as[(Long, Int, Int)].collect().toSet
+    val expect = Set((1L, 0, 0), (1L, 1, 0), (1L, 2, 1), (1L, 3, 2), (1L, 4, 3), (1L, 5, 3),
+                     (2L, 0, 0))
+    assert(got == expect, s"got $got")
+    // invariant on the real chunk stream: no pack exceeds the budget unless
+    // it is a single oversize chunk, and pack ids are contiguous from 0
+    val real = TextChunking.packChunks(
+      TextChunking.chunk(docs, chunkTokens = 4, overlap = 0), budgetTokens = 6)
+    val sums = real.groupBy($"doc_id", $"pack_id")
+      .agg(sum($"n_chunk_tokens").as("s"), count(lit(1)).as("c"))
+      .as[(Long, Int, Long, Long)].collect()
+    assert(sums.forall { case (_, _, s, c) => s <= 6 || c == 1 })
+    for ((_, packs) <- sums.groupBy(_._1))
+      assert(packs.map(_._2).sorted.toSeq == (0 until packs.length).toSeq)
+  }
+
   test("tiered sample: per-row pct boundaries (0 drops, 100 keeps, tiers reproducible)") {
     val df = (0L until 200L).map(i => (i, i % 3)).toDF("id", "tier")
     assert(Sampling.tieredSample(df, "id", lit(0)).count() == 0)
