@@ -666,25 +666,26 @@ object SparkEntry {
 
   /** Change-log TTL under a LIVE stream, through the oracle gate (T9/S5 —
     * the reference's `TTL … + interval 100 day` on the trigger table,
-    * 3-microBatch.test.ts:36-38). The segment's events are split into four
-    * source files so the drain runs four micro-batches; each batch's stamp
-    * advances one day and a 2-day retention expires the older change-log
-    * partitions WHILE the stream is still running — by the last batch the
-    * first day's change log is gone. The segment read-back must still equal the global
-    * batch aggregate: the merge pass only reads the current batch's
-    * change-log partition, so aging out old trigger rows is invisible to
-    * results (exactly why ClickHouse can TTL this table). A spec asserts
-    * partitions were actually dropped; this query asserts dropping them
-    * changed nothing. */
+    * 3-microBatch.test.ts:36-38). The segment's events are split into three
+    * source files so the drain runs three micro-batches; each batch's stamp
+    * advances one day and a 1-day retention expires the first day's
+    * change-log partition WHILE the stream is still running (inside the
+    * last batch's foreachBatch, before the drain finishes). The segment
+    * read-back must still equal the global batch aggregate: the merge pass
+    * only reads the current batch's change-log partition, so aging out old
+    * trigger rows is invisible to results (exactly why ClickHouse can TTL
+    * this table). The StateAndStreamingSpec MemoryStream test pins the
+    * partitions actually dropped across 5 batches; this query asserts
+    * dropping them changed nothing. */
   private def segRetentionStream(s: SparkSession, dir: String): DataFrame =
     withStreamScope(s, "graft_stream_retention") { tmp =>
       // replay only the segment's event type (processBatch filters to it
-      // anyway, and so does the oracle) across four source files → four
+      // anyway, and so does the oracle) across three source files → three
       // micro-batches; per-trigger fixed cost dominates this query, so the
       // batch count IS its bench cost
       t(s, dir, "events").filter(col("event_type") === ClickSeg.eventType)
-        .withColumn("shard", pmod(col("event_id"), lit(4)).cast("int"))
-        .repartition(4, col("shard")) // exactly one file per shard dir
+        .withColumn("shard", pmod(col("event_id"), lit(3)).cast("int"))
+        .repartition(3, col("shard")) // exactly one file per shard dir
         .write.partitionBy("shard").parquet(s"$tmp/src")
       val pipe = new graft.state.MicroBatchPipeline(
         s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
@@ -697,7 +698,7 @@ object SparkEntry {
           epochToTs = id => java.sql.Timestamp.valueOf(
             java.time.LocalDate.parse("2030-01-01").plusDays(id).atStartOfDay()),
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-          retentionDays = Some(2))
+          retentionDays = Some(1))
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       q.awaitTermination()
