@@ -975,6 +975,21 @@ object SparkEntry {
     Dedup.clusterNearDuplicates(minhashPairs(s, dir))
       .orderBy("id")
 
+  /** Incremental cluster maintenance through the oracle gate: the
+    * historical assignment (clusters over pairs internal to the 80%
+    * corpus) folded together with the pairs touching the 20% "new batch"
+    * ([[Dedup.updateClusters]]) must equal clustering the cumulative pair
+    * graph from scratch — so it shares dedup_clusters' closure oracle
+    * verbatim. Both pair slices are filters over the one materialized
+    * MinHash pair list. */
+  private def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    val hist = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val fresh = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    Dedup.updateClusters(Dedup.clusterNearDuplicates(hist), fresh)
+      .orderBy("id")
+  }
+
   /** Leakage-free train/test split over the same shared pair list: every
     * near-dup cluster lands wholly in one split ([[Dedup.leakageFreeSplit]];
     * the oracle recomputes the cluster closure and the integer split hash). */
@@ -1324,6 +1339,7 @@ object SparkEntry {
     "text_quality"         -> (textQuality _),
     "embedding_centroids"  -> (embeddingCentroids _),
     "dedup_clusters"       -> (dedupClusters _),
+    "incremental_clusters" -> (incrementalClusters _),
     "text_lang_dist"       -> (textLangDist _),
     "doc_fingerprints"     -> (docFingerprints _),
     "doc_fingerprints_ext" -> (docFingerprintsExt _),
@@ -1451,6 +1467,23 @@ object SparkEntry {
          FROM g a JOIN g b
            ON a.doc_id < b.doc_id
           AND least(len(a.sh), len(b.sh)) * 2 >= greatest(len(a.sh), len(b.sh)))"""
+
+  /** Connected-components closure over the brute-force pair list — the
+    * oracle for both batch clustering (`dedup_clusters`) and its
+    * incremental-maintenance twin (`incremental_clusters`), which must
+    * converge to the identical fixpoint. */
+  private val DedupClustersOracle: String =
+    s"""WITH RECURSIVE $NearDupPairCtes,
+        np AS (SELECT id_a, id_b FROM pairs
+               WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+        e AS (SELECT id_a AS a, id_b AS b FROM np
+              UNION ALL SELECT id_b, id_a FROM np),
+        reach(src, dst) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+        SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src ORDER BY id"""
 
   def oracleSql: Map[String, String] = Map(
     "seg_naive" ->
@@ -2407,21 +2440,14 @@ object SparkEntry {
          WHERE levenshtein(a.s, b.s) <= 8
          ORDER BY id_a, id_b""",
 
+    // Incremental maintenance must converge to the same fixpoint as
+    // clustering from scratch, so it shares the closure oracle verbatim.
+    "incremental_clusters" -> DedupClustersOracle,
+
     // Connected components over the same brute-force pair list: transitive
     // closure via a recursive CTE, cluster id = min reachable doc id —
     // exactly the min-label fixpoint the Spark operator computes.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $NearDupPairCtes,
-          np AS (SELECT id_a, id_b FROM pairs
-                 WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
-          e AS (SELECT id_a AS a, id_b AS b FROM np
-                UNION ALL SELECT id_b, id_a FROM np),
-          reach(src, dst) AS (
-            SELECT DISTINCT a, a FROM e
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
-          SELECT src AS id, min(dst) AS cluster_id
-          FROM reach GROUP BY src ORDER BY id""",
+    "dedup_clusters" -> DedupClustersOracle,
 
     // Whole simhashes recomputed in SQL (the md5-derived word hash makes the
     // bits engine-portable), then brute-force Hamming over all pairs. Exact —

@@ -711,6 +711,25 @@ object Dedup {
                  lit(0.0)))
   }
 
+  /** Incremental cluster maintenance: fold a NEW batch's near-dup pairs
+    * into an existing (id, cluster_id) assignment without re-clustering
+    * history. A prior assignment is connectivity-equivalent to its star
+    * edges (every member — canonical id), so clustering
+    * star(assignments) ∪ newPairs yields exactly the components of the
+    * full cumulative pair graph — the standard incremental
+    * connected-components reduction. Per batch this touches O(|affected
+    * components| + |new pairs|) edges, never historical pair lists; the
+    * companion of [[incrementalNearDuplicates]] for keeping canonical-doc
+    * assignments current under streaming ingest. */
+  def updateClusters(assignments: DataFrame, newPairs: DataFrame,
+                     maxIter: Int = 20): DataFrame =
+    clusterNearDuplicates(
+      assignments.select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        // canonical members' rows are self-edges — kept, so singleton
+        // clusters survive the update even when no new pair touches them
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxIter)
+
   /** Leakage-free train/test split: near-duplicate documents must land in
     * the SAME split, or test examples leak (near-verbatim) into training —
     * the standard eval-hygiene failure near-dup detection exists to

@@ -172,6 +172,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental cluster update equals clustering the cumulative graph from scratch") {
+    // edges: chain 1-2-3; pair 4-5; singleton 9 appears via a self-contained
+    // old component; new batch merges the chain with 4-5 (bridge 3-4), adds
+    // a brand-new pair 7-8, and touches 9 into the big component
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (9L, 10L)).toDF("id_a", "id_b")
+    val newPairs = Seq((3L, 4L), (7L, 8L), (9L, 1L)).toDF("id_a", "id_b")
+    val all = oldPairs.unionByName(newPairs)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val fromScratch = asMap(Dedup.clusterNearDuplicates(all))
+    val incremental = asMap(
+      Dedup.updateClusters(Dedup.clusterNearDuplicates(oldPairs), newPairs))
+    assert(incremental == fromScratch,
+      s"incremental $incremental != scratch $fromScratch")
+    // an untouched old component must survive the update unchanged
+    val untouched = asMap(Dedup.updateClusters(
+      Dedup.clusterNearDuplicates(oldPairs), Seq((7L, 8L)).toDF("id_a", "id_b")))
+    assert(untouched(4L) == 4L && untouched(5L) == 4L && untouched(9L) == 9L)
+  }
+
   test("leakage-free split: every near-dup cluster lands wholly in one split") {
     // chain 10-11-12 is one component; 20-21 another; 0..5 singletons
     val ids = ((0L to 5L) ++ Seq(10L, 11L, 12L, 20L, 21L)).map(i => Tuple1(i))
