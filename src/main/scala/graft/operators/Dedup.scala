@@ -270,9 +270,14 @@ object Dedup {
         joinRows > directDensityFactor * nDocs.toDouble * nDocs.toDouble) {
       // DIRECT plan: the cross join carries ONLY hashed arrays and sizes
       // (the string arrays stay out of the broadcast and the per-pair row
-      // copies), and the hashed Jaccard gate (J_hash ≥ J_true — collisions
-      // only raise it, a strict superset) runs as the join's own filter.
-      // Survivors are a bare (id_a, id_b) frame; the exact string-array
+      // copies), and a hashed Jaccard gate runs as the join's own filter.
+      // A cross-difference xxhash64 collision raises J_hash, but a
+      // collision BETWEEN two intersection grams lowers it — (i−1)/(u−1)
+      // < i/u — so the gate is slackened by 2/max(sz): enough for two
+      // intra-pair collisions (P ≈ |G|²·2⁻⁶⁴ ≈ 1e-16 for even one), making
+      // a gate-dropped true pair need ≥3 simultaneous collisions (~1e-48).
+      // The slack only admits extra candidates, which the exact verify
+      // discards. Survivors are a bare (id_a, id_b) frame; the string-array
       // verify joins the grams back BY ID in a separate subtree, so
       // Catalyst cannot fold the expensive intersection into the
       // nested-loop condition over all n² pairs.
@@ -285,7 +290,8 @@ object Dedup {
         .filter(col("id_a") < col("id_b") &&
           least(col("sz_a"), col("sz_b")).cast("double")
             >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9) &&
-          graft.functions.NativeExprs.jaccard(col("hga"), col("hgb")) >= threshold)
+          graft.functions.NativeExprs.jaccard(col("hga"), col("hgb"))
+            >= lit(threshold) - lit(2.0) / greatest(col("sz_a"), col("sz_b")))
         .select("id_a", "id_b")
       return cand
         .join(grams.select(col("id").as("id_a"), col("g").as("ga"),

@@ -50,8 +50,10 @@ object TextChunking {
                  idCol: String = "doc_id", orderCol: String = "chunk_idx",
                  tokensCol: String = "n_chunk_tokens"): DataFrame =
     chunks.groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col(orderCol).as("i"),
-        col(tokensCol).as("t")))).as("cs"))
+      // casts pin the fold's accumulator element type (array<struct<int,…>>)
+      // for any integral input width; per-doc chunk counts and budgets fit int
+      .agg(sort_array(collect_list(struct(col(orderCol).cast("int").as("i"),
+        col(tokensCol).cast("int").as("t")))).as("cs"))
       .select(col(idCol), explode(expr(
         s"""aggregate(cs,
               named_struct(
@@ -75,9 +77,11 @@ object Sampling {
   val Knuth = 2654435761L // 2^32 · φ⁻¹, the classic multiplicative constant
 
   /** Keep ~pct% of rows: (id·K) mod 100 < pct. `idCol` must be integral and
-    * below ~2^30 to stay ANSI-overflow-safe (id·K < 2^62). */
+    * below ~2^30 to stay ANSI-overflow-safe (id·K < 2^62). The constant-pct
+    * special case of [[tieredSample]] — one hash definition, one place to
+    * change it. */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
-    df.filter(pmod(col(idCol) * lit(Knuth), lit(100L)) < pct)
+    tieredSample(df, idCol, lit(pct))
 
   /** Tiered downsampling — the "downsample low-quality data instead of
     * dropping it" knob of a training pipeline: keep each row with a per-ROW

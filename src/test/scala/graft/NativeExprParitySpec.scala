@@ -101,6 +101,35 @@ class NativeExprParitySpec extends SparkSpec {
     assert(jdiff == 0)
   }
 
+  test("rawShingleSet == un-normalized HOF shingles (short, empty, non-ascii)") {
+    // HOF reference: the same gram/hash definition as Dedup.shingleHashes
+    // but over the RAW text — first-occurrence-distinct mod-P xxhash64 of
+    // q-char windows, with the whole-string synthetic gram below q chars
+    def rawHof(s: org.apache.spark.sql.Column, q: Int) =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(s) - lit(q - 1), lit(1))),
+        i => pmod(xxhash64(s.substr(i, lit(q))),
+                  lit(graft.functions.Dedup31Prime.P))))
+    val fixture = Seq(
+      "The QUICK  brown fox", // mixed case + runs: raw must NOT normalize
+      "ab", "a", "",          // at/below gram width → synthetic whole-string gram
+      "ababab",               // repeats → distinct keeps first occurrence order
+      "héllo wörld — ünïcode" // non-ascii byte path
+    ).toDF("s")
+    for (q <- Seq(2, 5)) {
+      val diff = fixture.select(
+        NativeExprs.rawShingleSet($"s", q).as("a"), rawHof($"s", q).as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(diff == 0, s"raw shingle parity must hold at q=$q")
+    }
+    // and it must DIFFER from the normalized form on case-variant input
+    val n = Seq("Hello World").toDF("s")
+      .select(NativeExprs.rawShingleSet($"s", 5).as("a"),
+              NativeExprs.shingleSet($"s", 5).as("b"))
+      .filter($"a" <=> $"b").count()
+    assert(n == 0, "raw form must not normalize")
+  }
+
   test("langId native == HOF") {
     val diff = docs.select(NativeExprs.langId($"text").as("a"),
                            TextAnalysis.langIdHof($"text").as("b"))
