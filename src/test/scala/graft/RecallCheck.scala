@@ -54,13 +54,33 @@ object RecallCheck {
     println(s"[recall] editdist pairs: ${ed.size} vs brute ${edBruteSet.size}; " +
       s"missed=${(edBruteSet -- ed).size} extra=${(ed -- edBruteSet).size}")
 
+    // exact word-bigram Jaccard: the adaptive operator (direct branch at
+    // this corpus's density) vs a plain cross-join brute force on the same
+    // gram definition
+    val ng = pairSet(graft.operators.Dedup.ngramJaccardPairs(docs, threshold = 0.8, n = 2))
+    val gramsDf = docs.repartition(32).select(col("doc_id").as("id"),
+        split(graft.functions.TextAnalysis.normalized(col("text")), " ").as("w"))
+      .select(col("id"), when(size(col("w")) >= 2, array_distinct(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")))
+        .otherwise(expr("cast(array() as array<string>)")).as("g"))
+      .filter(size(col("g")) > 0).localCheckpoint(true)
+    val ngBrute = pairSet(gramsDf.select(col("id").as("id_a"), col("g").as("ga"))
+      .crossJoin(broadcast(gramsDf.select(col("id").as("id_b"), col("g").as("gb"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .filter(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")) >= 0.8))
+    println(s"[recall] ngram-jaccard pairs: ${ng.size} vs brute ${ngBrute.size}; " +
+      s"missed=${(ngBrute -- ng).size} extra=${(ng -- ngBrute).size}")
+
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
     val okEd = ed == edBruteSet
+    val okNg = ng == ngBrute
     println(s"[recall] RESULT: minhash=${if (okLsh) "EXACT" else "MISMATCH"} " +
       s"incremental=${if (okInc) "EXACT" else "MISMATCH"} " +
-      s"editdist=${if (okEd) "EXACT" else "MISMATCH"}")
+      s"editdist=${if (okEd) "EXACT" else "MISMATCH"} " +
+      s"ngram=${if (okNg) "EXACT" else "MISMATCH"}")
     spark.stop()
-    if (!okLsh || !okInc || !okEd) sys.exit(1)
+    if (!okLsh || !okInc || !okEd || !okNg) sys.exit(1)
   }
 }
