@@ -1164,6 +1164,17 @@ object SparkEntry {
       .orderBy(col("n").desc, col("word"))
       .limit(100)
 
+  /** Shard-vs-shard vocabulary drift ([[CorpusModel.vocabOverlap]]): the
+    * two doc_id-parity halves of the corpus compared by top-200-word
+    * overlap — all-integer sets with word-string tie-breaks, exactly
+    * engine-reproducible. */
+  private def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusModel.vocabOverlap(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), k = 200)
+  }
+
   /** Composed cleaning pipeline — the operators chained the way a real
     * pre-training pass runs them: PII-redact → quality-gate (stopword ratio,
     * token count, repetition) → exact-dedup (lowest id per normalized masked
@@ -1367,6 +1378,7 @@ object SparkEntry {
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
+    "vocab_drift"          -> (vocabDrift _),
     "topk_words_sketch"    -> (topkWordsSketch _),
     "pipeline_clean_stats" -> (pipelineCleanStats _),
     "multimodal_decode"    -> (multimodalDecode _),
@@ -2150,6 +2162,27 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+
+    // Both deterministic top-k sets rebuilt in SQL (count DESC, word ties),
+    // all-integer overlap; the one division is a single IEEE op on two
+    // integers, identical in both engines.
+    "vocab_drift" ->
+      """WITH wa AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                     FROM documents WHERE doc_id % 2 = 0),
+         wb AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                FROM documents WHERE doc_id % 2 <> 0),
+         ta AS (SELECT word FROM (SELECT word, count(*) AS n FROM wa GROUP BY word
+                                  ORDER BY n DESC, word LIMIT 200)),
+         tb AS (SELECT word FROM (SELECT word, count(*) AS n FROM wb GROUP BY word
+                                  ORDER BY n DESC, word LIMIT 200)),
+         st AS (SELECT (SELECT count(*) FROM ta) AS n_top_a,
+                       (SELECT count(*) FROM tb) AS n_top_b,
+                       (SELECT count(*) FROM ta WHERE word IN (SELECT word FROM tb))
+                         AS n_common)
+         SELECT n_top_a, n_top_b, n_common,
+                round(CAST(n_common AS DOUBLE) / (n_top_a + n_top_b - n_common), 4)
+                  AS vocab_jaccard
+         FROM st""",
 
     // exact while the vocabulary fits the sketch map (it does, by 8×) — see
     // topkWordsSketch

@@ -149,6 +149,34 @@ object CorpusModel {
       .limit(topK)
   }
 
+  /** Corpus-drift probe: Jaccard overlap of the two slices' top-k
+    * vocabularies — the cheap shard-vs-shard distribution-shift check a
+    * pipeline runs between ingest waves. Each top-k is deterministic
+    * (ties break on the word string), so the overlap is all-integer and
+    * exactly engine-reproducible; the single division at the end is one
+    * IEEE op on two integers.
+    *
+    * Plan shape: per-slice word counts partial-aggregate map-side (shuffle
+    * is O(distinct words)), each top-k is a TakeOrdered, and the overlap of
+    * two ≤k-row sets is a broadcast join — the 1-row output is the
+    * legitimate single-partition tail. */
+  def vocabOverlap(a: DataFrame, b: DataFrame, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    def topK(df: DataFrame) = df
+      .select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+      .select(col("word"))
+    val ta = topK(a).localCheckpoint(true) // each feeds two consumers below
+    val tb = topK(b).localCheckpoint(true)
+    ta.agg(count(lit(1)).as("n_top_a"))
+      .crossJoin(tb.agg(count(lit(1)).as("n_top_b")))
+      .crossJoin(ta.join(tb, Seq("word"), "left_semi")
+        .agg(count(lit(1)).as("n_common")))
+      .withColumn("vocab_jaccard", round(col("n_common") /
+        (col("n_top_a") + col("n_top_b") - col("n_common")), 4))
+  }
+
   /** Reference HOF form of [[rareTransitionStats]]'s scoring (parity-tested;
     * interpreted map lookups per bigram — do not use in hot paths). */
   def rareTransitionStatsHof(docs: DataFrame, rareThreshold: Double = 0.01,

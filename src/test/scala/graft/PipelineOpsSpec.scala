@@ -238,6 +238,24 @@ class PipelineOpsSpec extends SparkSpec {
       assert(packs.map(_._2).sorted.toSeq == (0 until packs.length).toSeq)
   }
 
+  test("vocab overlap: identical slices give jaccard 1, disjoint vocabularies give 0") {
+    import graft.operators.CorpusModel
+    val x = Seq((1L, "alpha beta gamma alpha"), (2L, "beta delta")).toDF("doc_id", "text")
+    val y = Seq((3L, "zz yy xx"), (4L, "ww vv")).toDF("doc_id", "text")
+    val same = CorpusModel.vocabOverlap(x, x, k = 10)
+      .select($"n_top_a", $"n_top_b", $"n_common", $"vocab_jaccard")
+      .as[(Long, Long, Long, Double)].head()
+    assert(same == ((4L, 4L, 4L, 1.0)))
+    val disjoint = CorpusModel.vocabOverlap(x, y, k = 10)
+      .select($"n_common", $"vocab_jaccard").as[(Long, Double)].head()
+    assert(disjoint == ((0L, 0.0)))
+    // k truncates deterministically: top-1 of x is "alpha" (count 2) vs
+    // top-1 of a slice where "beta" wins on the tie-break
+    val k1 = CorpusModel.vocabOverlap(x, x.filter($"doc_id" === 2L), k = 1)
+      .select($"n_common").as[Long].head()
+    assert(k1 == 0L, "top-1 sets {alpha} and {beta} must not overlap")
+  }
+
   test("tiered sample: per-row pct boundaries (0 drops, 100 keeps, tiers reproducible)") {
     val df = (0L until 200L).map(i => (i, i % 3)).toDF("id", "tier")
     assert(Sampling.tieredSample(df, "id", lit(0)).count() == 0)

@@ -28,8 +28,10 @@ class PlanLintSpec extends SparkSpec {
     "top10_customers",     // global TakeOrdered boundary
     "events_daily_filled", // 1-row min/max bounds seed the date spine
     "topk_words_sketch",   // the merged sketch is one scalar state row
-    "bm25_search")         // 1-row corpus stats (N, Σdl) seed the scoring;
+    "bm25_search",         // 1-row corpus stats (N, Σdl) seed the scoring;
                            // the top-k itself is a TakeOrdered
+    "vocab_drift")         // one overlap-stats row from two TakeOrdered
+                           // top-k sets
 
   test("no cartesian product in any contract plan") {
     for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
