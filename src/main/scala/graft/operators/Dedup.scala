@@ -688,25 +688,64 @@ object Dedup {
     * shard the filter by gram hash at larger vocabularies); the semi join
     * then shuffles only the ~1% false-positive stragglers of clean probes
     * instead of every probe gram. */
+  /** The corpus's distinct word-n-gram frame — the verify-side input of both
+    * contamination operators and the Bloom source. An ingest-time artifact
+    * at scale: one corpus pass, consumed by every probe set thereafter. */
+  def corpusGramFrame(corpus: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    // fanOut first: a single-split corpus would serialize the explode
+    fanOutSmallInput(corpus)
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Distributed Bloom build over a distinct-gram frame via Spark's native
+    * `BloomFilterAggregate`: per-partition partial filters OR-merged at the
+    * reducer — no driver-side insertion loop (`df.stat.bloomFilter` collects
+    * every gram to the driver and inserts single-threaded). Keyed on
+    * xxhash64(gram); sized by the standard optimal-bits formula. */
+  def buildGramBloom(corpusGrams: DataFrame, expectedGrams: Long,
+                     fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(math.max(1L, expectedGrams), fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("gram"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(math.max(1L, expectedGrams)),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+    corpusGrams.agg(ColumnBridge.column(agg).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+  }
+
+  /** Codegen'd membership probe against a serialized Bloom filter built by
+    * [[buildGramBloom]] — Spark's native `BloomFilterMightContain` over the
+    * filter bytes embedded as a plan literal (broadcast with the task
+    * binary), in place of a per-row Scala udf. */
+  def mightContainHash(bloomBytes: Array[Byte], hashed: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(hashed)))
+  }
+
   def ngramContaminationBloom(corpus: DataFrame, probes: DataFrame, n: Int,
                               expectedGrams: Long = 0L, fpp: Double = 0.01,
                               idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
-    val spark = corpus.sparkSession
+                              textCol: String = "text",
+                              prebuilt: Option[(DataFrame, Array[Byte])] = None): DataFrame = {
     val grams = TextAnalysis.wordNgrams(col(textCol), n)
-    // fanOut first: a single-split corpus would serialize the explode.
-    // Eagerly materialized so the three consumers below (count, Bloom
-    // build, semi join) share one explode+distinct instead of re-running it.
-    val corpusGrams = fanOutSmallInput(corpus)
-      .select(explode(grams).as("gram")).distinct().localCheckpoint(true)
-    val items = if (expectedGrams > 0) expectedGrams
-                else math.max(1L, corpusGrams.count())
-    val bloom = corpusGrams.stat.bloomFilter("gram", items, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    // `prebuilt` = the (distinct-gram frame, Bloom bytes) ingest artifacts —
+    // the production shape; built here once (eagerly, shared by the sizing
+    // count, the build, and the semi join) only when the caller has none.
+    val (corpusGrams, bloomBytes) = prebuilt.getOrElse {
+      val g = corpusGramFrame(corpus, n, textCol).localCheckpoint(true)
+      val items = if (expectedGrams > 0) expectedGrams else math.max(1L, g.count())
+      (g, buildGramBloom(g, items, fpp))
+    }
     val probeGrams = fanOutSmallInput(probes)
       .select(col(idCol), explode(array_distinct(grams)).as("gram"))
-      .filter(mightContain(col("gram"))) // map-side shed: no shuffle for rejected grams
+      // map-side shed: rejected grams never reach the semi-join exchange
+      .filter(mightContainHash(bloomBytes, xxhash64(col("gram"))))
     val matched = probeGrams.join(corpusGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
     probes.select(col(idCol), size(array_distinct(grams)).as("n_grams"))
