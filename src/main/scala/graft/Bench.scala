@@ -28,6 +28,18 @@ object Bench {
     // production, so charging it to one query misstates that operator's
     // steady-state cost — see SparkEntry.warmIngestArtifacts
     try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
+    // machine-contention calibration: a fixed-cost 10M-row codegen scan with
+    // NO data dependence, timed like a query but kept out of the total. Its
+    // value only moves with the machine (CPU contention, JIT state), so
+    // round-over-round driver totals can be normalized against it instead of
+    // chasing phantom regressions (BASELINE.md documents 2x contention swings).
+    val calibration = {
+      import org.apache.spark.sql.functions.{sum, xxhash64, col}
+      spark.range(10_000_000L).agg(sum(xxhash64(col("id")))).count() // JIT pass
+      val t0 = System.nanoTime()
+      spark.range(10_000_000L).agg(sum(xxhash64(col("id") + 1))).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -45,7 +57,7 @@ object Bench {
     // queries does not (r01/r02 both recorded parsed:null), so the printed line
     // carries the total plus a fixed headline subset and points at the file.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"queries":${fmt(results)},"sf":"$sfDir","n_queries":${results.size}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     val headline = Seq(
@@ -56,7 +68,7 @@ object Bench {
       "ngram_jaccard_neardup", "incremental_neardup",
       "ann_topk_brute", "ann_topk_ivf", "asof_assignment", "funnel_levels")
       .flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(headline)},"sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration":${num(calibration)},"queries":${fmt(headline)},"sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

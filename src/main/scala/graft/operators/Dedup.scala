@@ -237,7 +237,8 @@ object Dedup {
                         textCol: String = "text", idCol: String = "doc_id",
                         maxDenseJoinRows: Double = 5e8,
                         directDensityFactor: Double = 0.5,
-                        maxDirectDocs: Long = 100000L): DataFrame = {
+                        maxDirectDocs: Long = 100000L,
+                        maxDirectBroadcastBytes: Long = 64L << 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val grams = fanOutSmallInput(docs).select(
         col(idCol).as("id"),
@@ -265,8 +266,17 @@ object Dedup {
     val joinRows = gramDf.agg(coalesce(sum(col("df").cast("double") * col("df")),
                                        lit(0.0)))
       .first().getDouble(0)
-    val nDocs = grams.count() // cheap: grams is checkpointed
-    if (nDocs <= maxDirectDocs &&
+    // cheap: grams is checkpointed; one pass yields both dispatch stats
+    val st = grams.agg(count(lit(1)), coalesce(sum(size(col("g"))), lit(0L))).first()
+    val (nDocs, totalGrams) = (st.getLong(0), st.getLong(1))
+    // the direct plan BROADCASTS the hashed-gram table — estimate its bytes
+    // (8 B per hashed gram + per-row overhead) and refuse the branch when it
+    // exceeds the budget: at 100x scale an unguarded broadcast nested-loop
+    // would OOM the executors before the O(n^2) gate is even the problem.
+    // The fallback is the count-based posting plan (dense universes are
+    // exactly where it is the designed alternative), then prefix-filtered.
+    val directBytes = totalGrams * 8L + nDocs * 48L
+    if (nDocs <= maxDirectDocs && directBytes <= maxDirectBroadcastBytes &&
         joinRows > directDensityFactor * nDocs.toDouble * nDocs.toDouble) {
       // DIRECT plan: the cross join carries ONLY hashed arrays and sizes
       // (the string arrays stay out of the broadcast and the per-pair row
@@ -441,7 +451,8 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
                         keyCol: String = "key", idCol: String = "doc_id",
-                        directJoinFactor: Double = 4.0): DataFrame = {
+                        directJoinFactor: Double = 4.0,
+                        maxDirectKeyBytes: Long = 64L << 20): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(q >= 1, "q must be >= 1")
     val kq = maxDist * q
@@ -482,7 +493,15 @@ object Dedup {
     val g = math.max(1L, keys
       .select(explode(col("g")).as("gram"))
       .agg(approx_count_distinct(col("gram"))).first().getLong(0)).toDouble
-    val prefixWins = g * beta > directJoinFactor * (kq + 1.0) * (kq + 1.0)
+    // the direct plan is only sane while the key table is broadcast-sized:
+    // its length equi-join has ~2k+1 distinct keys, so a shuffled fallback
+    // would funnel the whole corpus through a handful of reducers. Estimate
+    // the table's bytes from the same per-length histogram (2 B/char UTF-16
+    // + per-row overhead) and force the prefix plan over budget.
+    val keyBytes = lenCounts.iterator
+      .map { case (l, c) => (l.toLong * 2L + 48L) * c }.sum
+    val prefixWins = g * beta > directJoinFactor * (kq + 1.0) * (kq + 1.0) ||
+      keyBytes > maxDirectKeyBytes
 
     if (!prefixWins) {
       // DIRECT: keeping only the orientation where the exploding side has

@@ -126,6 +126,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram direct branch: over-budget broadcast falls back to posting plan, same result") {
+    // every doc shares the same 4 bigrams (df ≈ n per gram → Σdf² ≈ G·n²),
+    // so the density dispatch picks the DIRECT broadcast nested-loop branch
+    // under the default byte budget...
+    val dense = (0L until 12L).map { i =>
+      (i, "alpha beta gamma delta " + (if (i % 2 == 0) "epsilon" else "zeta"))
+    }.toDF("doc_id", "text")
+    val direct = Dedup.ngramJaccardPairs(dense, threshold = 0.5, n = 2)
+    assert(direct.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "fixture must engage the direct branch under the default budget")
+    // ...and with a 1-byte budget the branch must be refused: no BNLJ
+    // anywhere in the plan, identical pairs from the count-based fallback
+    val guarded = Dedup.ngramJaccardPairs(dense, threshold = 0.5, n = 2,
+      maxDirectBroadcastBytes = 1L)
+    assert(!guarded.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "over-budget corpus must not plan a broadcast nested-loop join")
+    val a = direct.select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val b = guarded.select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty, s"fallback must be result-identical: $a vs $b")
+  }
+
+  test("editdist direct lane: over-budget key table forces the prefix plan, same result") {
+    val rnd = new scala.util.Random(11)
+    // tiny alphabet → dense gram universe → the dispatch picks DIRECT
+    val keys = (0L until 40L).map(i =>
+      (i, (0 until 12).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)).toDF("doc_id", "key")
+    val direct = Dedup.editDistancePairs(keys, maxDist = 1, keyCol = "key")
+    assert(!direct.queryExecution.executedPlan.toString.contains("collect_list"),
+      "fixture must engage the direct banded lane (no prefix collect_list) under the default budget")
+    val guarded = Dedup.editDistancePairs(keys, maxDist = 1, keyCol = "key",
+      maxDirectKeyBytes = 1L)
+    assert(guarded.queryExecution.executedPlan.toString.contains("collect_list"),
+      "over-budget key table must route through the prefix plan")
+    val a = direct.select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
+    val b = guarded.select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, s"fallback must be result-identical: missing=${a -- b} extra=${b -- a}")
+  }
+
   test("edit-distance pairs equal brute-force thresholded levenshtein (exact, with distances)") {
     // fixture stresses every routing path: exact dups, typo pairs, short
     // strings (no real q-grams), a degenerate-repetitive long string whose

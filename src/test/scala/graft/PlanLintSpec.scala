@@ -33,6 +33,29 @@ class PlanLintSpec extends SparkSpec {
     "vocab_drift")         // one overlap-stats row from two TakeOrdered
                            // top-k sets
 
+  // broadcast nested-loop joins: quadratic like a cartesian, just with one
+  // side shipped whole to every executor — it slips the CartesianProduct
+  // lint because it is a different physical node. Allow-listed only where a
+  // brute-force lane is the documented design AND byte-budget-guarded
+  // (ngramJaccardPairs.maxDirectBroadcastBytes; ann brute force broadcasts
+  // the bounded QUERY set, never the corpus).
+  private val bnljAllowed = Set(
+    "ann_topk_brute",        // baseline lane: bounded query set broadcast
+    "ann_topk_ivf",          // queries x bounded centroid table (cells ≤ nlist)
+    "ngram_jaccard_neardup") // direct branch, guarded by maxDirectBroadcastBytes
+
+  test("no broadcast nested-loop join outside allow-listed brute-force lanes") {
+    // scalarOutput queries are additionally exempt: their BNLJs join ONE-ROW
+    // aggregate frames (corpus stats, overlap algebra) — constant-size by
+    // construction, not a quadratic risk
+    for ((name, fn) <- SparkEntry.queries
+         if !streaming(name) && !bnljAllowed(name) && !scalarOutput(name)) {
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a broadcast nested-loop join:\n$plan")
+    }
+  }
+
   test("no cartesian product in any contract plan") {
     for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
