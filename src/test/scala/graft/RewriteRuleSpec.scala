@@ -66,12 +66,72 @@ class RewriteRuleSpec extends SparkSpec {
     val df = LatestWins.latestRows(nullable, Seq("user_id"), col("assigned_at"))
     assert(df.queryExecution.optimizedPlan.toString.contains("Window"),
       "nullable sort key must keep the window form")
-    // rank() instead of row_number(): not eligible
-    val ranked = log.withColumn("r",
+    // nullable sort key blocks the rank form too
+    val rankedNullable = nullable.withColumn("r",
         rank().over(org.apache.spark.sql.expressions.Window
           .partitionBy($"user_id").orderBy($"assigned_at".desc)))
       .filter($"r" === 1).drop("r")
-    assert(ranked.queryExecution.optimizedPlan.toString.contains("Window"))
-    ranked.collect() // and still executes fine
+    assert(rankedNullable.queryExecution.optimizedPlan.toString.contains("Window"))
+    // ntile() (not a top-1 idiom): never eligible
+    val tiled = log.withColumn("r",
+        ntile(2).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"assigned_at".desc)))
+      .filter($"r" === 1).drop("r")
+    assert(tiled.queryExecution.optimizedPlan.toString.contains("Window"))
+    tiled.collect() // and still executes fine
+  }
+
+  private def rankForm(fn: org.apache.spark.sql.Column) = log.withColumn("r",
+      fn.over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"assigned_at".desc, $"seq".desc)))
+    .filter($"r" === 1)
+
+  test("rank()=1 and dense_rank()=1 rewrite to extreme-join, keeping ties") {
+    for (fn <- Seq(rank(), dense_rank())) {
+      val df = rankForm(fn)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Window"), s"window should be rewritten:\n$optimized")
+      assert(optimized.contains("Join"), s"expected extreme-join form:\n$optimized")
+      val rows = df.select($"user_id", $"value").as[(String, Boolean)].collect().toMap
+      assert(rows == Map("u1" -> false, "u2" -> false, "u3" -> true))
+    }
+  }
+
+  test("rank rewrite keeps ALL tied top rows (row_number would keep one)") {
+    // u1 has two rows tied on the full sort key — rank()=1 must return both
+    val tied = Seq(("u1", "click", 10L), ("u1", "view", 10L), ("u1", "old", 5L),
+                   ("u2", "solo", 1L)).toDF("user_id", "etype", "ord")
+    for (fn <- Seq(rank(), dense_rank())) {
+      val df = tied.withColumn("r",
+          fn.over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"ord".desc)))
+        .filter($"r" === 1)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
+      val got = df.select($"user_id", $"etype").as[(String, String)].collect().toSet
+      assert(got == Set(("u1", "click"), ("u1", "view"), ("u2", "solo")),
+        s"ties must all survive: $got")
+    }
+  }
+
+  test("rank rewrite equals the window form (rule off) incl. ascending and r column") {
+    // fresh frames on each call: queryExecution is cached per DataFrame, so
+    // the rule-off comparison must rebuild the plan
+    def ascForm() = log.withColumn("r",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"assigned_at".asc, $"seq".asc)))
+      .filter($"r" === 1)
+    val withRule = rankForm(rank()).collect().toSet
+    val ascRewritten = ascForm()
+    val ascWith = ascRewritten.collect().toSet
+    assert(!ascRewritten.queryExecution.optimizedPlan.toString.contains("Window"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteLatestWinsWindow)
+    try {
+      assert(rankForm(rank()).collect().toSet == withRule)
+      assert(ascForm().collect().toSet == ascWith)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteLatestWinsWindow
+    }
   }
 }
