@@ -150,7 +150,9 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    // hot-bucket salt guard (see saltedBandJoin): template floods would
+    // otherwise serialize the banding self-join on one reducer
+    val candidates = saltedBandJoin(a, b, "id_a")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -539,6 +541,51 @@ object Dedup {
     verified(weakCand.unionByName(prefCand).distinct())
   }
 
+  /** Equi-join two LSH index frames on (band, bucket) with HOT-BUCKET
+    * salting — the skew guard for template-heavy corpora, where one bucket
+    * holds thousands of near-identical docs and a plain shuffle join funnels
+    * its whole pair grid through one reducer (the aggregation-side analogue
+    * is [[graft.operators.Skew.saltedAggregate]]).
+    *
+    * Buckets whose LEFT-side size exceeds `cap` (one metadata-sized agg over
+    * the left frame — the batch index in the incremental probe) get their
+    * left rows salted by hash(id) mod `salt` and their right rows replicated
+    * across all `salt` stripes, splitting the hot pair grid over `salt`
+    * reducers; cold buckets pay a constant salt of 0 and no replication.
+    * Every joined pair appears exactly once (for its left row's stripe), so
+    * the result multiset is identical to the plain join — spec-pinned. */
+  /** Hot-bucket detection for [[saltedBandJoin]]: one metadata-sized agg
+    * over the (small, usually checkpointed) left index frame. Callers that
+    * run several joins off the same left frame compute this once. */
+  private[graft] def hotBuckets(left: DataFrame, cap: Long = 2048L): DataFrame =
+    left.groupBy("band", "bucket").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > cap)
+      .select(col("band"), col("bucket"), lit(true).as("__hot"))
+      .localCheckpoint(true)
+
+  private[graft] def saltedBandJoin(left: DataFrame, right: DataFrame,
+                                    leftIdCol: String, salt: Int = 8,
+                                    cap: Long = 2048L,
+                                    hotOpt: Option[DataFrame] = None): DataFrame = {
+    val hot = hotOpt.getOrElse(hotBuckets(left, cap))
+    // cold corpora (the common case) skip the salt machinery entirely — the
+    // tag-join + per-row explode on the big side is pure overhead when no
+    // bucket is hot, and the detection agg above is the only cost paid
+    if (hot.isEmpty) return left.join(right, Seq("band", "bucket"))
+    val lt = left.join(broadcast(hot), Seq("band", "bucket"), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+             pmod(xxhash64(col(leftIdCol)), lit(salt)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val rt = right.join(broadcast(hot), Seq("band", "bucket"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot").isNotNull, sequence(lit(0), lit(salt - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    lt.join(rt, Seq("band", "bucket", "__salt")).drop("__salt")
+  }
+
   // ---------------------------------------------------------------- incremental
 
   /** The persisted LSH index of a corpus: one (doc_id, band, bucket) row per
@@ -586,19 +633,24 @@ object Dedup {
                                 shingleK: Int = 5, numHashes: Int = 128,
                                 bands: Int = 32, seed: Long = 42L,
                                 estMargin: Double = 0.2,
-                                corpusSigs: Option[DataFrame] = None): DataFrame = {
+                                corpusSigs: Option[DataFrame] = None,
+                                skewSalt: Int = 8, skewCap: Long = 2048L): DataFrame = {
     val newIndex = lshIndex(newDocs, textCol, idCol, shingleK, numHashes, bands, seed)
       .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
-    // candidates vs the historical index + within the new batch itself
-    val vsCorpus = a.join(corpusIndex
-        .select(col("band"), col("bucket"), col(idCol).as("id_old")),
-        Seq("band", "bucket"))
+    // candidates vs the historical index + within the new batch itself;
+    // both joins go through the hot-bucket salt guard: on a template-heavy
+    // corpus one bucket can hold much of the batch, and an unsalted shuffle
+    // join would push its whole pair grid through a single reducer
+    val hot = hotBuckets(a, skewCap)
+    val vsCorpus = saltedBandJoin(a, corpusIndex
+        .select(col("band"), col("bucket"), col(idCol).as("id_old")), "id_new",
+        skewSalt, skewCap, Some(hot))
       .filter(col("id_new") =!= col("id_old"))
       .select(least(col("id_new"), col("id_old")).as("id_a"),
               greatest(col("id_new"), col("id_old")).as("id_b"))
     val b = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_b2"))
-    val vsSelf = a.join(b, Seq("band", "bucket"))
+    val vsSelf = saltedBandJoin(a, b, "id_new", skewSalt, skewCap, Some(hot))
       .filter(col("id_new") < col("id_b2"))
       .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
     val candidates = vsCorpus.unionByName(vsSelf)

@@ -126,6 +126,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket salting: salted band join is multiset-identical to the plain join") {
+    // one bucket holds a flood (every doc shares it), another is cold;
+    // cap=4 forces the salt to engage on the flood bucket only
+    val flood = (0L until 40L).map(i => (0, 7L, i)) ++ Seq((0, 99L, 100L), (0, 99L, 101L))
+    val idx = flood.toDF("band", "bucket", "doc_id")
+    val l = idx.select($"band", $"bucket", $"doc_id".as("id_a"))
+    val r = idx.select($"band", $"bucket", $"doc_id".as("id_b"))
+    val plain = l.join(r, Seq("band", "bucket"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val salted = Dedup.saltedBandJoin(l, r, "id_a", salt = 4, cap = 4L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain, "salted join must preserve the exact pair multiset")
+    // and the fixture genuinely engages the hot path
+    assert(flood.groupBy(x => (x._1, x._2)).exists(_._2.size > 4))
+  }
+
+  test("template-flood probe: salted incremental near-dup equals brute force on new docs") {
+    // adversarial single-template corpus: 100 identical docs (every band
+    // bucket is hot) + distinct tails; cap forced to 8 so salting engages
+    // on BOTH the vs-corpus and the vs-self join
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = ((0L until 100L).map(i => (i, template)) ++
+      Seq((200L, "one fully distinct document body with its own words"),
+          (201L, "another unrelated text that matches nothing else here")))
+      .toDF("doc_id", "text")
+    val newDocs = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val index = Dedup.lshIndex(corpus)
+    val got = Dedup.incrementalNearDuplicates(newDocs, corpus, index,
+        threshold = 0.5, skewSalt = 4, skewCap = 8L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.bruteForceJaccardPairs(docs, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("ngram direct branch: over-budget broadcast falls back to posting plan, same result") {
     // every doc shares the same 4 bigrams (df ≈ n per gram → Σdf² ≈ G·n²),
     // so the density dispatch picks the DIRECT broadcast nested-loop branch
