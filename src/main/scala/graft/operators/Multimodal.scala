@@ -35,15 +35,23 @@ object Multimodal {
   final case class DecodedRow(media_id: Long, format: String, width: Int,
                               height: Int, n_frames: Int, n_bytes: Long)
 
+  /** A media decoder: bytes in, typed metadata out. Implementations must be
+    * serializable singletons — `decodeAll` ships them into `mapPartitions`
+    * closures. */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+  }
+
   /** STUB codec — deterministic fake in place of a real image/audio decoder.
     * Derives plausible metadata purely from the bytes so tests are stable.
     * A real deployment replaces this object with e.g. a JNI codec binding.
     *
     * The fake metadata is a pure function of md5(bytes) — 28 bits parsed from
     * the first 7 hex chars — so any engine with an md5 function can reproduce
-    * it exactly (the driver's DuckDB oracle does).
+    * it exactly (the driver's DuckDB oracle does). This keeps the ORACLE lane
+    * engine-portable; [[RealCodec]] is the real-bytes lane.
     */
-  object StubCodec {
+  object StubCodec extends Codec {
     val Formats = Vector("jpeg", "png", "webp", "wav")
     def decode(bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length
@@ -58,6 +66,53 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the pure-JVM container formats the JDK itself decodes —
+    * no native dependencies, safe inside executor JVMs:
+    *
+    *  - BMP / PNG / GIF / JPEG via `javax.imageio` (a genuine pixel decode —
+    *    dimensions are read from the decoded `BufferedImage`, not a header
+    *    sniff), `format` from the magic bytes;
+    *  - WAV via `javax.sound.sampled` — `width` carries the sample rate,
+    *    `height` the channel count, `n_frames` the PCM frame count (the
+    *    natural mapping of the meta struct onto audio);
+    *  - anything unrecognized falls back to [[StubCodec]], so mixed-media
+    *    (or synthetic-test) corpora still decode every row.
+    *
+    * Construction cost is why [[decodeAll]] is `mapPartitions`: ImageIO's
+    * reader registry lookup is amortized per partition, the per-row work is
+    * the decode itself. */
+  object RealCodec extends Codec {
+    private def magic(b: Array[Byte], at: Int, m: Int*): Boolean =
+      b.length >= at + m.length &&
+        m.zipWithIndex.forall { case (v, i) => (b(at + i) & 0xff) == v }
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val fmt =
+        if (magic(bytes, 0, 0x42, 0x4d)) Some("bmp")
+        else if (magic(bytes, 0, 0x89, 0x50, 0x4e, 0x47)) Some("png")
+        else if (magic(bytes, 0, 0x47, 0x49, 0x46, 0x38)) Some("gif")
+        else if (magic(bytes, 0, 0xff, 0xd8, 0xff)) Some("jpeg")
+        else if (magic(bytes, 0, 0x52, 0x49, 0x46, 0x46) &&
+                 magic(bytes, 8, 0x57, 0x41, 0x56, 0x45)) Some("wav")
+        else None
+      fmt match {
+        case Some("wav") =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            MediaMeta("wav", f.getSampleRate.toInt, f.getChannels,
+                      in.getFrameLength.toInt)
+          } finally in.close()
+        case Some(imageFmt) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) StubCodec.decode(bytes) // recognized magic, corrupt body
+          else MediaMeta(imageFmt, img.getWidth, img.getHeight, 1)
+        case None => StubCodec.decode(bytes)
+      }
+    }
+  }
+
   /** Synthesize a media table from any table with an id + string column —
     * the bytes are the UTF-8 encoding (real binary plumbing, fake media). */
   def syntheticMediaTable(docs: DataFrame, idCol: String = "doc_id",
@@ -66,15 +121,18 @@ object Multimodal {
                 encode(col(textCol), "UTF-8").as("content"))
 
   /** Decode pass: `mapPartitions` over the typed rows — the batched-UDF
-    * shape. Partition-local codec reuse; output is columnar-friendly. */
-  def decodeAll(media: DataFrame): Dataset[DecodedRow] = {
+    * shape. Partition-local codec reuse; output is columnar-friendly.
+    * `codec` defaults to the oracle-portable [[StubCodec]]; pass
+    * [[RealCodec]] to decode actual BMP/PNG/GIF/JPEG/WAV bytes. */
+  def decodeAll(media: DataFrame, codec: Codec = StubCodec): Dataset[DecodedRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
-        // (a real codec would be constructed once here, per partition)
+        // codec singleton resolved once per partition; per-row work is the
+        // decode itself
         rows.map { r =>
-          val m = StubCodec.decode(r.content)
+          val m = codec.decode(r.content)
           DecodedRow(r.media_id, m.format, m.width, m.height, m.n_frames,
                      r.content.length.toLong)
         }

@@ -695,4 +695,50 @@ class PipelineOpsSpec extends SparkSpec {
     val twice = Multimodal.decodeAll(media).toDF().collect().toSet
     assert(twice == decoded.collect().toSet)
   }
+
+  test("real codec: actual BMP/PNG/WAV byte streams decode through decodeAll") {
+    // real containers produced by the JDK's own encoders — the binary-column
+    // contract meets genuine byte streams, not synthetic UTF-8
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must encode $fmt")
+      bos.toByteArray
+    }
+    def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = Array.tabulate(frames * channels * 2)(i => (i * 37 % 251).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("bmp", 37, 21)),
+      (2L, imageBytes("png", 64, 48)),
+      (3L, wavBytes(8000f, 1, 500)),
+      (4L, "not a media container at all".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "content")
+    val got = Multimodal.decodeAll(media, Multimodal.RealCodec).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).format == "bmp" && got(1L).width == 37 && got(1L).height == 21
+      && got(1L).n_frames == 1)
+    assert(got(2L).format == "png" && got(2L).width == 64 && got(2L).height == 48)
+    assert(got(3L).format == "wav" && got(3L).width == 8000 && got(3L).height == 1
+      && got(3L).n_frames == 500)
+    // unrecognized bytes fall back to the deterministic stub — same row the
+    // stub lane would emit, so mixed corpora stay total
+    val stub = Multimodal.StubCodec.decode(rows(3)._2)
+    assert(got(4L).format == stub.format && got(4L).width == stub.width)
+    // resize/frame plans compose over real metadata too
+    val planned = Multimodal.resizePlan(
+      Multimodal.decodeAll(media, Multimodal.RealCodec).toDF(), maxSide = 32)
+    val bmp = planned.filter($"media_id" === 1L)
+      .select($"out_width", $"out_height").as[(Int, Int)].collect()(0)
+    assert(bmp == ((32, 18)), s"aspect-fit resize of 37x21 into 32: $bmp")
+  }
 }
