@@ -911,6 +911,38 @@ object SparkEntry {
       TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
       .orderBy("doc_id")
 
+  private val BpeNumMerges = 40
+
+  // learned merges per (session identity, sfDir) — training is one
+  // vocabulary-sized shuffle + a driver loop, run once per corpus like the
+  // corpus-model bigram table; the last-trained list feeds the data-dependent
+  // oracle generation below (Verify dumps oracle SQL AFTER running queries)
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(String, String)]]()
+  @volatile private var lastBpeMerges: Option[Seq[(String, String)]] = None
+
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val m = bpeMergeCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => BpeModel.learnMerges(t(s, dir, "documents"), BpeNumMerges))
+    lastBpeMerges = Some(m)
+    m
+  }
+
+  /** Learned-vocabulary BPE token counts ([[BpeModel]]): merges trained on
+    * the corpus's own word-type dictionary, applied per doc by the native
+    * expression. The oracle replays the LEARNED merges as literal nested
+    * `replace()` calls over the separator-wrapped encoding — the same
+    * embedded-constants technique as [[srpOracleSql]], here with
+    * data-dependent constants (generated after the query has trained). */
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesFor(s, dir)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"),
+        graft.functions.NativeExprs.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   private def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(t(s, dir, "embeddings"))
       .orderBy("label", "pos")
@@ -1409,6 +1441,7 @@ object SparkEntry {
     "dedup_exact_demo"     -> (dedupExactDemo _),
     "dedup_exact_stats"    -> (dedupExactStats _),
     "text_quality"         -> (textQuality _),
+    "bpe_tokens"           -> (bpeTokens _),
     "embedding_centroids"  -> (embeddingCentroids _),
     "dedup_clusters"       -> (dedupClusters _),
     "incremental_clusters" -> (incrementalClusters _),
@@ -2654,5 +2687,17 @@ object SparkEntry {
                  array_to_string(plan, ',') AS frame_plan
           FROM z ORDER BY media_id"""
     },
+
+    // Data-dependent oracle: the LEARNED merges are embedded as literals
+    // once bpe_tokens has trained them (Verify runs every query before it
+    // dumps oracle SQL, so the real SQL is always what lands in the dump).
+    // The untrained placeholder is schema-shaped but empty — it can only be
+    // reached by comparing a result that was never produced, and then it
+    // fails LOUDLY rather than vacuously passing.
+    "bpe_tokens" -> lastBpeMerges.map(BpeModel.oracleTokenSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_words,
+                           CAST(NULL AS BIGINT) AS n_bpe_tokens
+                    WHERE 1 = 0"""),
   )
 }

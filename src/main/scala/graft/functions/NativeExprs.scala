@@ -58,6 +58,11 @@ object NativeExprs {
   /** Stopword/CJK language ID; matches `TextAnalysis.langId`. */
   def langId(text: Column): Column = col(LangIdExpr(expr(text)))
 
+  /** Per-doc learned-BPE token count under `merges`; matches
+    * `BpeModel.docTokenCounts` / the replace-chain column form exactly. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeTokenCountExpr(expr(text), merges))
+
   /** Distinct hashed character k-shingles of the NORMALIZED text; matches
     * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
     * Normalization is composed here so the two forms agree on raw input. */
@@ -370,6 +375,63 @@ case class CosineSimExpr(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Per-document learned-BPE token count: tokenize `[a-z]+` word runs of the
+  * lowercased text (the [[graft.operators.BpeModel]] word basis), apply the
+  * learned merges to each word, sum the symbol counts. One pass per row; a
+  * per-partition word memo makes the per-word merge loop cost ∝ DISTINCT
+  * words, not corpus words. Exact-match reference forms:
+  * `BpeModel.tokenCountChain` (column replace-chain, what the DuckDB oracle
+  * replays) and `BpeModel.docTokenCounts` (distinct-word join). */
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val memo = new java.util.HashMap[String, java.lang.Integer]()
+  @transient private lazy val wordRe = java.util.regex.Pattern.compile("[a-z]+")
+
+  private def countWord(w: String): Int = {
+    val hit = memo.get(w)
+    if (hit != null) return hit.intValue()
+    val n = graft.operators.BpeModel.tokenizeCount(w, merges)
+    if (memo.size() >= (1 << 16)) memo.clear() // bound executor memory
+    memo.put(w, n)
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    var total = 0L
+    if (t.numBytes() == t.numChars()) {
+      // ASCII fast path: the same byte-run tokenization WordHashTokenizer
+      // uses, which equals regexp [a-z]+ over lower() for ASCII input
+      val bytes = t.getBytes
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i <= bytes.length) {
+        if (i < bytes.length) {
+          val c = bytes(i)
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+          if (lc >= 'a' && lc <= 'z') { sb.append(lc.toChar); i += 1 }
+          else {
+            if (sb.length > 0) { total += countWord(sb.toString); sb.setLength(0) }
+            i += 1
+          }
+        } else {
+          if (sb.length > 0) total += countWord(sb.toString)
+          i += 1
+        }
+      }
+    } else {
+      // non-ASCII fallback through the same primitives the SQL form uses:
+      // lower() then regex [a-z]+ extraction
+      val m = wordRe.matcher(t.toLowerCase.toString)
+      while (m.find()) total += countWord(m.group())
+    }
+    total
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class NormalizeTextExpr(child: Expression)
