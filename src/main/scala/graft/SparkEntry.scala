@@ -1010,8 +1010,10 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val index = materialized(s, dir, "lsh_index_hist") { Dedup.lshIndex(corpus) }
       val sigs = materialized(s, dir, "lsh_sigs_hist") { Dedup.lshSignatures(corpus) }
+      val hot = materialized(s, dir, "lsh_index_hist_hot") { Dedup.hotBuckets(index) }
       Dedup.incrementalNearDuplicates(docs.filter(col("doc_id") % 5 === 0),
-          corpus, index, threshold = 0.5, corpusSigs = Some(sigs))
+          corpus, index, threshold = 0.5, corpusSigs = Some(sigs),
+          corpusHot = Some(hot))
         .select("id_a", "id_b")
     }
 
@@ -1175,8 +1177,12 @@ object SparkEntry {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val index = materialized(s, dir, "lsh_index_hist") { Dedup.lshIndex(corpus) }
     val sigs = materialized(s, dir, "lsh_sigs_hist") { Dedup.lshSignatures(corpus) }
+    // the historical bucket HISTOGRAM is an ingest-time artifact like the
+    // index itself — it feeds the right-side (hot historical bucket) lane
+    // of the skew guard without a corpus-sized scan in the timed probe
+    val hot = materialized(s, dir, "lsh_index_hist_hot") { Dedup.hotBuckets(index) }
     Dedup.incrementalNearDuplicates(newDocs, corpus, index, threshold = 0.5,
-        corpusSigs = Some(sigs))
+        corpusSigs = Some(sigs), corpusHot = Some(hot))
       .orderBy("id_a", "id_b")
   }
 

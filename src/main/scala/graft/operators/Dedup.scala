@@ -566,23 +566,52 @@ object Dedup {
   private[graft] def saltedBandJoin(left: DataFrame, right: DataFrame,
                                     leftIdCol: String, salt: Int = 8,
                                     cap: Long = 2048L,
-                                    hotOpt: Option[DataFrame] = None): DataFrame = {
-    val hot = hotOpt.getOrElse(hotBuckets(left, cap))
+                                    hotOpt: Option[DataFrame] = None,
+                                    rightIdCol: Option[String] = None,
+                                    rightHotOpt: Option[DataFrame] = None): DataFrame = {
+    val leftHot = hotOpt.getOrElse(hotBuckets(left, cap))
+    // Per-bucket salting mode: 1 = hot on the LEFT (salt left rows by id,
+    // replicate right across stripes — also covers hot-on-both, splitting
+    // the grid S ways); 2 = hot on the RIGHT only (the asymmetric probe
+    // case: a few new docs hitting a huge historical bucket — salting by
+    // the FEW left ids cannot spread that grid, so the orientation flips:
+    // replicate left, salt right by id). Right-side hotness comes from the
+    // caller (`rightHotOpt`) because the right frame is corpus-sized — at
+    // ingest its bucket histogram is a persisted artifact, not a query-time
+    // scan.
+    val modes = (rightIdCol, rightHotOpt) match {
+      case (Some(_), Some(rh)) =>
+        leftHot.select(col("band"), col("bucket"), lit(1).as("__mode"))
+          .unionByName(rh.select(col("band"), col("bucket"), lit(2).as("__mode")))
+          .groupBy(col("band"), col("bucket")).agg(min(col("__mode")).as("__mode"))
+          .localCheckpoint(true)
+      case _ =>
+        leftHot.select(col("band"), col("bucket"), lit(1).as("__mode"))
+    }
     // cold corpora (the common case) skip the salt machinery entirely — the
     // tag-join + per-row explode on the big side is pure overhead when no
     // bucket is hot, and the detection agg above is the only cost paid
-    if (hot.isEmpty) return left.join(right, Seq("band", "bucket"))
-    val lt = left.join(broadcast(hot), Seq("band", "bucket"), "left")
-      .withColumn("__salt",
-        when(col("__hot").isNotNull,
-             pmod(xxhash64(col(leftIdCol)), lit(salt)).cast("int"))
-          .otherwise(lit(0)))
-      .drop("__hot")
-    val rt = right.join(broadcast(hot), Seq("band", "bucket"), "left")
-      .withColumn("__salt",
-        explode(when(col("__hot").isNotNull, sequence(lit(0), lit(salt - 1)))
-          .otherwise(array(lit(0)))))
-      .drop("__hot")
+    if (modes.isEmpty) return left.join(right, Seq("band", "bucket"))
+    val hashSalt = array(pmod(xxhash64(col(leftIdCol)), lit(salt)).cast("int"))
+    val allSalts = sequence(lit(0), lit(salt - 1))
+    val coldSalt = array(lit(0))
+    val lt = left.join(broadcast(modes), Seq("band", "bucket"), "left")
+      .withColumn("__salt", explode(
+        when(col("__mode") === 1, hashSalt)
+          .when(col("__mode") === 2, allSalts)
+          .otherwise(coldSalt)))
+      .drop("__mode")
+    val rtSalted = rightIdCol match {
+      case Some(rid) =>
+        when(col("__mode") === 1, allSalts)
+          .when(col("__mode") === 2, array(pmod(xxhash64(col(rid)), lit(salt)).cast("int")))
+          .otherwise(coldSalt)
+      case None =>
+        when(col("__mode") === 1, allSalts).otherwise(coldSalt)
+    }
+    val rt = right.join(broadcast(modes), Seq("band", "bucket"), "left")
+      .withColumn("__salt", explode(rtSalted))
+      .drop("__mode")
     lt.join(rt, Seq("band", "bucket", "__salt")).drop("__salt")
   }
 
@@ -634,7 +663,8 @@ object Dedup {
                                 bands: Int = 32, seed: Long = 42L,
                                 estMargin: Double = 0.2,
                                 corpusSigs: Option[DataFrame] = None,
-                                skewSalt: Int = 8, skewCap: Long = 2048L): DataFrame = {
+                                skewSalt: Int = 8, skewCap: Long = 2048L,
+                                corpusHot: Option[DataFrame] = None): DataFrame = {
     val newIndex = lshIndex(newDocs, textCol, idCol, shingleK, numHashes, bands, seed)
       .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
@@ -645,7 +675,8 @@ object Dedup {
     val hot = hotBuckets(a, skewCap)
     val vsCorpus = saltedBandJoin(a, corpusIndex
         .select(col("band"), col("bucket"), col(idCol).as("id_old")), "id_new",
-        skewSalt, skewCap, Some(hot))
+        skewSalt, skewCap, Some(hot), rightIdCol = Some("id_old"),
+        rightHotOpt = corpusHot)
       .filter(col("id_new") =!= col("id_old"))
       .select(least(col("id_new"), col("id_old")).as("id_a"),
               greatest(col("id_new"), col("id_old")).as("id_b"))

@@ -142,6 +142,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted == plain, "salted join must preserve the exact pair multiset")
     // and the fixture genuinely engages the hot path
     assert(flood.groupBy(x => (x._1, x._2)).exists(_._2.size > 4))
+
+    // asymmetric case: a hot bucket on the RIGHT only (a few new docs
+    // probing a huge historical bucket) — salting orientation flips to
+    // salt-right/replicate-left; multiset must still be identical
+    val tinyLeft = Seq((0, 7L, 500L), (0, 7L, 501L), (0, 99L, 502L))
+      .toDF("band", "bucket", "id_new")
+    val bigRight = ((0L until 40L).map(i => (0, 7L, i)) :+ ((0, 99L, 100L)))
+      .toDF("band", "bucket", "id_old")
+    val plainAsym = tinyLeft.join(bigRight, Seq("band", "bucket"))
+      .select($"id_new", $"id_old").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val rightHot = Dedup.hotBuckets(bigRight, cap = 4L)
+    assert(!rightHot.isEmpty, "fixture must have a right-hot bucket")
+    val saltedAsym = Dedup.saltedBandJoin(tinyLeft, bigRight, "id_new",
+        salt = 4, cap = 4L, rightIdCol = Some("id_old"),
+        rightHotOpt = Some(rightHot))
+      .select($"id_new", $"id_old").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(saltedAsym == plainAsym,
+      "right-hot salted join must preserve the exact pair multiset")
   }
 
   test("template-flood probe: salted incremental near-dup equals brute force on new docs") {
