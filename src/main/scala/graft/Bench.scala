@@ -34,10 +34,16 @@ object Bench {
     // round-over-round driver totals can be normalized against it instead of
     // chasing phantom regressions (BASELINE.md documents 2x contention swings).
     val calibration = {
-      import org.apache.spark.sql.functions.{sum, xxhash64, col}
-      spark.range(10_000_000L).agg(sum(xxhash64(col("id")))).count() // JIT pass
+      import org.apache.spark.sql.functions.{sum, xxhash64, col, shiftright}
+      // first() (NOT count()): count() prunes the aggregate away and would
+      // time an empty Range loop instead of the hash+sum work. The hashes
+      // are right-shifted into a 2^32 domain before summing — 10M full-range
+      // longs would overflow the ANSI sum.
+      def pass(offset: Int) = spark.range(10_000_000L)
+        .agg(sum(shiftright(xxhash64(col("id") + offset), 32))).first()
+      pass(0) // JIT pass
       val t0 = System.nanoTime()
-      spark.range(10_000_000L).agg(sum(xxhash64(col("id") + 1))).count()
+      pass(1)
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -936,10 +936,13 @@ object SparkEntry {
     * data-dependent constants (generated after the query has trained). */
   private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMergesFor(s, dir)
+    // coalesce to 0: a NULL text row null-propagates through size()/the
+    // native expression, while the oracle's LEFT JOIN + COALESCE emits 0/0
     t(s, dir, "documents").select(
         col("doc_id"),
-        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"),
-        graft.functions.NativeExprs.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+        coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L)).as("n_words"),
+        coalesce(graft.functions.NativeExprs.bpeTokenCount(col("text"), merges),
+                 lit(0L)).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 
@@ -959,10 +962,14 @@ object SparkEntry {
   // guards against a recycled identityHashCode aliasing a dead session's
   // entry; a tiny access-order LRU bounds what a long JVM can retain.
   private val materializedCache =
-    new java.util.LinkedHashMap[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]) =
-        size() > 8
+        // headroom above the 8 live labels (pair list, LSH index/sigs/hot,
+        // hist assignments, batch pairs, contamination grams/bloom): an
+        // eviction would silently push a warmed ingest artifact's rebuild
+        // into some timed query
+        size() > 16
     }
   /** A materialized (localCheckpoint) intermediate built once per (session,
     * sfDir, label) — the in-session stand-in for what production persists as

@@ -807,15 +807,30 @@ object Dedup {
   def buildGramBloom(corpusGrams: DataFrame, expectedGrams: Long,
                      fpp: Double = 0.01): Array[Byte] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(math.max(1L, expectedGrams), fpp)
-    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col("gram"))),
-        org.apache.spark.sql.catalyst.expressions.Literal(math.max(1L, expectedGrams)),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-      .toAggregateExpression()
-    corpusGrams.agg(ColumnBridge.column(agg).as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
+    val items = math.max(1L, expectedGrams)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
+    // BloomFilterAggregate silently clamps to the runtime-join-filter confs
+    // (maxNumBits 64M bits ≈ 7M grams at fpp 0.01, maxNumItems 4M) — a
+    // clamped filter would quietly realize a far worse FPP than requested,
+    // so raise the ceilings for the build and restore them after
+    val conf = corpusGrams.sparkSession.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val (prevBits, prevItems) = (conf.getOption(bitsKey), conf.getOption(itemsKey))
+    conf.set(bitsKey, math.max(numBits, 67108864L).toString)
+    conf.set(itemsKey, math.max(items, 4000000L).toString)
+    try {
+      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("gram"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(items),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression()
+      corpusGrams.agg(ColumnBridge.column(agg).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+    } finally {
+      prevBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
+      prevItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
+    }
   }
 
   /** Codegen'd membership probe against a serialized Bloom filter built by

@@ -95,21 +95,26 @@ object Multimodal {
         else if (magic(bytes, 0, 0x52, 0x49, 0x46, 0x46) &&
                  magic(bytes, 8, 0x57, 0x41, 0x56, 0x45)) Some("wav")
         else None
-      fmt match {
+      // a recognized magic with a corrupt BODY must not kill the job: both
+      // JDK decoders throw (UnsupportedAudioFileException, IIOException —
+      // ImageIO.read returns null only for some failure modes), so every
+      // path falls back to the stub on any decode error
+      try fmt match {
         case Some("wav") =>
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
             val f = in.getFormat
+            val frames = in.getFrameLength // NOT_SPECIFIED = -1 for some streams
             MediaMeta("wav", f.getSampleRate.toInt, f.getChannels,
-                      in.getFrameLength.toInt)
+                      if (frames >= 0 && frames <= Int.MaxValue) frames.toInt else 0)
           } finally in.close()
         case Some(imageFmt) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (img == null) StubCodec.decode(bytes) // recognized magic, corrupt body
           else MediaMeta(imageFmt, img.getWidth, img.getHeight, 1)
         case None => StubCodec.decode(bytes)
-      }
+      } catch { case scala.util.control.NonFatal(_) => StubCodec.decode(bytes) }
     }
   }
 

@@ -78,6 +78,12 @@ object RewriteLatestWinsWindow extends Rule[LogicalPlan] {
     if (!isRkEq1 || order.isEmpty) return None
     val dirs = order.map(_.direction).distinct
     if (dirs.length != 1 || order.exists(_.child.nullable)) return None
+    // this rewrite DUPLICATES the child subtree (probe side + aggregate
+    // side) and re-evaluates the sort expression on both — a
+    // non-deterministic child or sort key (rand(), monotonically
+    // increasing id) would compute a different extreme on each side and
+    // silently drop/duplicate rows vs the single-pass window form
+    if (!w.child.deterministic || order.exists(!_.child.deterministic)) return None
     val partRefs = w.partitionSpec.map {
       case a: AttributeReference => a
       case _ => return None

@@ -143,6 +143,31 @@ class NativeExprParitySpec extends SparkSpec {
     assert(d2 == 0)
   }
 
+  test("bpeTokenCount native == replace-chain reference form over real docs") {
+    import graft.operators.BpeModel
+    val merges = BpeModel.learnMerges(docs, numMerges = 24)
+    // reference form: explode words, per-word replace chain, sum per doc
+    val ref = docs.select($"doc_id",
+        explode(TextAnalysis.words($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"doc_id")
+      .agg(sum(BpeModel.tokenCountChain($"word", merges)).as("b"))
+    val d = docs.select($"doc_id",
+        NativeExprs.bpeTokenCount($"text", merges).as("a"))
+      .join(ref, Seq("doc_id"), "left")
+      .filter(not($"a" <=> coalesce($"b", lit(0L)))).count()
+    assert(d == 0)
+    // degenerate inputs
+    val weird = Seq("", "   ", "123 !!!", "AAA aaa AaA", "the").toDF("text")
+    val d2 = weird.select(
+        NativeExprs.bpeTokenCount($"text", merges).as("a"),
+        coalesce(aggregate(transform(TextAnalysis.words($"text"),
+          w => BpeModel.tokenCountChain(w, merges)), lit(0L), (acc, x) => acc + x),
+          lit(0L)).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(d2 == 0)
+  }
+
   test("stopwordRatio and repetitionRatio native == HOF") {
     val weird = Seq("", "   ", "the the the", "a b", "spam spam spam spam spam")
       .toDF("text")

@@ -741,7 +741,11 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, imageBytes("bmp", 37, 21)),
       (2L, imageBytes("png", 64, 48)),
       (3L, wavBytes(8000f, 1, 500)),
-      (4L, "not a media container at all".getBytes("UTF-8")))
+      (4L, "not a media container at all".getBytes("UTF-8")),
+      // recognized magic, corrupt body: decoder throws → stub fallback,
+      // never a task failure
+      (5L, "RIFF????WAVEgarbage-after-the-magic".getBytes("UTF-8")),
+      (6L, imageBytes("png", 8, 8).take(20)))
     val media = rows.toDF("media_id", "content")
     val got = Multimodal.decodeAll(media, Multimodal.RealCodec).collect()
       .map(r => r.media_id -> r).toMap
@@ -754,6 +758,12 @@ class PipelineOpsSpec extends SparkSpec {
     // stub lane would emit, so mixed corpora stay total
     val stub = Multimodal.StubCodec.decode(rows(3)._2)
     assert(got(4L).format == stub.format && got(4L).width == stub.width)
+    // corrupt bodies with real magic also fall back rather than failing
+    for (id <- Seq(5L, 6L)) {
+      val s = Multimodal.StubCodec.decode(rows.find(_._1 == id).get._2)
+      assert(got(id).format == s.format && got(id).width == s.width,
+        s"corrupt row $id must stub-fall-back")
+    }
     // resize/frame plans compose over real metadata too
     val planned = Multimodal.resizePlan(
       Multimodal.decodeAll(media, Multimodal.RealCodec).toDF(), maxSide = 32)
