@@ -97,6 +97,28 @@ class RewriteRuleSpec extends SparkSpec {
     }
   }
 
+  test("rank rewrite does NOT fire on non-deterministic sort keys or children") {
+    // the rewrite duplicates the child subtree; rand() would evaluate
+    // differently on the probe and aggregate sides — must stay a window.
+    // (A LocalRelation child would be pre-evaluated by the main optimizer,
+    // making the rewrite legal there — use a Range-backed child so the
+    // rand survives to our rule.)
+    val base = spark.range(100).select(($"id" % 10).as("k"), $"id".as("ord"))
+    val randChild = base.withColumn("noise", rand(7))
+      .withColumn("r",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"ord".desc)))
+      .filter($"r" === 1)
+    assert(randChild.queryExecution.optimizedPlan.toString.contains("Window"),
+      "non-deterministic child must keep the window form")
+    // deterministic twin DOES fire — proving the guard, not the shape, blocks
+    val det = base.withColumn("r",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"ord".desc)))
+      .filter($"r" === 1)
+    assert(!det.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
   test("rank rewrite keeps ALL tied top rows (row_number would keep one)") {
     // u1 has two rows tied on the full sort key — rank()=1 must return both
     val tied = Seq(("u1", "click", 10L), ("u1", "view", 10L), ("u1", "old", 5L),
