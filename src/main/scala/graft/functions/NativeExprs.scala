@@ -84,6 +84,12 @@ object NativeExprs {
     * `Dedup.jaccardOfArrays`. */
   def jaccard(a: Column, b: Column): Column = col(JaccardExpr(expr(a), expr(b)))
 
+  /** Jaccard over ASCENDING-SORTED long arrays (linear merge, zero
+    * allocation); equals [[jaccard]] of the unsorted arrays. For gates that
+    * run per candidate pair. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    col(SortedJaccardExpr(expr(a), expr(b)))
+
   /** windowFunnel DP over a time-sorted array<struct<t:long, step:int>>
     * (see `EventAnalytics.windowFunnel`). */
   def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
@@ -533,6 +539,50 @@ case class ShingleSetExpr(child: Expression, k: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Jaccard over two SORTED long arrays by linear merge — no hash sets, no
+  * boxing, no per-call allocation: the shape for gates that run once per
+  * CANDIDATE PAIR (the ngram direct branch evaluates it ~n²/2 times).
+  * Duplicate runs within either array are collapsed (set semantics), so
+  * `SortedJaccardExpr(sort_array(a), sort_array(b)) == JaccardExpr(a, b)`
+  * for any inputs — parity-pinned. Inputs MUST be ascending-sorted. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0
+    var inter = 0; var union = 0
+    while (i < nx && j < ny) {
+      val va = x.getLong(i); val vb = y.getLong(j)
+      if (va == vb) {
+        inter += 1; union += 1
+        i += 1; while (i < nx && x.getLong(i) == va) i += 1
+        j += 1; while (j < ny && y.getLong(j) == vb) j += 1
+      } else if (va < vb) {
+        union += 1
+        i += 1; while (i < nx && x.getLong(i) == va) i += 1
+      } else {
+        union += 1
+        j += 1; while (j < ny && y.getLong(j) == vb) j += 1
+      }
+    }
+    while (i < nx) {
+      val va = x.getLong(i); union += 1
+      i += 1; while (i < nx && x.getLong(i) == va) i += 1
+    }
+    while (j < ny) {
+      val vb = y.getLong(j); union += 1
+      j += 1; while (j < ny && y.getLong(j) == vb) j += 1
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 case class JaccardExpr(left: Expression, right: Expression)

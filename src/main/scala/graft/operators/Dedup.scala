@@ -293,8 +293,11 @@ object Dedup {
       // verify joins the grams back BY ID in a separate subtree, so
       // Catalyst cannot fold the expensive intersection into the
       // nested-loop condition over all n² pairs.
+      // hashed grams SORTED once per doc → the per-pair gate is a linear
+      // merge with zero allocation (SortedJaccardExpr) instead of building
+      // two hash sets for each of the ~n²/2 pairs
       val hsets = grams.select(col("id"), size(col("g")).as("sz"),
-        transform(col("g"), x => xxhash64(x)).as("hg"))
+        sort_array(transform(col("g"), x => xxhash64(x))).as("hg"))
       val cand = hsets
         .select(col("id").as("id_a"), col("sz").as("sz_a"), col("hg").as("hga"))
         .crossJoin(broadcast(hsets.select(col("id").as("id_b"),
@@ -302,7 +305,7 @@ object Dedup {
         .filter(col("id_a") < col("id_b") &&
           least(col("sz_a"), col("sz_b")).cast("double")
             >= lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9) &&
-          graft.functions.NativeExprs.jaccard(col("hga"), col("hgb"))
+          graft.functions.NativeExprs.sortedJaccard(col("hga"), col("hgb"))
             >= lit(threshold) - lit(2.0) / greatest(col("sz_a"), col("sz_b")))
         .select("id_a", "id_b")
       return cand

@@ -143,6 +143,26 @@ class NativeExprParitySpec extends SparkSpec {
     assert(d2 == 0)
   }
 
+  test("sortedJaccard(sort(a), sort(b)) == jaccard(a, b) incl. dups and empties") {
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L, 5L, 5L), Seq(5L)),             // intra-array duplicate runs
+      (Seq(1L, 2L, 3L), Seq(3L, 2L, 1L)),
+      (Seq(-9L, 0L, 9L), Seq(0L, 0L, 7L, -9L))
+    ) ++ (0 until 50).map { _ =>
+      (Seq.fill(rnd.nextInt(40))(rnd.nextInt(25).toLong),
+       Seq.fill(rnd.nextInt(40))(rnd.nextInt(25).toLong))
+    }
+    val df = cases.toDF("a", "b")
+    val diff = df.select(
+        NativeExprs.sortedJaccard(sort_array($"a"), sort_array($"b")).as("s"),
+        NativeExprs.jaccard($"a", $"b").as("h"))
+      .filter(not($"s" <=> $"h")).count()
+    assert(diff == 0)
+  }
+
   test("bpeTokenCount native == replace-chain reference form over real docs") {
     import graft.operators.BpeModel
     val merges = BpeModel.learnMerges(docs, numMerges = 24)
