@@ -559,10 +559,17 @@ object Dedup {
     * the result multiset is identical to the plain join — spec-pinned. */
   /** Hot-bucket detection for [[saltedBandJoin]]: one metadata-sized agg
     * over the (small, usually checkpointed) left index frame. Callers that
-    * run several joins off the same left frame compute this once. */
-  private[graft] def hotBuckets(left: DataFrame, cap: Long = 2048L): DataFrame =
+    * run several joins off the same left frame compute this once.
+    * The hot set is BROADCAST, so it is capped at the `maxHot` hottest
+    * buckets (TakeOrdered, count desc) — a pathological all-template corpus
+    * cannot blow the broadcast; buckets beyond the cap degrade gracefully
+    * to the plain (unsalted, still correct) join lane. */
+  private[graft] def hotBuckets(left: DataFrame, cap: Long = 2048L,
+                                maxHot: Int = 100000): DataFrame =
     left.groupBy("band", "bucket").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > cap)
+      .orderBy(col("__c").desc, col("band"), col("bucket"))
+      .limit(maxHot)
       .select(col("band"), col("bucket"), lit(true).as("__hot"))
       .localCheckpoint(true)
 
