@@ -168,14 +168,17 @@ object Dedup {
     // (and shipped to) the few docs that still appear in some pair
     val candIds = pruned.select(col("id_a").as(idCol))
       .union(pruned.select(col("id_b").as(idCol))).distinct()
+    // shingle sets SORTED once per doc: the per-pair exact verify is then a
+    // zero-allocation linear merge (SortedJaccardExpr) instead of two hash
+    // sets over ~10^3-element arrays per surviving candidate
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
-        graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
+        sort_array(graft.functions.NativeExprs.shingleSet(col(textCol), shingleK)).as("sh"))
     pruned
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        graft.functions.NativeExprs.jaccard(col("sh_a"), col("sh_b")))
+        graft.functions.NativeExprs.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -729,15 +732,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val survivorIds = pruned.select(col("id_a").as(idCol))
       .union(pruned.select(col("id_b").as(idCol))).distinct()
+    // sorted shingle sets -> linear-merge exact verify (see the batch
+    // pipeline above for the rationale)
     val sh = candDocs
       .join(survivorIds, Seq(idCol), "left_semi")
       .select(col(idCol),
-        graft.functions.NativeExprs.shingleSet(col(textCol), shingleK).as("sh"))
+        sort_array(graft.functions.NativeExprs.shingleSet(col(textCol), shingleK)).as("sh"))
     pruned
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        graft.functions.NativeExprs.jaccard(col("sh_a"), col("sh_b")))
+        graft.functions.NativeExprs.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
