@@ -270,6 +270,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash pairs are per-pair deterministic: standalone slice == filtered full list") {
+    // the warmed ingest artifacts (hist assignments, new-batch probe pairs)
+    // rest on this: LSH candidacy, the estimate prune, and exact verify are
+    // all per-PAIR decisions, so running the pipeline on a SLICE of the
+    // corpus yields exactly the full list restricted to that slice
+    val slice = docs.filter($"doc_id" % 5 =!= 0)
+    val fromFull = Dedup.minhashNearDuplicates(docs, threshold = 0.5)
+      .filter($"id_a" % 5 =!= 0 && $"id_b" % 5 =!= 0)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val standalone = Dedup.minhashNearDuplicates(slice, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(standalone == fromFull,
+      s"missing=${fromFull -- standalone} extra=${standalone -- fromFull}")
+  }
+
   test("incremental cluster update equals clustering the cumulative graph from scratch") {
     // edges: chain 1-2-3; pair 4-5; singleton 9 appears via a self-contained
     // old component; new batch merges the chain with 4-5 (bridge 3-4), adds
