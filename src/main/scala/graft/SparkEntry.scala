@@ -1117,6 +1117,33 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val AnnQuantCandK = 40
+
+  // per-dim int8 scales per (session, corpus) — learned from the data like
+  // the BPE merges, and fed into the data-dependent oracle the same way
+  private val quantScaleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Double]]()
+  @volatile private var lastQuantScales: Option[Array[Double]] = None
+
+  private def quantScalesFor(s: SparkSession, dir: String): Array[Double] = {
+    val sc = quantScaleCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => Similarity.quantScales(t(s, dir, "embeddings"), dim = 64))
+    lastQuantScales = Some(sc)
+    sc
+  }
+
+  /** int8-quantized ANN ([[Similarity.quantizedTopK]]): integer prescreen
+    * over 4×-smaller vectors, exact re-rank of the top-candK candidates.
+    * Deterministic end to end — the oracle replays the learned scales as
+    * literals, the quantization/score path is integer-exact, and the
+    * re-rank matches ann_topk_brute's. */
+  private def annTopKQuant(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        AnnQuantCandK, quantScalesFor(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
   private val IvfProbes = 3
 
   private def annTopKIvf(s: SparkSession, dir: String): DataFrame = {
@@ -1464,6 +1491,7 @@ object SparkEntry {
     "ann_topk_brute"       -> (annTopK _),
     "ann_topk_srp"         -> (annTopKSrp _),
     "ann_topk_ivf"         -> (annTopKIvf _),
+    "ann_topk_quant"       -> (annTopKQuant _),
     "minhash_neardup"      -> (minhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "editdist_neardup"     -> (editDistNearDup _),
@@ -1559,6 +1587,42 @@ object SparkEntry {
           FROM cand
           JOIN embeddings qe ON qe.vec_id = cand.query_id
           JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM s)
+        SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+        FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk"""
+  }
+
+  /** DuckDB SQL for `ann_topk_quant`, generated with the LEARNED per-dim
+    * scales embedded (Double.toString shortest-repr literals — identical
+    * parse everywhere, the srpOracleSql argument). Quantization is
+    * floor(x·s + 0.5) clamped — floor, not round, because round's
+    * half-case differs across engines — so the int vectors, the integer
+    * prescreen scores (64 products ≤ 127² summed: exact in doubles), the
+    * candidate cut, and the exact re-rank all replay bit-for-bit. */
+  private def quantOracleSql(scales: Array[Double]): String = {
+    val qvList = scales.indices.map { d =>
+      s"CAST(LEAST(127.0, GREATEST(-127.0, FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * ${scales(d)} + 0.5))) AS INT)"
+    }.mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, $qvList AS qv FROM embeddings),
+        qb AS (SELECT * FROM b WHERE vec_id < $AnnQueries),
+        sc AS (SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                      CAST(list_dot_product(CAST(cb.qv AS DOUBLE[]),
+                                            CAST(qb.qv AS DOUBLE[])) AS BIGINT) AS score
+               FROM b cb, qb WHERE cb.vec_id <> qb.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id) AS prn
+                   FROM sc) WHERE prn <= $AnnQuantCandK),
+        s AS (SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                            CAST(ce.embedding AS DOUBLE[])) AS sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
         r AS (SELECT query_id, neighbor_id, sim,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, neighbor_id) AS rnk
@@ -2711,6 +2775,16 @@ object SparkEntry {
       .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
                            CAST(NULL AS BIGINT) AS n_words,
                            CAST(NULL AS BIGINT) AS n_bpe_tokens
+                    WHERE 1 = 0"""),
+
+    // Same data-dependent technique: the learned int8 scales are embedded
+    // once the query has computed them; the untrained placeholder fails
+    // loudly if ever compared.
+    "ann_topk_quant" -> lastQuantScales.map(quantOracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS query_id,
+                           CAST(NULL AS BIGINT) AS rank,
+                           CAST(NULL AS BIGINT) AS neighbor_id,
+                           CAST(NULL AS DOUBLE) AS cosine
                     WHERE 1 = 0"""),
   )
 }

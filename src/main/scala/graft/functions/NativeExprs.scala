@@ -90,6 +90,10 @@ object NativeExprs {
   def sortedJaccard(a: Column, b: Column): Column =
     col(SortedJaccardExpr(expr(a), expr(b)))
 
+  /** Integer dot product of two int-array columns (exact; runs once per
+    * query × corpus row in the quantized ANN prescreen). */
+  def intDot(a: Column, b: Column): Column = col(IntDotExpr(expr(a), expr(b)))
+
   /** windowFunnel DP over a time-sorted array<struct<t:long, step:int>>
     * (see `EventAnalytics.windowFunnel`). */
   def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
@@ -580,6 +584,25 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
       j += 1; while (j < ny && y.getLong(j) == vb) j += 1
     }
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Integer dot product over two int arrays, accumulated in long (int8-range
+  * inputs cannot overflow). HOF reference: `aggregate(zip_with(a, b, *), 0, +)`. */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    acc
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

@@ -202,6 +202,76 @@ object Similarity {
               round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Per-dimension int8 quantization scales: s_d = 127 / max_i |x_{i,d}|
+    * (0.0 for an all-zero dimension — every value quantizes to 0). One
+    * corpus pass, `dim` rows collected; an INGEST-TIME artifact at scale,
+    * learned from the data like the BPE merges — and embedded the same way
+    * into the oracle as literal constants. */
+  def quantScales(corpus: DataFrame, dim: Int,
+                  vecCol: String = "embedding"): Array[Double] = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(max(abs(col("v"))).as("m"))
+      .collect()
+    val scales = Array.fill(dim)(0.0)
+    rows.foreach { r =>
+      val m = r.getDouble(1)
+      if (m > 0.0) scales(r.getInt(0)) = 127.0 / m
+    }
+    scales
+  }
+
+  /** Quantize a float-vector column to int8 range under `scales`:
+    * q_d = clamp(⌊x_d·s_d + 0.5⌋, −127, 127). floor(x+0.5) — not round() —
+    * because floor is defined identically in every engine (round's
+    * half-case differs); all downstream arithmetic is integer-exact, so
+    * the quantized vectors (and therefore the candidate sets) are
+    * bit-reproducible anywhere the same scales are replayed. */
+  def quantize(vec: Column, scales: Array[Double]): Column =
+    zip_with(vec.cast("array<double>"), typedLit(scales.toSeq),
+      (x, s) => least(greatest(floor(x * s + lit(0.5)), lit(-127.0)), lit(127.0))
+        .cast("int"))
+
+  /** Memory-footprint ANN lane: int8 scalar quantization (4× smaller
+    * corpus residency than float32 — the reason this lane exists at
+    * 100 TB) with an INTEGER dot-product prescreen, then exact float
+    * re-rank of the top `candK` quantized candidates per query.
+    *
+    * The RESULT is deterministic regardless of quantization error: it is
+    * defined as "exact cosine top-k OF the quantized top-candK candidate
+    * set", and the candidate set itself is integer-exact under the given
+    * scales — so the DuckDB oracle replays it bit-for-bit (recall vs true
+    * top-k is a separate, spec-tested property). Prescreen is the same
+    * broadcast-queries zero-corpus-shuffle shape as [[bruteForceTopK]],
+    * at ~1/4 the bytes and integer ALU cost. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int, candK: Int,
+                    scales: Array[Double], idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val qc = corpus.select(col(idCol).as("neighbor_id"),
+                           quantize(col(vecCol), scales).as("c_q"))
+    val qq = queries.select(col(idCol).as("query_id"),
+                            quantize(col(vecCol), scales).as("q_q"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val cand = qc.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", graft.functions.NativeExprs.intDot(col("q_q"), col("c_q")))
+      .withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: only candidate vectors are touched again
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via multi-table SRP buckets (no O(n²) scan), verified exactly.
     * At threshold 0.95 (θ≈18°, p≈0.90) the 8-bit/8-table default catches

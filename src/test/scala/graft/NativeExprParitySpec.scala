@@ -163,6 +163,20 @@ class NativeExprParitySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("intDot native == HOF aggregate(zip_with) on random int8 arrays") {
+    val rnd = new scala.util.Random(17)
+    val cases = (0 until 40).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127))
+    } :+ ((Seq.empty[Int], Seq.empty[Int]))
+    val df = cases.toDF("a", "b")
+    val diff = df.select(
+        NativeExprs.intDot($"a", $"b").as("n"),
+        aggregate(zip_with($"a", $"b", (x, y) => (x.cast("long") * y)),
+                  lit(0L), (acc, v) => acc + v).as("h"))
+      .filter(not($"n" <=> $"h")).count()
+    assert(diff == 0)
+  }
+
   test("bpeTokenCount native == replace-chain reference form over real docs") {
     import graft.operators.BpeModel
     val merges = BpeModel.learnMerges(docs, numMerges = 24)

@@ -483,6 +483,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute, "nprobe = #cells must equal brute force")
   }
 
+  test("quantized ANN: exact at full candK, high recall at the contract cut") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 8)
+    val scales = Similarity.quantScales(emb, dim = 64)
+    assert(scales.forall(s => s >= 0.0 && s.isFinite))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // candK covering the whole corpus: candidate set = everything ⇒ the
+    // exact re-rank must equal brute force including scores
+    val n = emb.count().toInt
+    val full = Similarity.quantizedTopK(emb, queries, 5, candK = n, scales)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bruteFull = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == bruteFull, "full-candK quantized ANN must equal brute force")
+    // contract cut: int8 prescreen keeps nearly all true neighbours
+    val cut = Similarity.quantizedTopK(emb, queries, 5, candK = 40, scales)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(cut).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 prescreen recall $recall at candK=40")
+  }
+
   test("cosine math matches an in-process oracle") {
     val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)))
       .toDF("vec_id", "embedding")

@@ -42,6 +42,7 @@ class PlanLintSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "ann_topk_brute",        // baseline lane: bounded query set broadcast
     "ann_topk_ivf",          // queries x bounded centroid table (cells ≤ nlist)
+    "ann_topk_quant",        // int8 prescreen lane: same bounded-query broadcast
     "ngram_jaccard_neardup") // direct branch, guarded by maxDirectBroadcastBytes
 
   test("no broadcast nested-loop join outside allow-listed brute-force lanes") {
