@@ -1394,6 +1394,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private val DupN = 8
+
+  /** Inter-document duplication profile: per doc, the fraction of its
+    * distinct word 8-grams shared with at least one OTHER document
+    * ([[graft.operators.Dedup.interDocDupNgramStats]]). The corpus-health
+    * complement of `text_repetition` (within-doc) and `contamination_check`
+    * (train-vs-eval). */
+  private def dupNgramFrac(s: SparkSession, dir: String): DataFrame =
+    Dedup.interDocDupNgramStats(t(s, dir, "documents"), DupN)
+      .orderBy("doc_id")
+
   private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("media_id")
@@ -1506,6 +1517,7 @@ object SparkEntry {
     "multimodal_bytestats" -> (multimodalByteStats _),
     "contamination_check"  -> (contaminationCheck _),
     "contamination_bloom"  -> (contaminationBloom _),
+    "dup_ngram_frac"       -> (dupNgramFrac _),
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
@@ -2472,6 +2484,38 @@ object SparkEntry {
           ORDER BY n.doc_id""",
 
     "contamination_check" -> contaminationOracle,
+
+    // The hashed pipeline replayed literally: same [a-z]+ words, same
+    // distinct 8-gram strings, same 60-bit md5 parse (so even a collision
+    // would reproduce identically), same count/join/divide.
+    "dup_ngram_frac" -> {
+      val parse15 = (1 to 15).map { j =>
+        val pow = 1L << (4 * (15 - j)) // 16^(15-j)
+        s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * $pow"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents),
+          g AS (SELECT doc_id,
+                       CASE WHEN len(ws) >= $DupN THEN
+                         list_distinct(list_transform(
+                           range(1, len(ws) - ${DupN - 2}),
+                           i -> array_to_string(list_slice(ws, i, i + ${DupN - 1}), ' ')))
+                       ELSE [] END AS grams
+                FROM w),
+          pg AS (SELECT doc_id, $parse15 AS gh
+                 FROM (SELECT doc_id, md5(unnest(grams)) AS m FROM g)),
+          gdf AS (SELECT gh, count(*) AS df FROM pg GROUP BY 1),
+          st AS (SELECT pg.doc_id, count(*) AS n_grams,
+                        sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+                 FROM pg JOIN gdf USING (gh) GROUP BY pg.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(st.n_grams, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(st.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                 coalesce(CAST(st.n_dup_grams AS DOUBLE) / nullif(st.n_grams, 0),
+                          0.0) AS dup_frac
+          FROM documents d LEFT JOIN st USING (doc_id)
+          ORDER BY d.doc_id"""
+    },
     // exact by construction (Bloom has no false negatives; false positives
     // die in the verify join) → shares the plain operator's oracle
     "contamination_bloom" -> contaminationOracle,

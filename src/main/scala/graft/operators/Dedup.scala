@@ -814,6 +814,50 @@ object Dedup {
       .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
 
+  /** Engine-portable 60-bit gram hash: the first 15 hex chars of md5(gram)
+    * parsed base-16 (same family as `TextAnalysis.fingerprintKgramMin`) —
+    * md5 because every engine has one, so an oracle can replay the hashed
+    * pipeline bit-for-bit instead of trusting a collision-freeness claim. */
+  private[graft] def portableGramHash(gram: Column): Column =
+    conv(substring(md5(gram.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Inter-document duplication profile (RefinedWeb/Gopher-style corpus
+    * health signal, distinct from the WITHIN-doc `TextAnalysis.repetition`):
+    * for each document, how many of its distinct word n-grams occur in at
+    * least one OTHER document, i.e. `dup_frac = |grams with df ≥ 2| /
+    * |grams|`. Boilerplate- or template-heavy corpora score high; a healthy
+    * deduplicated crawl scores near 0.
+    *
+    * Plan shape at 100 TB: grams are hashed to 60 bits ([[portableGramHash]])
+    * BEFORE any exchange, so both shuffles (the df aggregation and the
+    * join-back) carry (id, int64) rows only — document text never ships.
+    * The df side is a map-side-partial count over gram hashes; the join back
+    * is an equi-join on the same hash, so AQE handles hot boilerplate grams
+    * with its skew split. Everything downstream of the hash is integer
+    * arithmetic plus one final IEEE division — deterministic everywhere the
+    * same hashes are replayed (the DuckDB oracle recomputes md5 itself, so
+    * even a hash collision is reproduced, not diverged on).
+    */
+  def interDocDupNgramStats(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val grams = array_distinct(TextAnalysis.wordNgrams(col(textCol), n))
+    // fan out: a small single-split corpus would serialize the explode
+    val perDoc = fanOutSmallInput(docs)
+      .select(col(idCol), explode(grams).as("gram"))
+      .select(col(idCol), portableGramHash(col("gram")).as("gh"))
+    val gramDf = perDoc.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val stats = perDoc.join(gramDf, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup_grams"))
+      .withColumn("dup_frac",
+        coalesce(col("n_dup_grams").cast("double") / nullif(col("n_grams"), lit(0)),
+                 lit(0.0)))
+  }
+
   /** Distributed Bloom build over a distinct-gram frame via Spark's native
     * `BloomFilterAggregate`: per-partition partial filters OR-merged at the
     * reducer — no driver-side insertion loop (`df.stat.bloomFilter` collects

@@ -483,6 +483,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute, "nprobe = #cells must equal brute force")
   }
 
+  test("interDocDupNgramStats: hashed pipeline == string-gram reference, edge docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),   // 3 distinct 8-grams, all shared with 2
+      (2L, "a b c d e f g h i j"),   // identical twin
+      (3L, "q r s t u v w x y z"),   // unique grams
+      (4L, "a b c"),                 // shorter than n → 0 grams
+      (5L, "x y a b c d e f g h")    // shares exactly one 8-gram with 1/2
+    ).toDF("doc_id", "text")
+    val out = Dedup.interDocDupNgramStats(corpus, 8)
+      .select($"doc_id", $"n_grams", $"n_dup_grams", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, d, f) => id -> ((n, d, f)) }.toMap
+    // string-gram reference (no hashing): df over the gram strings directly
+    val perDoc = corpus
+      .select($"doc_id", explode(array_distinct(TextAnalysis.wordNgrams($"text", 8))).as("g"))
+    val ref = perDoc.join(perDoc.groupBy("g").count(), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(when($"count" >= 2, 1L).otherwise(0L)).as("d"))
+      .select($"doc_id", $"n", $"d").as[(Long, Long, Long)].collect()
+      .map { case (id, n, d) => id -> ((n, d, d.toDouble / n)) }.toMap
+    assert(out(4L) == ((0L, 0L, 0.0)), "short doc must report zero grams")
+    ref.foreach { case (id, exp) => assert(out(id) == exp, s"doc $id") }
+    assert(out(1L)._3 == 1.0 && out(2L)._3 == 1.0, "identical twins fully duplicated")
+    assert(out(3L)._3 == 0.0, "unique doc has no shared grams")
+    assert(out(5L) == ((3L, 1L, 1.0 / 3)), "one of three grams shared")
+  }
+
   test("quantized ANN: exact at full candK, high recall at the contract cut") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 8)
