@@ -587,6 +587,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Banded range join ([[graft.operators.RangeJoin.pointInInterval]]):
+    * overlapping per-(priority, year) order-date windows, every order joined
+    * to every window containing its date — the every-containing-interval
+    * complement of `asof_assignment`'s latest-at-or-before. Oracled by a
+    * plain inequality join in DuckDB; the Spark plan is the banded
+    * equi-join (no nested-loop node — PlanLintSpec checks). */
+  private def rangeJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .withColumn("o_day", unix_date(col("o_orderdate").cast("date")).cast("long"))
+    val intervals = base
+      .groupBy(concat(col("o_orderpriority"), lit("|"),
+                      year(col("o_orderdate")).cast("string")).as("interval_id"))
+      .agg(min(col("o_day")).as("lo"), max(col("o_day")).as("hi"))
+    RangeJoin.pointInInterval(base.select("o_orderkey", "o_totalprice", "o_day"),
+                              "o_day", intervals, "lo", "hi")
+      .groupBy(col("interval_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("interval_id")
+  }
+
   /** Salted two-phase aggregation through the oracle gate (hot-key safety at
     * scale; must equal the plain count). */
   private def skewSaltedCounts(s: SparkSession, dir: String): DataFrame =
@@ -1445,6 +1465,7 @@ object SparkEntry {
     "seg_multi"            -> (segMulti _),
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
+    "range_join_orders"    -> (rangeJoinOrders _),
     "sessions_stats"       -> (sessionsStats _),
     "agg_moments"          -> (aggMoments _),
     "doc_chunks"           -> (docChunks _),
@@ -1977,6 +1998,20 @@ object SparkEntry {
           FROM p ASOF LEFT JOIN a
             ON p.user_id = a.user_id AND p.ts >= a.assigned_ts
           ORDER BY p.event_id""",
+
+    "range_join_orders" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+                           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day,
+                           year(CAST(o_orderdate AS DATE)) AS yr
+                    FROM orders),
+          iv AS (SELECT o_orderpriority || '|' || CAST(yr AS VARCHAR) AS interval_id,
+                        min(o_day) AS lo, max(o_day) AS hi
+                 FROM b GROUP BY 1)
+          SELECT iv.interval_id, iv.lo, iv.hi,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(b.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+          FROM iv JOIN b ON b.o_day BETWEEN iv.lo AND iv.hi
+          GROUP BY 1, 2, 3 ORDER BY interval_id""",
 
     "skew_salted_counts" ->
       """SELECT event_type, count(*) AS n FROM events
