@@ -72,8 +72,9 @@ object Bench {
       "seg_stream_native", "seg_stream_stateful", "seg_stream_attribution",
       "dedup_clusters", "minhash_neardup", "simhash_neardup",
       "ngram_jaccard_neardup", "incremental_neardup", "incremental_clusters",
-      "contamination_bloom", "bpe_tokens",
-      "ann_topk_brute", "ann_topk_ivf", "asof_assignment", "funnel_levels")
+      "contamination_bloom", "bpe_tokens", "dup_ngram_frac",
+      "ann_topk_brute", "ann_topk_ivf", "ann_topk_quant", "range_join_orders",
+      "asof_assignment", "funnel_levels")
       .flatMap(n => results.get(n).map(n -> _))
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration":${num(calibration)},"queries":${fmt(headline)},"sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json"}""")
     spark.stop()

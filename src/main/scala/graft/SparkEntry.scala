@@ -1064,6 +1064,7 @@ object SparkEntry {
     histAssignments(s, dir)
     newBatchPairs(s, dir)
     contamArtifacts(s, dir)
+    quantScalesFor(s, dir) // learned int8 scales: one corpus pass, reused by every probe
     ()
   }
 
@@ -1425,6 +1426,14 @@ object SparkEntry {
     Dedup.interDocDupNgramStats(t(s, dir, "documents"), DupN)
       .orderBy("doc_id")
 
+  /** Duplicated-span removal ([[graft.operators.Dedup.removeDuplicatedSpans]]):
+    * tokens covered by any cross-document duplicated 8-gram are masked and
+    * the doc rebuilt; the oracle replays the hashed pipeline and re-derives
+    * each cleaned text's md5. */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), DupN)
+      .orderBy("doc_id")
+
   private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("media_id")
@@ -1539,6 +1548,7 @@ object SparkEntry {
     "contamination_check"  -> (contaminationCheck _),
     "contamination_bloom"  -> (contaminationBloom _),
     "dup_ngram_frac"       -> (dupNgramFrac _),
+    "dedup_spans"          -> (dedupSpans _),
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
@@ -2519,6 +2529,40 @@ object SparkEntry {
           ORDER BY n.doc_id""",
 
     "contamination_check" -> contaminationOracle,
+
+    // Span removal replayed end-to-end: positions of duplicated grams →
+    // covered-token union → kept-token rebuild → md5 of the cleaned text.
+    "dedup_spans" -> {
+      val parse15 = (1 to 15).map { j =>
+        val pow = 1L << (4 * (15 - j)) // 16^(15-j)
+        s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * $pow"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents),
+          g AS (SELECT doc_id, pos, $parse15 AS gh
+                FROM (SELECT doc_id, i.i - 1 AS pos,
+                             md5(array_to_string(list_slice(ws, i.i, i.i + ${DupN - 1}), ' ')) AS m
+                      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - ${DupN - 2})) AS i) i
+                      WHERE len(ws) >= $DupN)),
+          dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
+                                  FROM g GROUP BY 1) WHERE df >= 2),
+          rm AS (SELECT DISTINCT g.doc_id, r.p
+                 FROM g JOIN dup USING (gh),
+                      LATERAL (SELECT unnest(range(g.pos, g.pos + $DupN)) AS p) r),
+          rml AS (SELECT doc_id, list(p ORDER BY p) AS l FROM rm GROUP BY 1)
+          SELECT w.doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(len(rml.l), 0) AS BIGINT) AS n_removed,
+                 coalesce(CAST(len(ws) - coalesce(len(rml.l), 0) AS DOUBLE)
+                          / nullif(len(ws), 0), 1.0) AS kept_frac,
+                 md5(coalesce(array_to_string(
+                   list_transform(
+                     list_filter(range(0, len(ws)),
+                                 i -> NOT list_contains(coalesce(rml.l, CAST([] AS BIGINT[])), i)),
+                     i -> ws[CAST(i + 1 AS INT)]), ' '), '')) AS cleaned_md5
+          FROM w LEFT JOIN rml USING (doc_id)
+          ORDER BY w.doc_id"""
+    },
 
     // The hashed pipeline replayed literally: same [a-z]+ words, same
     // distinct 8-gram strings, same 60-bit md5 parse (so even a collision

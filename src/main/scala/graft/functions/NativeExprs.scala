@@ -94,6 +94,14 @@ object NativeExprs {
     * query × corpus row in the quantized ANN prescreen). */
   def intDot(a: Column, b: Column): Column = col(IntDotExpr(expr(a), expr(b)))
 
+  /** Space-join the tokens whose positions are NOT in the ASCENDING-SORTED
+    * `removed` int array (linear two-pointer walk — the per-row rebuild of
+    * `Dedup.removeDuplicatedSpans`). HOF reference form:
+    * `concat_ws(" ", filter-by-!array_contains)` — O(|toks|·|removed|),
+    * parity-tested. */
+  def maskedConcat(toks: Column, removed: Column): Column =
+    col(MaskedConcatExpr(expr(toks), expr(removed)))
+
   /** windowFunnel DP over a time-sorted array<struct<t:long, step:int>>
     * (see `EventAnalytics.windowFunnel`). */
   def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
@@ -584,6 +592,31 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
       j += 1; while (j < ny && y.getLong(j) == vb) j += 1
     }
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Kept-token concatenation: tokens (array<string>) minus the positions in
+  * an ASCENDING-SORTED removed-position array (array<int>), joined by a
+  * single space. Linear two-pointer merge; duplicate removed positions are
+  * tolerated (the pointer just advances past them). */
+case class MaskedConcatExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val rm = b.asInstanceOf[ArrayData]
+    val n = toks.numElements(); val m = rm.numElements()
+    val kept = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0; var j = 0
+    while (i < n) {
+      while (j < m && rm.getInt(j) < i) j += 1
+      if (j >= m || rm.getInt(j) != i) kept += toks.getUTF8String(i)
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "), kept.toSeq: _*)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

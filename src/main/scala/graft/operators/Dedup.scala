@@ -858,6 +858,55 @@ object Dedup {
                  lit(0.0)))
   }
 
+  /** Cross-document duplicated-SPAN removal — the n-gram-granular form of
+    * exact substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): every token covered by a word n-gram
+    * that also occurs in ANOTHER document is masked out, and the document is
+    * rebuilt from the surviving tokens. Boilerplate and template spans
+    * vanish from every copy; unique prose is untouched. Operates on the
+    * linguistic token stream (`TextAnalysis.words`), so the rebuilt text is
+    * normalized by construction.
+    *
+    * Per doc: `n_tokens`, `n_removed`, `kept_frac`, and the md5 of the
+    * cleaned text (`cleaned_md5`) — the digest both downstream exact-dedup
+    * and the cross-engine oracle key on.
+    *
+    * Scale shape: same two hashed-gram shuffles as [[interDocDupNgramStats]]
+    * (df aggregation + join-back of 60-bit hashes; text never ships), plus a
+    * per-doc `collect_set` of removed positions — bounded by document
+    * length, the same per-group bound every per-doc array op here lives
+    * under. The rebuild is a native two-pointer expression
+    * ([[graft.functions.NativeExprs.maskedConcat]]) over the sorted removed
+    * set — linear per row, not O(tokens · removed). */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val base = fanOutSmallInput(docs)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("toks"))
+    // gram at token position i covers tokens [i, i+n-1]
+    val grams = base.select(col(idCol),
+      posexplode(when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => portableGramHash(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<long>"))).as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val removed = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("rm"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("rm"))).as("rm"))
+    base.join(removed, Seq(idCol), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("rm")).cast("long").as("n_removed"),
+        coalesce((size(col("toks")) - size(col("rm"))).cast("double")
+                   / nullif(size(col("toks")), lit(0)), lit(1.0)).as("kept_frac"),
+        md5(graft.functions.NativeExprs.maskedConcat(col("toks"), col("rm"))
+              .cast("binary")).as("cleaned_md5"))
+  }
+
   /** Distributed Bloom build over a distinct-gram frame via Spark's native
     * `BloomFilterAggregate`: per-partition partial filters OR-merged at the
     * reducer — no driver-side insertion loop (`df.stat.bloomFilter` collects

@@ -177,6 +177,26 @@ class NativeExprParitySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("maskedConcat native == filter/array_contains HOF reference") {
+    val rnd = new scala.util.Random(23)
+    val cases = (0 until 50).map { _ =>
+      val n = rnd.nextInt(30)
+      val toks = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)))
+      val rm = (0 until n).filter(_ => rnd.nextBoolean()).map(identity)
+      (toks, rm) // rm ascending by construction
+    } ++ Seq((Seq.empty[String], Seq.empty[Int]),      // both empty
+             (Seq("a", "b"), Seq.empty[Int]),          // nothing removed
+             (Seq("a", "b"), Seq(0, 1)),               // everything removed
+             (Seq("a", "b", "c"), Seq(0, 0, 2)))       // duplicate positions tolerated
+    val df = cases.toDF("toks", "rm")
+    val hof = concat_ws(" ",
+      filter(transform($"toks", (t, i) => struct(t.as("t"), i.as("i"))),
+             s => not(array_contains($"rm", s("i")))).getField("t"))
+    val diff = df.select(NativeExprs.maskedConcat($"toks", $"rm").as("n"), hof.as("h"))
+      .filter(not($"n" <=> $"h")).count()
+    assert(diff == 0)
+  }
+
   test("bpeTokenCount native == replace-chain reference form over real docs") {
     import graft.operators.BpeModel
     val merges = BpeModel.learnMerges(docs, numMerges = 24)

@@ -510,6 +510,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L) == ((3L, 1L, 1.0 / 3)), "one of three grams shared")
   }
 
+  test("removeDuplicatedSpans: twins emptied, unique docs untouched, partial span masked") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),   // twin of 2 → every token covered
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z"),   // unique → untouched
+      (4L, "a b c"),                 // shorter than n → untouched
+      (5L, "x1 y1 a b c d e f g h")  // last 8 tokens shared with 1/2; x1 y1 survive
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, 8)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"kept_frac", $"cleaned_md5")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def md5Of(sq: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getLong(2) == 10L && out(1L).getString(4) == md5Of(""))
+    assert(out(2L).getLong(2) == 10L)
+    assert(out(3L).getLong(2) == 0L && out(3L).getDouble(3) == 1.0 &&
+           out(3L).getString(4) == md5Of("q r s t u v w x y z"))
+    assert(out(4L).getLong(2) == 0L && out(4L).getString(4) == md5Of("a b c"))
+    // doc 5: words() strips digits → tokens are x, y, a..h; the single
+    // 8-gram "a b c d e f g h" is shared → positions 2..9 removed
+    assert(out(5L).getLong(1) == 10L && out(5L).getLong(2) == 8L &&
+           out(5L).getString(4) == md5Of("x y"))
+  }
+
   test("quantized ANN: exact at full candK, high recall at the contract cut") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 8)
