@@ -596,10 +596,14 @@ object SparkEntry {
   private def rangeJoinOrders(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .withColumn("o_day", unix_date(col("o_orderdate").cast("date")).cast("long"))
+    // eager-materialize the (metadata-sized) derived interval table: the
+    // operator evaluates its interval frame once per lane/width decision,
+    // and each evaluation would otherwise re-run the full orders aggregation
     val intervals = base
       .groupBy(concat(col("o_orderpriority"), lit("|"),
                       year(col("o_orderdate")).cast("string")).as("interval_id"))
       .agg(min(col("o_day")).as("lo"), max(col("o_day")).as("hi"))
+      .localCheckpoint()
     RangeJoin.pointInInterval(base.select("o_orderkey", "o_totalprice", "o_day"),
                               "o_day", intervals, "lo", "hi")
       .groupBy(col("interval_id"), col("lo"), col("hi"))
