@@ -63,6 +63,18 @@ object GraftFunctions {
       require(es.length == 3, "graft_funnel_level(sortedSeq, nSteps, windowSeconds)")
       FunnelLevelExpr(es.head, intLit(es(1)), longLit(es(2)))
     },
+    "graft_sorted_jaccard" -> { es =>
+      require(es.length == 2, "graft_sorted_jaccard(sortedArrayA, sortedArrayB)")
+      SortedJaccardExpr(es.head, es(1))
+    },
+    "graft_int_dot" -> { es =>
+      require(es.length == 2, "graft_int_dot(intArrayA, intArrayB)")
+      IntDotExpr(es.head, es(1))
+    },
+    "graft_masked_concat" -> { es =>
+      require(es.length == 2, "graft_masked_concat(tokens, sortedRemovedPositions)")
+      MaskedConcatExpr(es.head, es(1))
+    },
     "graft_quantile_estimate" -> { es =>
       require(es.length == 2, "graft_quantile_estimate(state, q)")
       KllEstimateExpr(es.head, doubleLit(es(1)))

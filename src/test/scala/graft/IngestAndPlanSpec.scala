@@ -247,6 +247,15 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(extra.getDouble(0) == 0.5)
     assert(extra.getSeq[String](1) == Seq("ab", "bc"))
     assert(extra.getInt(2) == 1)
+    // round-5 registrations
+    val r5 = spark.sql(
+      """SELECT graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS sj,
+                graft_int_dot(array(1, 2, 3), array(4, 5, 6)) AS dot,
+                graft_masked_concat(array('a', 'b', 'c'), array(1)) AS mc""")
+      .collect()(0)
+    assert(r5.getDouble(0) == 0.5)
+    assert(r5.getLong(1) == 32L)
+    assert(r5.getString(2) == "a c")
   }
 
   test("parameterized SQL (F8): named parameters bind into the flagship query") {
