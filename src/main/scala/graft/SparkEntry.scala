@@ -848,6 +848,15 @@ object SparkEntry {
   }
 
   /** Exact percentiles (continuous interpolation) per event type. */
+  /** Winsorized per-type value stats
+    * ([[graft.operators.RobustStats.winsorizedStats]]): values clipped into
+    * the exact discrete [p05, p95] band before summing — outlier-robust
+    * feature aggregation with every number on the proven decimal path. */
+  private def winsorizedStats(s: SparkSession, dir: String): DataFrame =
+    RobustStats.winsorizedStats(t(s, dir, "events"), "event_type", "value",
+                                qLo = 0.05, qHi = 0.95)
+      .orderBy("event_type")
+
   private def pctValueByType(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
@@ -1479,6 +1488,7 @@ object SparkEntry {
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
     "range_join_orders"    -> (rangeJoinOrders _),
+    "winsorized_stats"     -> (winsorizedStats _),
     "sessions_stats"       -> (sessionsStats _),
     "agg_moments"          -> (aggMoments _),
     "doc_chunks"           -> (docChunks _),
@@ -2272,6 +2282,31 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
                 quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Discrete-rank winsorization replayed with the same under-ceil guard
+    // (0.05*n in doubles can overshoot the rational product); bounds are
+    // data values, so the sum stays on the exact decimal path.
+    "winsorized_stats" ->
+      """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+          s AS (SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v),
+          b AS (SELECT event_type, max(n) AS n,
+                       min(CASE WHEN rn = CAST(ceil(0.05 * n - 1e-9) AS BIGINT)
+                                THEN value END) AS lo,
+                       min(CASE WHEN rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT)
+                                THEN value END) AS hi
+                FROM s GROUP BY 1)
+          SELECT v.event_type, b.n, b.lo, b.hi,
+                 CAST(sum(CAST(v.value < b.lo OR v.value > b.hi AS INT)) AS BIGINT)
+                   AS n_clipped,
+                 CAST(sum(CAST(least(greatest(v.value, b.lo), b.hi)
+                               AS DECIMAL(27,6))) AS DOUBLE) AS wins_sum,
+                 CAST(sum(CAST(least(greatest(v.value, b.lo), b.hi)
+                               AS DECIMAL(27,6))) AS DOUBLE) / b.n AS wins_mean
+          FROM v JOIN b USING (event_type)
+          GROUP BY 1, 2, 3, 4 ORDER BY event_type""",
 
     // the rank-gate booleans are deterministically TRUE for every KLL
     // compaction outcome (0.05 ≈ 3× the sketch's rank-error bound); DuckDB

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust (outlier-resistant) per-group statistics for feature pipelines:
+  * winsorization — clip every value into the group's [q_lo, q_hi] exact
+  * quantile band before aggregating, so a handful of corrupt rows cannot
+  * drag a feature's mean.
+  *
+  * The quantile bounds are DISCRETE (the value at sorted position
+  * `ceil(q·n)`), not interpolated: bounds are then actual data values, every
+  * clipped value is an actual data value, and all downstream sums stay on
+  * the exact-decimal path — interpolated quantiles would inject
+  * full-mantissa doubles whose decimal rescaling rounds differently across
+  * engines. The position is computed as `ceil(q·n − 1e-9)`: q·n in doubles
+  * can land a hair ABOVE the rational product (e.g. 0.01·300 →
+  * 3.0000000000000004), and the under-ceil guard keeps the index exact on
+  * both sides of an oracle.
+  *
+  * Plan shape: one per-group sort for the rank pass (groups partition the
+  * shuffle; per-group exact quantiles are inherently sort-bound — the 100 TB
+  * approximate path is the mergeable KLL state in
+  * [[graft.functions.QuantileSketch]], same contract, rank-gated oracle),
+  * then the bounds — one row per group — broadcast back for a map-side
+  * clip + partial aggregation. No second sort, no single-partition stage.
+  */
+object RobustStats {
+
+  def winsorizedStats(df: DataFrame, keyCol: String, valueCol: String,
+                      qLo: Double = 0.01, qHi: Double = 0.99): DataFrame = {
+    require(qLo >= 0.0 && qHi <= 1.0 && qLo < qHi, "need 0 <= qLo < qHi <= 1")
+    // null values are excluded outright: engines disagree on null sort
+    // position (Spark NULLS FIRST, others NULLS LAST), and a null clips to
+    // nothing meaningful anyway
+    val clean = df.select(col(keyCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val ranked = clean
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+    def kOf(q: Double) = ceil(lit(q) * col("n") - lit(1e-9)).cast("long")
+    // value at the target rank; ties in `valueCol` make the rank assignment
+    // nondeterministic but the VALUE at position k is not (sorted multiset)
+    val bounds = ranked
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+           min(when(col("rn") === kOf(qLo), col(valueCol))).as("lo"),
+           min(when(col("rn") === kOf(qHi), col(valueCol))).as("hi"))
+    val clipped = least(greatest(col(valueCol), col("lo")), col("hi"))
+    clean.join(broadcast(bounds), Seq(keyCol))
+      .withColumn("cv", clipped)
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+           max(col("lo")).as("lo"),
+           max(col("hi")).as("hi"),
+           sum((col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+                 .cast("long")).as("n_clipped"),
+           sum(col("cv").cast("decimal(27,6)")).cast("double").as("wins_sum"))
+      .withColumn("wins_mean", col("wins_sum") / col("n"))
+  }
+}

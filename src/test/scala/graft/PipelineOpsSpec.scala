@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, RobustStats, Sampling, Similarity}
 
 /** Dedup / similarity / text / multimodal operators, validated against exact
   * oracles computed in-process (brute force) on small data.
@@ -481,6 +481,37 @@ class PipelineOpsSpec extends SparkSpec {
     val full = Similarity.ivfTopK(emb, queries, 5, nprobe = nCells)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == brute, "nprobe = #cells must equal brute force")
+  }
+
+  test("winsorizedStats: matches an in-process sort-and-clip reference; outliers tamed") {
+    val rnd = new scala.util.Random(31)
+    val rows: Seq[(String, java.lang.Double)] =
+      (for (g <- Seq("a", "b"); _ <- 1 to 97)
+         yield (g, java.lang.Double.valueOf(rnd.nextInt(1000) / 4.0))) ++
+      Seq(("a", java.lang.Double.valueOf(1e9)),          // wild outliers
+          ("a", java.lang.Double.valueOf(-1e9)),
+          ("b", java.lang.Double.valueOf(5e8)),
+          ("a", null))                                   // excluded outright
+    val df = rows.toDF("k", "v")
+    val out = RobustStats.winsorizedStats(df, "k", "v", 0.05, 0.95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // reference: plain Scala on the non-null values
+    val byKey = rows.collect { case (g, v) if v != null => (g, v.doubleValue) }
+      .groupBy(_._1)
+    byKey.foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def at(q: Double) = sorted(math.ceil(q * n - 1e-9).toLong.toInt - 1)
+      val (lo, hi) = (at(0.05), at(0.95))
+      val clipped = sorted.map(v => math.min(math.max(v, lo), hi))
+      val r = out(g)
+      assert(r.getLong(1) == n.toLong, s"$g n")
+      assert(r.getDouble(2) == lo && r.getDouble(3) == hi, s"$g bounds")
+      assert(r.getLong(4) == sorted.count(v => v < lo || v > hi).toLong, s"$g n_clipped")
+      assert(math.abs(r.getDouble(5) - clipped.sum) < 1e-6, s"$g wins_sum")
+      // the 1e9 outliers must not reach the winsorized mean
+      assert(math.abs(r.getDouble(6)) < 1000.0, s"$g mean tamed")
+    }
   }
 
   test("interDocDupNgramStats: hashed pipeline == string-gram reference, edge docs") {
