@@ -979,6 +979,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Full BPE tokenization DIGEST: the per-doc encoded symbol stream
+    * ([[BpeModel.encodeChain]] inside an in-row `transform` — no shuffle),
+    * fingerprinted with md5 alongside the native token count. Two
+    * independent implementations of the merge application cross-check each
+    * other inside one query, and the oracle replays both from the learned
+    * merges. */
+  private def bpeEncodeHash(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesFor(s, dir)
+    val ws = TextAnalysis.words(col("text"))
+    val encDoc = concat_ws("|", transform(ws, w => BpeModel.encodeChain(w, merges)))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        coalesce(size(ws).cast("long"), lit(0L)).as("n_words"),
+        coalesce(graft.functions.NativeExprs.bpeTokenCount(col("text"), merges),
+                 lit(0L)).as("n_bpe_tokens"),
+        md5(encDoc.cast("binary")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
   private def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(t(s, dir, "embeddings"))
       .orderBy("label", "pos")
@@ -1537,6 +1556,7 @@ object SparkEntry {
     "dedup_exact_stats"    -> (dedupExactStats _),
     "text_quality"         -> (textQuality _),
     "bpe_tokens"           -> (bpeTokens _),
+    "bpe_encode_hash"      -> (bpeEncodeHash _),
     "embedding_centroids"  -> (embeddingCentroids _),
     "dedup_clusters"       -> (dedupClusters _),
     "incremental_clusters" -> (incrementalClusters _),
@@ -2937,6 +2957,13 @@ object SparkEntry {
       .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
                            CAST(NULL AS BIGINT) AS n_words,
                            CAST(NULL AS BIGINT) AS n_bpe_tokens
+                    WHERE 1 = 0"""),
+
+    "bpe_encode_hash" -> lastBpeMerges.map(BpeModel.oracleEncodeSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_words,
+                           CAST(NULL AS BIGINT) AS n_bpe_tokens,
+                           CAST(NULL AS VARCHAR) AS enc_md5
                     WHERE 1 = 0"""),
 
     // Same data-dependent technique: the learned int8 scales are embedded

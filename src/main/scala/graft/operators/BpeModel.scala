@@ -126,6 +126,51 @@ object BpeModel {
     ((length(rep) - length(replace(rep, lit(Sep), lit("")))) / 2).cast("long")
   }
 
+  /** Per-word ENCODED STRING after all merges — the separator-wrapped
+    * symbol stream (`·ab··c·…`) the replace-chain produces, i.e. the actual
+    * tokenization output, not just its length. Composable in-row (inside a
+    * `transform` over the word array), so a whole-document encoding needs
+    * no shuffle at all. */
+  def encodeChain(word: Column, merges: Seq[(String, String)]): Column = {
+    val init = regexp_replace(word, "(.)", s"$Sep$$1$Sep")
+    merges.foldLeft(init) { case (c, (a, b)) =>
+      replace(c, lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep"))
+    }
+  }
+
+  /** The same chain as a SQL-text expression over a column named `word`
+    * (DuckDB spelling: `\1` backrefs, explicit 'g' flag). */
+  private def encodeChainSql(merges: Seq[(String, String)]): String =
+    merges.foldLeft(s"regexp_replace(word, '(.)', '$Sep\\1$Sep', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '$Sep$a$Sep$Sep$b$Sep', '$Sep$a$b$Sep')"
+    }
+
+  /** DuckDB oracle SQL for the per-doc ENCODING DIGEST contract
+    * (doc_id, n_words, n_bpe_tokens, enc_md5): per-word encodings joined
+    * with '|' in document word order, md5'd. Same embedded-learned-merges
+    * technique as [[oracleTokenSql]]. */
+  def oracleEncodeSql(merges: Seq[(String, String)]): String = {
+    merges.foreach { case (a, b) =>
+      require(a.matches("[a-z]+") && b.matches("[a-z]+"),
+        s"merge symbols must be [a-z]+: ($a, $b)")
+    }
+    s"""WITH w AS (SELECT doc_id, generate_subscripts(arr, 1) AS wi,
+                          unnest(arr) AS word
+                   FROM (SELECT doc_id,
+                                regexp_extract_all(lower(text), '[a-z]+') AS arr
+                         FROM documents)),
+        e AS (SELECT doc_id, wi, ${encodeChainSql(merges)} AS r FROM w),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(CAST((length(r) - length(replace(r, '$Sep', ''))) / 2
+                                     AS BIGINT)) AS BIGINT) AS n_bpe_tokens,
+                       md5(string_agg(r, '|' ORDER BY wi)) AS enc_md5
+                FROM e GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+               COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+               COALESCE(agg.enc_md5, md5('')) AS enc_md5
+        FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""
+  }
+
   /** Reference DATAFRAME form of per-doc token counts via the distinct-word
     * join (tokenization cost ∝ vocabulary): the cross-check for the native
     * per-row projection, and the shape an engine without the native

@@ -197,6 +197,37 @@ class NativeExprParitySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("bpe encodeChain: matches an in-process merge replay; count consistent") {
+    import graft.operators.BpeModel
+    val merges = BpeModel.learnMerges(docs, numMerges = 24)
+    // in-process reference: apply merges to the symbol array, wrap with Sep
+    def encodeRef(word: String): String = {
+      var syms = word.map(_.toString).toArray
+      for ((a, b) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms.map(s => BpeModel.Sep + s + BpeModel.Sep).mkString
+    }
+    val words = docs.select(explode(TextAnalysis.words($"text")).as("word"))
+      .distinct().limit(300).as[String].collect()
+    val enc = words.toSeq.toDF("word")
+      .select($"word", BpeModel.encodeChain($"word", merges).as("e"))
+      .as[(String, String)].collect().toMap
+    words.foreach { w =>
+      assert(enc(w) == encodeRef(w), s"encodeChain($w)")
+      // symbol count derived from the encoding == the native token count
+      val nSyms = enc(w).count(_ == BpeModel.Sep.head) / 2
+      assert(nSyms == BpeModel.tokenizeCount(w, merges), s"count($w)")
+    }
+  }
+
   test("bpeTokenCount native == replace-chain reference form over real docs") {
     import graft.operators.BpeModel
     val merges = BpeModel.learnMerges(docs, numMerges = 24)
