@@ -525,6 +525,48 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Exact Pearson correlation (ClickHouse `corr`) of value vs hour-of-day
+    * per type: all power/cross sums exact in decimal (agg_moments
+    * technique — string-route into DECIMAL, digit-string back out), the
+    * final arithmetic a pinned IEEE sequence mirrored verbatim in SQL. */
+  private def corrValueHour(s: SparkSession, dir: String): DataFrame = {
+    val dx = col("value").cast("string").cast("decimal(12,2)")
+    def d2d(c: Column) = c.cast("string").cast("double")
+    t(s, dir, "events")
+      .select(col("event_type"), dx.as("x"), hour(col("ts")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           d2d(sum(col("x"))).as("sx"),
+           sum(col("y")).cast("double").as("sy"),          // integer-exact
+           d2d(sum(col("x") * col("x"))).as("sxx"),
+           sum(col("y") * col("y")).cast("double").as("syy"),
+           d2d(sum(col("x") * col("y").cast("decimal(4,0)"))).as("sxy"))
+      .select(col("event_type"), col("n"),
+              ((col("n") * col("sxy") - col("sx") * col("sy"))
+                 / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+                    * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+                .as("corr_value_hour"))
+      .orderBy("event_type")
+  }
+
+  /** Equi-width histogram (ClickHouse `histogram`-style, fixed 10 bins over
+    * the observed [min, max] per type). Bin math is one pinned IEEE
+    * sequence over exact bounds; the top edge folds into the last bin. */
+  private def histValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("value") - col("lo")) * lit(10.0)
+                             / (col("hi") - col("lo"))).cast("long"), lit(9L))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+           dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Pipeline composition: quality-gate the corpus, then aggregate — the
     * filter predicates reuse the text metrics the oracle recomputes in SQL. */
   private def docsFilteredStats(s: SparkSession, dir: String): DataFrame =
@@ -1508,6 +1550,8 @@ object SparkEntry {
     "asof_assignment"      -> (asofAssignment _),
     "range_join_orders"    -> (rangeJoinOrders _),
     "winsorized_stats"     -> (winsorizedStats _),
+    "corr_value_hour"      -> (corrValueHour _),
+    "hist_value"           -> (histValue _),
     "sessions_stats"       -> (sessionsStats _),
     "agg_moments"          -> (aggMoments _),
     "doc_chunks"           -> (docChunks _),
@@ -1947,6 +1991,37 @@ object SparkEntry {
            FROM m)
          SELECT event_type, n, mean, m3 / (m2 * sqrt(m2)) AS skewness
          FROM mm ORDER BY event_type""",
+
+    "corr_value_hour" ->
+      """WITH dv AS (
+           SELECT event_type, CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)) AS x,
+                  CAST(hour(ts) AS BIGINT) AS y
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(x * CAST(y AS DECIMAL(4,0))) AS VARCHAR) AS DOUBLE) AS sxy
+           FROM dv GROUP BY event_type)
+         SELECT event_type, n,
+                (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  AS corr_value_hour
+         FROM s ORDER BY event_type""",
+
+    "hist_value" ->
+      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+                    FROM events GROUP BY 1)
+         SELECT e.event_type,
+                CASE WHEN b.hi = b.lo THEN 0
+                     ELSE least(CAST(floor((e.value - b.lo) * 10.0 / (b.hi - b.lo))
+                                     AS BIGINT), 9) END AS bin,
+                count(*) AS n, min(b.lo) AS lo, min(b.hi) AS hi,
+                CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+         FROM events e JOIN b USING (event_type)
+         GROUP BY 1, 2 ORDER BY event_type, bin""",
 
     "docs_filtered_stats" -> {
       val toks = "regexp_extract_all(lower(text), '[a-z]+')"
