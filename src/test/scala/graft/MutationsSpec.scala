@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Ingest, Mutations}
+
+/** Copy-on-write DELETE mutation: minimal-touch partition rewrite, layout
+  * preservation, idempotence, and full-partition erasure.
+  */
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(dir: String): Unit = {
+    val rows = for {
+      d <- Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      i <- 1 to 20
+    } yield (i.toLong % 5, s"evt-$d-$i", d)
+    Ingest.appendSorted(rows.toDF("user_id", "event_id", "day"), dir,
+      sortCols = Seq("user_id"), partitionCol = Some("day"))
+  }
+
+  private def fileState(dir: String, part: String): Set[(String, Long)] = {
+    val d = new java.io.File(s"$dir/day=$part")
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+  }
+
+  test("deleteWhere rewrites only touched partitions and preserves the rest") {
+    val dir = tmpDir("mut1")
+    fixture(dir)
+    // user 3 exists in every day; restrict the delete to two days
+    val before3 = fileState(dir, "2024-01-03")
+    val stats = Mutations.deleteWhere(spark, dir,
+      $"user_id" === 3L && $"day" =!= "2024-01-03", "day", Seq("user_id"))
+    assert(stats.partitionsRewritten == 2L)
+    assert(stats.rowsDeleted == 8L) // 4 rows per day x 2 days
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 52L)
+    assert(after.filter($"user_id" === 3L).count() == 4L) // day 3 untouched
+    assert(fileState(dir, "2024-01-03") == before3,
+      "untouched partition files must be byte-identical (same names, mtimes)")
+    // layout preserved: each rewritten FILE is still sorted by user_id (the
+    // per-file/row-group property min-max skipping needs)
+    new java.io.File(s"$dir/day=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val inFile = spark.read.parquet(f.getPath).select($"user_id").as[Long].collect()
+        assert(inFile.sameElements(inFile.sorted),
+          s"${f.getName}: sortWithinPartitions must survive the rewrite")
+      }
+  }
+
+  test("deleteWhere is idempotent: a re-run is a metadata-only no-op") {
+    val dir = tmpDir("mut2")
+    fixture(dir)
+    val s1 = Mutations.deleteWhere(spark, dir, $"user_id" === 2L, "day", Seq("user_id"))
+    assert(s1.partitionsRewritten == 3L && s1.rowsDeleted == 12L)
+    val files = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      .map(p => fileState(dir, p))
+    val s2 = Mutations.deleteWhere(spark, dir, $"user_id" === 2L, "day", Seq("user_id"))
+    assert(s2 == Mutations.DeleteStats(0L, 0L))
+    assert(Seq("2024-01-01", "2024-01-02", "2024-01-03").map(p => fileState(dir, p)) == files,
+      "no file may change on the idempotent re-run")
+    assert(spark.read.parquet(dir).filter($"user_id" === 2L).count() == 0L)
+  }
+
+  test("a fully-matched partition's directory is dropped, not left stale") {
+    val dir = tmpDir("mut3")
+    fixture(dir)
+    val stats = Mutations.deleteWhere(spark, dir, $"day" === "2024-01-02", "day", Seq("user_id"))
+    assert(stats == Mutations.DeleteStats(1L, 20L))
+    assert(!new java.io.File(s"$dir/day=2024-01-02").exists(), "emptied partition dropped")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 40L)
+    assert(left.select($"day").distinct().as[String].collect().toSet ==
+      Set("2024-01-01", "2024-01-03"))
+  }
+}
