@@ -30,6 +30,40 @@ object Mutations {
     * deletes are idempotent and re-running one is a metadata-only scan). */
   final case class DeleteStats(partitionsRewritten: Long, rowsDeleted: Long)
 
+  /** `ALTER TABLE … UPDATE col = expr WHERE pred` analogue — the same
+    * minimal-touch copy-on-write: partitions without a matching row keep
+    * their files untouched; touched ones rewrite with
+    * `when(pred, expr).otherwise(col)` applied per assignment. Returns
+    * (partitionsRewritten, rowsUpdated). The partition column itself must
+    * not be assigned (a partition-moving update is a delete + insert). */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  set: Map[String, Column], partitionCol: String,
+                  sortCols: Seq[String]): DeleteStats = {
+    require(!set.contains(partitionCol),
+      "updating the partition column moves rows across partitions — express it as delete + insert")
+    val table = spark.read.parquet(path)
+    val touchedRow = table.filter(predicate)
+      .agg(collect_set(col(partitionCol)).as("parts"), count(lit(1)).as("n"))
+      .head()
+    val parts = touchedRow.getSeq[Any](0)
+    val n = touchedRow.getLong(1)
+    if (n == 0L) return DeleteStats(0L, 0L)
+    val touched = table.filter(col(partitionCol).isin(parts: _*))
+    val updated = set.foldLeft(touched) { case (df, (c, e)) =>
+      df.withColumn(c, when(predicate, e).otherwise(col(c)))
+    }
+    val rewritten = updated.sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    DeleteStats(parts.size.toLong, n)
+  }
+
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
                   partitionCol: String, sortCols: Seq[String]): DeleteStats = {
     val table = spark.read.parquet(path)

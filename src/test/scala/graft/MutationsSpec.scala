@@ -63,6 +63,27 @@ class MutationsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter($"user_id" === 2L).count() == 0L)
   }
 
+  test("updateWhere rewrites only touched partitions, applies assignments to matches only") {
+    val dir = tmpDir("mut4")
+    fixture(dir)
+    val before3 = fileState(dir, "2024-01-03")
+    val stats = Mutations.updateWhere(spark, dir,
+      $"user_id" === 1L && $"day" =!= "2024-01-03",
+      Map("event_id" -> lit("redacted")), "day", Seq("user_id"))
+    assert(stats.partitionsRewritten == 2L && stats.rowsDeleted == 8L)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 60L, "update never changes row count")
+    assert(after.filter($"event_id" === "redacted").count() == 8L)
+    assert(after.filter($"user_id" === 1L && $"day" === "2024-01-03"
+             && $"event_id" =!= "redacted").count() == 4L)
+    assert(fileState(dir, "2024-01-03") == before3, "untouched partition intact")
+    // partition-column assignment is rejected outright
+    intercept[IllegalArgumentException] {
+      Mutations.updateWhere(spark, dir, $"user_id" === 1L,
+        Map("day" -> lit("2024-01-09")), "day", Seq("user_id"))
+    }
+  }
+
   test("a fully-matched partition's directory is dropped, not left stale") {
     val dir = tmpDir("mut3")
     fixture(dir)
