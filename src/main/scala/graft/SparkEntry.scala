@@ -1500,6 +1500,20 @@ object SparkEntry {
     Dedup.interDocDupNgramStats(t(s, dir, "documents"), DupN)
       .orderBy("doc_id")
 
+  /** Mixture rebalancing ([[graft.operators.Sampling.mixtureSample]]): every
+    * source downsampled to the minority source's count — the equal-mix
+    * recipe; kept set chosen by the engine-agnostic multiplicative hash, so
+    * the oracle reproduces it integer-for-integer. */
+  private def sourceRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val kMin = counts.agg(min(col("n"))).head().getLong(0) // group-cardinality-sized agg
+    val targets = counts.select(col("source"), lit(kMin).as("k"))
+    Sampling.mixtureSample(docs, "source", "doc_id", targets)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicated-span removal ([[graft.operators.Dedup.removeDuplicatedSpans]]):
     * tokens covered by any cross-document duplicated 8-gram are masked and
     * the doc rebuilt; the oracle replays the hashed pipeline and re-derives
@@ -1627,6 +1641,7 @@ object SparkEntry {
     "contamination_bloom"  -> (contaminationBloom _),
     "dup_ngram_frac"       -> (dupNgramFrac _),
     "dedup_spans"          -> (dedupSpans _),
+    "source_rebalance"     -> (sourceRebalance _),
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
@@ -1960,6 +1975,16 @@ object SparkEntry {
       s"""SELECT event_id, user_id, event_type FROM events
           WHERE (event_id * ${Sampling.Knuth}) % 100 < 7
           ORDER BY event_id""",
+
+    "source_rebalance" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          k AS (SELECT min(n) AS k FROM c),
+          r AS (SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY (doc_id * ${Sampling.Knuth}) % 1000000007, doc_id) AS rn
+                FROM documents)
+          SELECT doc_id, source FROM r, k WHERE rn <= k.k
+          ORDER BY doc_id""",
 
     "stratified_sample" ->
       s"""SELECT event_type, event_id, user_id

@@ -103,4 +103,23 @@ object Sampling {
       .filter(col("__rn") <= perGroup)
       .drop("__rn")
   }
+
+  /** Mixture rebalancing — the data-mixing knob of a multi-source training
+    * corpus (downsample over-represented sources to target counts):
+    * `targets` is a (groupCol, k) frame, and each group keeps EXACTLY
+    * min(k, |group|) rows — the ones with the smallest multiplicative hash,
+    * so the kept set is engine- and partitioning-independent, and shrinking
+    * a target yields a SUBSET of the larger sample (hash order is stable).
+    * The generalization of [[stratifiedSample]] from one constant k to a
+    * per-group target; `targets` is group-cardinality-sized → broadcast. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    targets: DataFrame, kCol: String = "k"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(pmod(col(idCol) * lit(Knuth), lit(1000000007L)), col(idCol))
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col(kCol))
+      .drop("__rn", kCol)
+  }
 }

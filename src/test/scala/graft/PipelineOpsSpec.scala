@@ -483,6 +483,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute, "nprobe = #cells must equal brute force")
   }
 
+  test("mixtureSample: exact per-group targets, subset stability, partition independence") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
+      .toDF("id", "src")
+    def targets(kCommon: Int, kRare: Int) =
+      Seq(("common", kCommon.toLong), ("rare", kRare.toLong)).toDF("src", "k")
+    def ids(kc: Int, kr: Int, parts: Int) =
+      Sampling.mixtureSample(df.repartition(parts), "src", "id", targets(kc, kr))
+        .select($"id").as[Long].collect().toSet
+    val s1 = ids(30, 10, 4)
+    assert(Sampling.mixtureSample(df, "src", "id", targets(30, 10))
+      .groupBy("src").count().as[(String, Long)].collect().toMap ==
+      Map("common" -> 30L, "rare" -> 10L), "exact per-group counts")
+    // shrinking a target keeps a SUBSET (stable hash order)
+    assert(ids(10, 5, 4).subsetOf(s1), "smaller sample nests inside larger")
+    // partitioning must not change the kept set
+    assert(ids(30, 10, 17) == s1, "partition independence")
+    // a target above the group size keeps the whole group
+    assert(ids(1000, 1000, 4).size == 200, "oversized target keeps everything")
+  }
+
   test("winsorizedStats: matches an in-process sort-and-clip reference; outliers tamed") {
     val rnd = new scala.util.Random(31)
     val rows: Seq[(String, java.lang.Double)] =

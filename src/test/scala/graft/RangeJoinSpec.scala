@@ -68,6 +68,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mixed lanes (short banded + long broadcast together) == brute force") {
+    // width 16: the two stragglers exceed 4 bands, the rest mostly don't —
+    // both lanes are live in one call and their union must be exact
+    val got = pairs(RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+      bandWidth = 16L, maxBandsPerInterval = 4))
+    assert(got == expected)
+  }
+
   test("empty interval table joins to nothing") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
     assert(RangeJoin.pointInInterval(points, "p", empty, "lo", "hi").count() == 0L)
