@@ -130,6 +130,27 @@ class MicroBatchPipeline(
       .write.mode("append").partitionBy("assigned_date").parquet(paths.assignments)
   }
 
+  /** Right-to-be-forgotten: erase one user from every derived table of the
+    * state store — partial states, change log, assignment log — via the
+    * minimal-touch copy-on-write mutation ([[graft.sources.Mutations]]): only
+    * the daily partitions the user actually appears in are rewritten, the
+    * rest keep their files untouched. After this, [[members]] cannot emit
+    * the user (there is no assignment row left to win), and no sketch bytes
+    * derived from the user's events remain on disk. The caller erases the
+    * raw event log separately (same deleteWhere, its own table). */
+  def forgetUser(user: Any): Unit = {
+    recoverStatesIfNeeded()
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(paths.states -> "computed_date",
+        paths.changeLog -> "computed_date",
+        paths.assignments -> "assigned_date").foreach { case (p, partCol) =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(conf).exists(hp))
+        graft.sources.Mutations.deleteWhere(spark, p,
+          col(userCol) === lit(user), partCol, Seq(userCol))
+    }
+  }
+
   /** Segment read-back: latest-wins over the assignment log, HAVING
     * latest value = true (/root/reference/src/3-microBatch.test.ts:156-169,
     * 4-eventTime.test.ts:171-185 — `argMax(value, assigned_at)`).

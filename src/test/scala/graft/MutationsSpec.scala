@@ -84,6 +84,37 @@ class MutationsSpec extends SparkSpec {
     }
   }
 
+  test("forgetUser erases a user from every state-store table; others unaffected") {
+    import java.sql.Timestamp
+    import graft.state.{MicroBatchPipeline, StateStorePaths}
+    import graft.operators.SegmentDef
+    val paths = StateStorePaths(tmpDir("forget"))
+    val seg = SegmentDef("BUTTON_CLICK", 2)
+    val pipe = new MicroBatchPipeline(spark, seg, paths,
+      userCol = "user_id", typeCol = "event_type", idCol = "event_id",
+      procTimeCol = "ts")
+    val t0 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val events = Seq(
+      ("1", "BUTTON_CLICK", Timestamp.valueOf("2024-01-01 10:00:00"), "m1"),
+      ("1", "BUTTON_CLICK", Timestamp.valueOf("2024-01-01 11:00:00"), "m2"),
+      ("2", "BUTTON_CLICK", Timestamp.valueOf("2024-01-01 10:30:00"), "m3"),
+      ("2", "BUTTON_CLICK", Timestamp.valueOf("2024-01-01 11:30:00"), "m4")
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    pipe.processBatch(events, Timestamp.valueOf("2024-01-01 00:00:00"), t0)
+    assert(pipe.members().select($"user_id").as[String].collect().sorted.toSeq
+      == Seq("1", "2"))
+    pipe.forgetUser("2")
+    assert(pipe.members().select($"user_id").as[String].collect().toSeq == Seq("1"),
+      "forgotten user must vanish from membership")
+    Seq(paths.states, paths.changeLog, paths.assignments).foreach { p =>
+      assert(spark.read.parquet(p).filter($"user_id" === "2").count() == 0L,
+        s"$p must hold no rows for the forgotten user")
+    }
+    // idempotent, like the underlying mutation
+    pipe.forgetUser("2")
+    assert(pipe.members().select($"user_id").as[String].collect().toSeq == Seq("1"))
+  }
+
   test("a fully-matched partition's directory is dropped, not left stale") {
     val dir = tmpDir("mut3")
     fixture(dir)
