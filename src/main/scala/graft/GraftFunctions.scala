@@ -125,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.RewriteLatestWinsWindow)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }
