@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a naive point-in-interval join
   *
@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *  - no equi-join conjunct already spans the two sides (Catalyst would
   *    hash on it anyway; banding would only add rows to shuffle) — this also
   *    stops the rule re-firing on its own output;
-  *  - `p`, `lo`, `hi` are deterministic and integral (int/long — epoch
-  *    days/seconds/micros; date/timestamp callers cast first);
+  *  - `p`, `lo`, `hi` are deterministic, of ONE shared type among
+  *    int/long/date/timestamp (mixed granularities would band wrong), each
+  *    banded through a monotone to-long conversion — `bandWidth` is in the
+  *    converted units (days for dates, seconds for timestamps);
   *  - both bound comparisons reference the SAME `p` (semantically equal).
   *
   * Each matching pair is produced exactly once: a point has exactly one
@@ -54,19 +56,30 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Exact floor division for integral expressions (negative-safe, no
-    * doubles): `(x - pmod(x, w)) div w` — the numerator is an exact multiple
-    * of w, so truncating division equals floor division. */
+  /** Monotone to-long conversion per domain type. Banding only needs
+    * monotonicity — `lo <= p <= hi ⇒ band(p) ∈ [band(lo), band(hi)]` — and
+    * the ORIGINAL predicate stays as the residual, so exactness never
+    * depends on the conversion's granularity (timestamps band at second
+    * granularity via the long cast; `bandWidth` is in those units). */
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case IntegerType | TimestampType => Cast(e, LongType)
+    case DateType => Cast(Cast(e, IntegerType), LongType) // days since epoch
+    case _ => e
+  }
+
+  /** Exact floor division (negative-safe, no doubles):
+    * `(x - pmod(x, w)) div w` — the numerator is an exact multiple of w, so
+    * truncating division equals floor division. */
   private def floorDiv(e: Expression, w: Long): Expression = {
-    val x = e.dataType match {
-      case LongType => e
-      case _        => Cast(e, LongType)
-    }
+    val x = toLong(e)
     IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
   }
 
-  private def integral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+  private def bandable(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | DateType | TimestampType => true
+    case _ => false
+  }
 
   private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
@@ -102,7 +115,10 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     if (!p.semanticEquals(p2)) return None
-    if (!Seq(p, lo, hi).forall(e => e.deterministic && integral(e))) return None
+    if (!Seq(p, lo, hi).forall(e => e.deterministic && bandable(e))) return None
+    // mixed domain types (e.g. timestamp point, date bounds) would band at
+    // different granularities and miss pairs — require one type throughout
+    if (Set(p.dataType, lo.dataType, hi.dataType).size != 1) return None
 
     // left: project the point's single band
     val bandL = Alias(floorDiv(p, w), "__graft_band_p")()

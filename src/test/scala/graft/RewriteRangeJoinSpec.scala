@@ -83,6 +83,37 @@ class RewriteRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("timestamp domain fires (bands in seconds); mixed types stay put") {
+    val evs = (1 to 100).map(i => (i.toLong, s"2024-01-01 ${"%02d".format(i % 24)}:${"%02d".format(i % 60)}:00"))
+      .toDF("pid", "s").select($"pid", $"s".cast("timestamp").as("p"))
+    val ivs = (1 to 12).map(i => (i.toLong,
+        s"2024-01-01 ${"%02d".format((i * 2) % 24)}:00:00",
+        s"2024-01-01 ${"%02d".format((i * 2) % 24)}:59:59"))
+      .toDF("iid", "a", "b")
+      .select($"iid", $"a".cast("timestamp").as("lo"), $"b".cast("timestamp").as("hi"))
+    val off = pairs(evs.join(ivs, $"p" >= $"lo" && $"p" <= $"hi"))
+    withWidth(3600L) {
+      val df = evs.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(pairs(df) == off)
+      // timestamp point vs date bounds: the ANALYZER coerces the bounds to
+      // timestamp before the rule runs, so types match, the rewrite fires at
+      // one granularity, and the result stays exact (the raw-mixed-type
+      // guard in the rule is a belt for hand-built plans)
+      val dateIvs = ivs.select($"iid", $"lo".cast("date").as("lo"), $"hi".cast("date").as("hi"))
+      val mixedOff = {
+        spark.conf.unset(graft.plans.RewriteRangeJoin.BandWidthConf)
+        try pairs(evs.join(dateIvs, $"p" >= $"lo" && $"p" <= $"hi"))
+        finally spark.conf.set(graft.plans.RewriteRangeJoin.BandWidthConf, "3600")
+      }
+      val mixed = evs.join(dateIvs, $"p" >= $"lo" && $"p" <= $"hi")
+      assert(mixed.queryExecution.optimizedPlan.toString.contains("__graft_band_p"),
+        "coerced bounds share p's type — the rewrite applies")
+      assert(pairs(mixed) == mixedOff)
+    }
+  }
+
   test("residual conjuncts survive the rewrite") {
     val off = pairs(points.join(intervals,
       $"p" >= $"lo" && $"p" <= $"hi" && $"pid" =!= $"iid"))
