@@ -1522,6 +1522,15 @@ object SparkEntry {
     Dedup.removeDuplicatedSpans(t(s, dir, "documents"), DupN)
       .orderBy("doc_id")
 
+  /** Perceptual (average-hash) media near-dup pairs
+    * ([[graft.operators.Multimodal.phashNearDuplicates]]): pigeonhole chunk
+    * join on the Spark side, brute-force XOR-popcount replay in the oracle
+    * (which also re-derives every 60-bit hash from the byte stream). */
+  private def mediaPhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDuplicates(
+        Multimodal.syntheticMediaTable(t(s, dir, "documents")))
+      .orderBy("id_a", "id_b")
+
   private def multimodalByteStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.byteStats(Multimodal.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("media_id")
@@ -1642,6 +1651,7 @@ object SparkEntry {
     "dup_ngram_frac"       -> (dupNgramFrac _),
     "dedup_spans"          -> (dedupSpans _),
     "source_rebalance"     -> (sourceRebalance _),
+    "media_phash_neardup"  -> (mediaPhashNearDup _),
     "text_bigram_rarity"   -> (textBigramRarity _),
     "pii_redaction"        -> (piiRedaction _),
     "vocab_top_words"      -> (vocabTopWords _),
@@ -3014,6 +3024,34 @@ object SparkEntry {
 
     // Reproduces Multimodal.StubCodec exactly: h = first 7 hex chars of
     // md5(utf8 bytes) parsed base-16 (28 bits), then the same integer math.
+    // The 60-bit average-hash re-derived from the byte stream (ascii codes
+    // == UTF-8 bytes on this corpus, the synthetic-media-lane assumption all
+    // multimodal oracles share), then brute-force XOR-popcount pairs — the
+    // exact reference for the pigeonhole chunk join.
+    "media_phash_neardup" ->
+      """WITH codes AS (
+           SELECT doc_id, (i.i - 1) % 60 AS b,
+                  ascii(substr(text, CAST(i.i AS INT), 1)) AS c
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i),
+         buck AS (SELECT doc_id, b, sum(c) AS s, count(*) AS nj
+                  FROM codes GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS total, sum(nj) AS n
+                 FROM buck GROUP BY 1),
+         bits AS (SELECT buck.doc_id, b,
+                         CASE WHEN s * n > total * nj THEN 1 ELSE 0 END AS bit
+                  FROM buck JOIN tot USING (doc_id)),
+         ph0 AS (SELECT doc_id,
+                        CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT) AS h
+                 FROM bits GROUP BY 1),
+         ph AS (SELECT d.doc_id AS media_id, coalesce(ph0.h, 0) AS h
+                FROM documents d LEFT JOIN ph0 ON d.doc_id = ph0.doc_id)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+                CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         FROM ph a JOIN ph b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3
+         ORDER BY id_a, id_b""",
+
     "multimodal_decode" -> {
       val hexVal = (1 to 7).map { i =>
         val pow = math.pow(16, 7 - i).toLong

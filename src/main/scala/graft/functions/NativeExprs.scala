@@ -94,6 +94,10 @@ object NativeExprs {
     * query × corpus row in the quantized ANN prescreen). */
   def intDot(a: Column, b: Column): Column = col(IntDotExpr(expr(a), expr(b)))
 
+  /** 60-bit average-hash perceptual fingerprint of a binary column (see
+    * [[PHash60Expr]]). */
+  def phash60(bytes: Column): Column = col(PHash60Expr(expr(bytes)))
+
   /** Space-join the tokens whose positions are NOT in the ASCENDING-SORTED
     * `removed` int array (linear two-pointer walk — the per-row rebuild of
     * `Dedup.removeDuplicatedSpans`). HOF reference form:
@@ -595,6 +599,44 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** 60-bit average-hash (aHash-family) perceptual fingerprint over raw media
+  * bytes: unsigned bytes are summed into 60 cyclic position buckets, and
+  * bit j is set iff bucket j's mean exceeds the global mean — compared by
+  * integer cross-multiplication (`s_j · n > total · n_j`), so the hash is
+  * exactly engine-reproducible (no division, no floats). 60 bits, not 64,
+  * keeps the value in a positive BIGINT everywhere (the [[portableGramHash]]
+  * convention — a set bit 63 overflows engines without unsigned types).
+  * Returns null-safe 0L for empty input. The cross-multiplied comparison is
+  * overflow-free below 2^30 input bytes (s_j·n ≤ 255·n²/60 < 2^63) — 1 GiB,
+  * past any realistic single-row media payload. */
+case class PHash60Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](60)
+    val counts = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      val b = i % 60
+      sums(b) += v; counts(b) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0 && sums(j) * n > total * counts(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Kept-token concatenation: tokens (array<string>) minus the positions in

@@ -152,6 +152,40 @@ object Multimodal {
                  length(col("content")).cast("long").as("n_bytes"),
                  md5(col("content")).as("digest"))
 
+  /** Perceptual near-duplicate pairs over a media table — the image-dedup
+    * primitive of a multimodal pipeline: re-encoded/slightly-edited copies
+    * share a perceptual fingerprint even when their exact digests differ.
+    *
+    * Fingerprint: 60-bit average-hash over the raw bytes
+    * ([[graft.functions.NativeExprs.phash60]] — integer-exact, engine-
+    * reproducible; a real deployment would hash DECODED pixels via the
+    * [[Codec]] lane, which changes the hashed bytes but not one line of
+    * this pipeline). Candidate generation is the SimHash pigeonhole: 4
+    * chunks of 15 bits — two hashes within Hamming distance `maxHamming`
+    * ≤ 3 must agree on ≥ 1 whole chunk — so candidates come from 4 hash
+    * equi-joins on (chunk, value), never an all-pairs scan; survivors are
+    * verified with the exact popcount of the XOR. Hot chunk values on a
+    * re-encoded-template corpus would salt like `Dedup.saltedBandJoin`. */
+  def phashNearDuplicates(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit pigeonhole chunks guarantee recall only to Hamming 3")
+    val hashed = media.select(col("media_id"),
+        graft.functions.NativeExprs.phash60(col("content")).as("ph"))
+    val chunks = hashed.select(col("media_id"), col("ph"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("ph"), i * 15).bitwiseAND(lit(0x7fffL)).as("cv"))): _*))
+        .as("c"))
+      .select(col("media_id"), col("ph"), col("c.ci"), col("c.cv"))
+    val a = chunks.select(col("media_id").as("id_a"), col("ph").as("ph_a"),
+                          col("ci"), col("cv"))
+    val b = chunks.select(col("media_id").as("id_b"), col("ph").as("ph_b"),
+                          col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")).distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Frame sampling plan for a decoded video row: every `stride`-th frame
     * index, capped at `maxFrames`. Pure column expression over metadata —
     * the decoder only ever extracts the planned frames. */

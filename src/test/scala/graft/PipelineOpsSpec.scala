@@ -483,6 +483,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute, "nprobe = #cells must equal brute force")
   }
 
+  test("phash60: native == in-process reference; chunk join == brute force") {
+    // native vs reference on arbitrary bytes (incl. non-ASCII, empty)
+    val rnd = new scala.util.Random(41)
+    val blobs = (0 until 60).map(i => Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)) :+
+      Array.emptyByteArray
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) return 0L
+      val s = new Array[Long](60); val c = new Array[Long](60); var tot = 0L
+      bytes.zipWithIndex.foreach { case (x, i) =>
+        val v = (x & 0xff).toLong; s(i % 60) += v; c(i % 60) += 1; tot += v
+      }
+      (0 until 60).foldLeft(0L) { (h, j) =>
+        if (c(j) > 0 && s(j) * n > tot * c(j)) h | (1L << j) else h
+      }
+    }
+    val got = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "content")
+      .select($"media_id", graft.functions.NativeExprs.phash60($"content").as("h"))
+      .as[(Long, Long)].collect().toMap
+    blobs.zipWithIndex.foreach { case (b, i) => assert(got(i.toLong) == ref(b), s"blob $i") }
+    // operator vs brute force over the real corpus's synthetic media
+    val media = Multimodal.syntheticMediaTable(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val pairs = Multimodal.phashNearDuplicates(media, maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val hashes = media.select($"media_id",
+        graft.functions.NativeExprs.phash60($"content").as("h"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute, "pigeonhole candidates must recover every pair to Hamming 3")
+    assert(brute.nonEmpty, "fixture must actually contain perceptual near-dups")
+  }
+
   test("mixtureSample: exact per-group targets, subset stability, partition independence") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
       .toDF("id", "src")
