@@ -164,22 +164,24 @@ object Multimodal {
     * chunks of 15 bits — two hashes within Hamming distance `maxHamming`
     * ≤ 3 must agree on ≥ 1 whole chunk — so candidates come from 4 hash
     * equi-joins on (chunk, value), never an all-pairs scan; survivors are
-    * verified with the exact popcount of the XOR. Hot chunk values on a
-    * re-encoded-template corpus would salt like `Dedup.saltedBandJoin`. */
+    * verified with the exact popcount of the XOR. The chunk join goes
+    * through `Dedup.saltedBandJoin`, so a re-encoded-template corpus whose
+    * one hot chunk value floods a reducer gets the same hot-bucket salt
+    * guard as the LSH pipelines (cold corpora short-circuit to the plain
+    * join). */
   def phashNearDuplicates(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x15-bit pigeonhole chunks guarantee recall only to Hamming 3")
     val hashed = media.select(col("media_id"),
         graft.functions.NativeExprs.phash60(col("content")).as("ph"))
     val chunks = hashed.select(col("media_id"), col("ph"),
       explode(array((0 until 4).map(i =>
-        struct(lit(i).as("ci"), shiftright(col("ph"), i * 15).bitwiseAND(lit(0x7fffL)).as("cv"))): _*))
+        struct(lit(i).as("band"), shiftright(col("ph"), i * 15).bitwiseAND(lit(0x7fffL)).as("bucket"))): _*))
         .as("c"))
-      .select(col("media_id"), col("ph"), col("c.ci"), col("c.cv"))
-    val a = chunks.select(col("media_id").as("id_a"), col("ph").as("ph_a"),
-                          col("ci"), col("cv"))
-    val b = chunks.select(col("media_id").as("id_b"), col("ph").as("ph_b"),
-                          col("ci"), col("cv"))
-    a.join(b, Seq("ci", "cv")).filter(col("id_a") < col("id_b"))
+      .select(col("media_id"), col("ph"), col("c.band"), col("c.bucket"))
+    val a = chunks.toDF("id_a", "ph_a", "band", "bucket")
+    val b = chunks.toDF("id_b", "ph_b", "band", "bucket")
+    graft.operators.Dedup.saltedBandJoin(a, b, "id_a")
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")).distinct()
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
