@@ -1139,6 +1139,11 @@ object SparkEntry {
     newBatchPairs(s, dir)
     contamArtifacts(s, dir)
     quantScalesFor(s, dir) // learned int8 scales: one corpus pass, reused by every probe
+    // the shared MinHash pair list is the same class of corpus artifact as
+    // the LSH index above — every consumer (clustering, leakage split,
+    // incremental fold) reads the one materialization, so the first
+    // consumer should not be billed for building it
+    minhashPairs(s, dir)
     ()
   }
 
