@@ -880,8 +880,12 @@ object Dedup {
     * set — linear per row, not O(tokens · removed). */
   def removeDuplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
+    // NULL text = empty doc (0 tokens, md5("") digest) — matching the
+    // oracle's LEFT JOIN + coalesce semantics instead of null-propagating
     val base = fanOutSmallInput(docs)
-      .select(col(idCol), TextAnalysis.words(col(textCol)).as("toks"))
+      .select(col(idCol),
+              coalesce(TextAnalysis.words(col(textCol)),
+                       array().cast("array<string>")).as("toks"))
     // gram at token position i covers tokens [i, i+n-1]
     val grams = base.select(col(idCol),
       posexplode(when(size(col("toks")) >= n,

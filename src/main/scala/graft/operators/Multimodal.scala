@@ -171,8 +171,11 @@ object Multimodal {
     * join). */
   def phashNearDuplicates(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x15-bit pigeonhole chunks guarantee recall only to Hamming 3")
+    // NULL content hashes like empty content (0L) rather than silently
+    // dropping out of the equi-join — two all-NULL rows ARE perceptual dups
     val hashed = media.select(col("media_id"),
-        graft.functions.NativeExprs.phash60(col("content")).as("ph"))
+        coalesce(graft.functions.NativeExprs.phash60(col("content")),
+                 lit(0L)).as("ph"))
     val chunks = hashed.select(col("media_id"), col("ph"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"), shiftright(col("ph"), i * 15).bitwiseAND(lit(0x7fffL)).as("bucket"))): _*))

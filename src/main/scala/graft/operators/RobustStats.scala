@@ -40,7 +40,11 @@ object RobustStats {
     val ranked = clean
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-    def kOf(q: Double) = ceil(lit(q) * col("n") - lit(1e-9)).cast("long")
+    // clamp to rank 1: qLo = 0.0 would otherwise target rank 0, match no
+    // row, and silently null every clipped value ("no lower clip" must mean
+    // lo = group minimum, not lo = NULL)
+    def kOf(q: Double) =
+      greatest(lit(1L), ceil(lit(q) * col("n") - lit(1e-9)).cast("long"))
     // value at the target rank; ties in `valueCol` make the rank assignment
     // nondeterministic but the VALUE at position k is not (sorted multiset)
     val bounds = ranked

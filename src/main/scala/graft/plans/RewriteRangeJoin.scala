@@ -64,7 +64,9 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def toLong(e: Expression): Expression = e.dataType match {
     case LongType => e
     case IntegerType | TimestampType => Cast(e, LongType)
-    case DateType => Cast(Cast(e, IntegerType), LongType) // days since epoch
+    // DATE→INT is not a legal cast; UnixDate is the dedicated days-since-epoch
+    // expression (what the `unix_date` SQL function resolves to)
+    case DateType => Cast(UnixDate(e), LongType)
     case _ => e
   }
 

@@ -1,16 +1,16 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
-/** ClickHouse-mutation analogue (`ALTER TABLE … DELETE WHERE`, the
+/** ClickHouse-mutation analogue (`ALTER TABLE … DELETE/UPDATE WHERE`, the
   * right-to-be-forgotten / data-correction primitive — see
   * /root/reference/README.md's MergeTree family, whose tables are mutable
   * only through asynchronous rewrite mutations): Spark has no in-place
   * delete on parquet either, so a mutation is a COPY-ON-WRITE rewrite —
   * and the whole game at 100 TB is rewriting as little as possible.
   *
-  * [[deleteWhere]] on a partitioned table:
   *  1. one pruned scan finds the DISTINCT partitions that contain matching
   *     rows (for a partition-column predicate, Catalyst prunes the scan to
   *     those directories without touching the rest);
@@ -22,89 +22,119 @@ import org.apache.spark.sql.functions._
   *
   * The sorted-layout invariant is preserved: rewritten rows pass through
   * `sortWithinPartitions` on the caller's sort key, so row-group min/max
-  * skipping (S1/S6) survives the mutation.
+  * skipping (S1/S6) survives the mutation. Rows whose partition value is
+  * NULL live in Spark's default partition directory and are handled like
+  * any other partition (tracked under a sentinel, erased/updated the same).
   */
 object Mutations {
 
-  /** Partitions rewritten + rows deleted (rowsDeleted == 0 ⇒ no write ran —
-    * deletes are idempotent and re-running one is a metadata-only scan). */
+  /** Partitions rewritten + rows matched (rowsDeleted == 0 ⇒ no write ran —
+    * mutations are idempotent and re-running one is a metadata-only scan). */
   final case class DeleteStats(partitionsRewritten: Long, rowsDeleted: Long)
 
+  private case class Touched(parts: Seq[Any], hasNullPart: Boolean, n: Long) {
+    def count: Long = parts.size.toLong + (if (hasNullPart) 1L else 0L)
+  }
+
+  /** Pass 1: which partitions hold predicate matches (NULL partition values
+    * tracked separately — `collect_set` drops them), and how many rows. */
+  private def touchedPartitions(table: DataFrame, predicate: Column,
+                                partitionCol: String): Touched = {
+    val row = table.filter(predicate)
+      .agg(collect_set(col(partitionCol)).as("parts"),
+           sum(col(partitionCol).isNull.cast("long")).as("n_null"),
+           count(lit(1)).as("n"))
+      .head()
+    Touched(row.getSeq[Any](0), !row.isNullAt(1) && row.getLong(1) > 0L, row.getLong(2))
+  }
+
+  /** Rows belonging to any touched partition. */
+  private def inTouched(t: Touched, partitionCol: String): Column = {
+    val inParts =
+      if (t.parts.isEmpty) lit(false) else col(partitionCol).isin(t.parts: _*)
+    if (t.hasNullPart) inParts || col(partitionCol).isNull else inParts
+  }
+
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The on-disk directory name of a partition value, with Spark's own
+    * escaping (spaces, ':', '%', … are percent-encoded in paths; NULL maps
+    * to the default-partition sentinel). */
+  private def partitionDirName(partitionCol: String, value: Any): String = {
+    val v = if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(value.toString)
+    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$v"
+  }
+
+  /** `ALTER TABLE … DELETE WHERE pred` analogue. Partitions whose every row
+    * matched produce no output rows, so dynamic overwrite cannot replace
+    * them — their directories are dropped the way the TTL drops expired
+    * partitions (a metadata delete, no write). */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  partitionCol: String, sortCols: Seq[String]): DeleteStats = {
+    val table = spark.read.parquet(path)
+    val t = touchedPartitions(table, predicate, partitionCol)
+    if (t.n == 0L) return DeleteStats(0L, 0L)
+    // pass 2: rewrite ONLY the touched partitions, keeping layout. The kept
+    // rows are eagerly materialized (localCheckpoint) BEFORE the overwrite —
+    // the frame reads the very files the write replaces, and Spark (rightly)
+    // refuses a lazy self-overwrite. This staging cost is bounded by the
+    // touched partitions, never the table.
+    val kept = table.filter(inTouched(t, partitionCol)).filter(!predicate)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint()
+    val survivingDirs = kept.select(col(partitionCol)).distinct()
+      .collect().map(r => partitionDirName(partitionCol, r.get(0))).toSet
+    withDynamicOverwrite(spark) {
+      kept.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touchedDirs = t.parts.map(p => partitionDirName(partitionCol, p)) ++
+      (if (t.hasNullPart) Seq(partitionDirName(partitionCol, null)) else Nil)
+    (touchedDirs.toSet -- survivingDirs).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+    }
+    DeleteStats(t.count, t.n)
+  }
+
   /** `ALTER TABLE … UPDATE col = expr WHERE pred` analogue — the same
-    * minimal-touch copy-on-write: partitions without a matching row keep
-    * their files untouched; touched ones rewrite with
-    * `when(pred, expr).otherwise(col)` applied per assignment. Returns
-    * (partitionsRewritten, rowsUpdated). The partition column itself must
-    * not be assigned (a partition-moving update is a delete + insert). */
+    * minimal-touch copy-on-write. ALL assignments are applied in ONE
+    * projection, so every `when(pred, expr)` — and every assignment
+    * expression — sees the PRE-update row even when assignments read or
+    * write the predicate's own columns. Returns (partitionsRewritten,
+    * rowsUpdated). The partition column itself must not be assigned (a
+    * partition-moving update is a delete + insert). */
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
                   set: Map[String, Column], partitionCol: String,
                   sortCols: Seq[String]): DeleteStats = {
     require(!set.contains(partitionCol),
       "updating the partition column moves rows across partitions — express it as delete + insert")
     val table = spark.read.parquet(path)
-    val touchedRow = table.filter(predicate)
-      .agg(collect_set(col(partitionCol)).as("parts"), count(lit(1)).as("n"))
-      .head()
-    val parts = touchedRow.getSeq[Any](0)
-    val n = touchedRow.getLong(1)
-    if (n == 0L) return DeleteStats(0L, 0L)
-    val touched = table.filter(col(partitionCol).isin(parts: _*))
-    val updated = set.foldLeft(touched) { case (df, (c, e)) =>
-      df.withColumn(c, when(predicate, e).otherwise(col(c)))
+    require(set.keySet.subsetOf(table.columns.toSet),
+      s"unknown columns in SET: ${set.keySet -- table.columns}")
+    val t = touchedPartitions(table, predicate, partitionCol)
+    if (t.n == 0L) return DeleteStats(0L, 0L)
+    val projected = table.columns.map { c =>
+      set.get(c).map(e => when(predicate, e).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
     }
-    val rewritten = updated.sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    DeleteStats(parts.size.toLong, n)
-  }
-
-  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  partitionCol: String, sortCols: Seq[String]): DeleteStats = {
-    val table = spark.read.parquet(path)
-    // pass 1: which partitions hold matches, and how many rows go
-    val touchedRow = table.filter(predicate)
-      .agg(collect_set(col(partitionCol)).as("parts"), count(lit(1)).as("n"))
-      .head()
-    val parts = touchedRow.getSeq[Any](0)
-    val n = touchedRow.getLong(1)
-    if (n == 0L) return DeleteStats(0L, 0L)
-    // pass 2: rewrite ONLY the touched partitions, keeping layout. The
-    // kept rows are eagerly materialized (localCheckpoint) BEFORE the
-    // overwrite — the frame reads the very files the write replaces, and
-    // Spark (rightly) refuses a lazy self-overwrite. This is the staging
-    // cost of any copy-on-write mutation; it is bounded by the touched
-    // partitions, never the table.
-    val touched = table.filter(col(partitionCol).isin(parts: _*))
-    val kept = touched.filter(!predicate)
+    val rewritten = table.filter(inTouched(t, partitionCol))
+      .select(projected.toIndexedSeq: _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint()
-    val surviving = kept.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // dynamic overwrite replaces exactly the partitions present in `kept`.
-      // A partition whose EVERY row matched produces no output rows, so it
-      // is not in `kept` at all — its directory is dropped the way the TTL
-      // drops expired partitions (a metadata delete, no write).
-      kept.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (parts.toSet -- surviving).foreach { p =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$p"), true)
-      }
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
+    withDynamicOverwrite(spark) {
+      rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     }
-    DeleteStats(parts.size.toLong, n)
+    DeleteStats(t.count, t.n)
   }
 }

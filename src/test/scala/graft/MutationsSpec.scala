@@ -115,6 +115,50 @@ class MutationsSpec extends SparkSpec {
     assert(pipe.members().select($"user_id").as[String].collect().toSeq == Seq("1"))
   }
 
+  test("updateWhere: all assignments see the PRE-update row, even self-referencing sets") {
+    val dir = tmpDir("mut5")
+    fixture(dir)
+    // the first assignment rewrites the predicate's own column; the second
+    // must still fire for the originally-matching rows
+    val stats = Mutations.updateWhere(spark, dir, $"event_id".startsWith("evt-2024-01-01-1"),
+      Map("event_id" -> lit("gone"), "user_id" -> lit(99L)), "day", Seq("user_id"))
+    assert(stats.rowsDeleted == 11L) // evt-2024-01-01-1 and -10..-19
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"event_id" === "gone").count() == 11L)
+    assert(after.filter($"user_id" === 99L).count() == 11L,
+      "second assignment must not be starved by the first rewriting the predicate column")
+  }
+
+  test("NULL partition values are erased too, in their default-partition directory") {
+    val dir = tmpDir("mut6")
+    val rows = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+                   (3L, "c", null), (4L, "d", null))
+      .toDF("user_id", "event_id", "day")
+    rows.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val stats = Mutations.deleteWhere(spark, dir, $"user_id".isin(2L, 3L), "day", Seq("user_id"))
+    assert(stats == Mutations.DeleteStats(2L, 2L),
+      "the null partition must count as touched")
+    val after = spark.read.parquet(dir)
+    assert(after.select($"user_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L),
+      "row in the NULL partition must actually be deleted")
+    // empty out the null partition entirely: its sentinel directory must go
+    val s2 = Mutations.deleteWhere(spark, dir, $"user_id" === 4L, "day", Seq("user_id"))
+    assert(s2.rowsDeleted == 1L)
+    assert(!new java.io.File(s"$dir/day=__HIVE_DEFAULT_PARTITION__").exists())
+  }
+
+  test("escaped partition values: emptied partitions with special chars still drop") {
+    val dir = tmpDir("mut7")
+    Seq((1L, "2024-01-01 00:00"), (2L, "2024-01-02 00:00"))
+      .toDF("user_id", "day").write.mode("overwrite").partitionBy("day").parquet(dir)
+    val stats = Mutations.deleteWhere(spark, dir, $"user_id" === 1L, "day", Seq("user_id"))
+    assert(stats == Mutations.DeleteStats(1L, 1L))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.count(_.startsWith("day=")) == 1,
+      s"the emptied escaped partition must be dropped, found: $dirs")
+    assert(spark.read.parquet(dir).select($"user_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("a fully-matched partition's directory is dropped, not left stale") {
     val dir = tmpDir("mut3")
     fixture(dir)

@@ -571,6 +571,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("null-text rows: span removal empties them, phash treats them as hash 0, winsorize q=0 clips at min") {
+    val withNull = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+                       (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val spans = Dedup.removeDuplicatedSpans(withNull, 8)
+      .filter($"doc_id" >= 3L).select($"n_tokens", $"cleaned_md5")
+      .as[(Long, String)].collect().toSet
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(spans == Set((0L, emptyMd5)), "null text = empty doc, never NULL output")
+    val phPairs = Multimodal.phashNearDuplicates(
+        Multimodal.syntheticMediaTable(withNull), maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(phPairs.contains((3L, 4L)), "two null-content rows are hamming-0 dups")
+    // qLo = 0.0: lower bound clamps to the group minimum, nothing nulls out
+    val w0 = graft.operators.RobustStats.winsorizedStats(
+        Seq(("g", 1.0), ("g", 2.0), ("g", 100.0)).toDF("k", "v"), "k", "v", 0.0, 0.5)
+      .select($"lo", $"hi", $"n_clipped", $"wins_sum").collect()(0)
+    assert(w0.getDouble(0) == 1.0 && w0.getDouble(1) == 2.0)
+    assert(w0.getLong(2) == 1L && w0.getDouble(3) == 5.0)
+  }
+
   test("interDocDupNgramStats: hashed pipeline == string-gram reference, edge docs") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"),   // 3 distinct 8-grams, all shared with 2

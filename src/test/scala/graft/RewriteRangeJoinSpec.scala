@@ -114,6 +114,22 @@ class RewriteRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("date domain fires (bands in days) — DATE needs UnixDate, not a cast") {
+    val evs = (1 to 90).map(i => (i.toLong, s"2024-${"%02d".format(1 + i % 12)}-${"%02d".format(1 + i % 28)}"))
+      .toDF("pid", "s").select($"pid", $"s".cast("date").as("p"))
+    val ivs = (1 to 8).map(i =>
+        (i.toLong, s"2024-${"%02d".format(i)}-01", s"2024-${"%02d".format(i)}-28"))
+      .toDF("iid", "a", "b")
+      .select($"iid", $"a".cast("date").as("lo"), $"b".cast("date").as("hi"))
+    val off = pairs(evs.join(ivs, $"p" >= $"lo" && $"p" <= $"hi"))
+    withWidth(14L) { // days
+      val df = evs.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(pairs(df) == off)
+    }
+  }
+
   test("residual conjuncts survive the rewrite") {
     val off = pairs(points.join(intervals,
       $"p" >= $"lo" && $"p" <= $"hi" && $"pid" =!= $"iid"))
