@@ -316,6 +316,60 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** ClickHouse `WITH FILL ... INTERPOLATE`-style gap fill with
+    * last-observation-carried-forward: each user's daily closing value
+    * (latest event of the day, (ts, event_id)-tie-broken) forward-filled
+    * across a dense date spine from the user's first active day. The window
+    * is per-user (150 partitions here, millions at scale — never global),
+    * and the spine seed is the 1-row global bounds aggregate, the same
+    * shape events_daily_filled uses. The value rides through untouched —
+    * no arithmetic, so both engines carry the identical double. */
+  private def eventsLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+              col("ts"), col("event_id"), col("value"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+    // 1-row global upper bound; each user's spine explodes from their own
+    // first day — no user × date cross join ever materializes
+    val bounds = ev.agg(max(col("day")).as("hi"))
+    val firstDay = daily.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+              explode(sequence(col("fday"), col("hi"),
+                               expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("value_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("v").isNotNull.as("observed"), col("value_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Running distinct users per day — the SCALABLE rewrite of a running
+    * `uniqExact` window: distinct-per-day is a normal aggregate, and the
+    * cumulative count folds each user into their FIRST-seen day (a user
+    * contributes exactly once), so the running sum runs over the
+    * #days-sized aggregated frame, never over raw events or per-day user
+    * sets. The only single-partition stage is that #days-row cumsum. */
+  private def eventsRunningUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val active = ev.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("n_active"), col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   private def eventsPropsExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -728,6 +782,39 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       pipe.members().orderBy("user_id")
+    }
+
+  /** Stream-STATIC enrichment join — the one Structured Streaming join
+    * shape the other streaming queries don't cover: each micro-batch of the
+    * event stream joins a static broadcast dimension (user → market
+    * segment, from the customer table) before landing in the sink; the
+    * read-back aggregates the enriched sink per segment. At scale the
+    * static side is a broadcast (or pre-bucketed) dim table and the stream
+    * side never reshuffles — exactly Spark's stream-static contract. The
+    * oracle is the equivalent batch join+aggregate. */
+  private def segStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_enrich") { tmp =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val stream = s.readStream.schema(EventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val enriched = stream
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("segment"), col("value"))
+      val q = enriched.writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(coalesce(col("segment"), lit("<none>")).as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+             count_distinct(col("user_id")).as("n_users"),
+             dsum(col("value")).as("sum_value"))
+        .orderBy("segment")
     }
 
   /** Change-log TTL under a LIVE stream, through the oracle gate (T9/S5 —
@@ -1361,6 +1448,97 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup over the planted corpus ([[Similarity.semanticDedup]]):
+    * cluster-bounded pairwise cosine, keep-lowest-id policy. Reuses
+    * embedding_neardup's planted copies (the natural corpus has no
+    * semantic duplicates — max pairwise cosine ≈ 0.51) with each copy
+    * keeping its source's cluster label, so every copy must be dropped and
+    * nothing else. Emitted per cluster: sizes plus an md5 digest of the
+    * kept id set — the oracle replays plant, pairwise, policy, and digest. */
+  private def semanticDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("label"),
+              transform(col("embedding"),
+                        (x, i) => when(i === 0, x * lit(1.25)).otherwise(x)).as("embedding"))
+    Similarity.semanticDedup(base.unionByName(planted), threshold = 0.95)
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           md5(concat_ws(",",
+                 sort_array(collect_list(when(col("kept"), col("vec_id"))))
+                   .cast("array<string>")).cast("binary")).as("kept_md5"))
+      .orderBy("label")
+  }
+
+  /** Gopher/MassiveText-style per-document quality rules (Rae et al. 2021),
+    * the word-level subset (the corpus has no line structure): word count in
+    * [50, 100k], mean word length in [3, 10], ≥ 80% of whitespace tokens
+    * contain a letter, symbol-to-word ratio ≤ 0.1, ≥ 2 stopword hits. Every
+    * boundary is evaluated in INTEGER cross-multiplied form (sum ≥ 3·n
+    * instead of sum/n ≥ 3) so no engine ever divides — the flags are exact
+    * everywhere. Pure codegen'd projection, parquet-scan speed. */
+  private def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val nWords = size(ws).cast("long")
+    val sumWlen = coalesce(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long")), lit(0L))
+    val nToks = size(toks).cast("long")
+    val nAlphaToks = size(filter(toks, tk => tk.rlike("[A-Za-z]"))).cast("long")
+    val nSym = (size(split(col("text"), "#", -1)).cast("long") - 1L) +
+               (size(split(col("text"), "\\.\\.\\.", -1)).cast("long") - 1L)
+    val nStop = size(filter(ws,
+      w => array_contains(array(TextAnalysis.Stopwords("en").map(lit): _*), w))).cast("long")
+    t(s, dir, "documents").select(
+        col("doc_id"), nWords.as("n_words"), sumWlen.as("sum_wlen"),
+        (nWords >= 50L && nWords <= 100000L).as("ok_nwords"),
+        (sumWlen >= nWords * 3L && sumWlen <= nWords * 10L).as("ok_wlen"),
+        (nAlphaToks * 5L >= nToks * 4L).as("ok_alpha"),
+        (nSym * 10L <= nWords).as("ok_symbols"),
+        (nStop >= 2L).as("ok_stopwords"))
+      .withColumn("gopher_pass",
+        col("ok_nwords") && col("ok_wlen") && col("ok_alpha") &&
+        col("ok_symbols") && col("ok_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  private val PhraseTerms = Seq("key", "value")
+
+  /** Exact phrase search ([[CorpusModel.phraseSearch]]): positional-postings
+    * adjacency join for the fixed phrase — the scalable `LIKE '%key value%'`.
+    * All-integer output (match count, first 0-based word position). */
+  private def phraseSearchDocs(s: SparkSession, dir: String): DataFrame =
+    CorpusModel.phraseSearch(t(s, dir, "documents"), PhraseTerms)
+      .orderBy("doc_id")
+
+  /** ClickHouse `quantileExactWeighted(0.5)(price, quantity)` per return
+    * flag ([[RobustStats.weightedQuantile]]): the smallest price whose
+    * cumulative quantity reaches half the group total. The result is a
+    * data value — no interpolation, exact in any engine. */
+  private def weightedMedianPrice(s: SparkSession, dir: String): DataFrame =
+    RobustStats.weightedQuantile(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity", q = 0.5)
+      .withColumnRenamed("wq", "weighted_median")
+      .orderBy("l_returnflag")
+
+  /** Time-weighted average value per user ([[EventAnalytics
+    * .timeWeightedAvg]]): step-function mean over closed inter-event
+    * intervals, decimal-exact numerator, digit-string surfaced. */
+  private def twaValue(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.timeWeightedAvg(t(s, dir, "events"))
+      .orderBy("user_id")
+
+  /** Full cohort-retention matrix ([[EventAnalytics.cohortMatrix]]):
+    * distinct active users per (first-seen cohort day, day offset). */
+  private def cohortMatrixQ(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.cohortMatrix(t(s, dir, "events"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+              col("offset"), col("n_active"))
+      .orderBy("cohort_day", "offset")
+
   /** Tokenizer-vocabulary induction: the 100 most frequent words with
     * counts — the seed step of building a BPE/WordPiece vocab over a corpus.
     * One explode + count; map-side partial aggregation makes the shuffle
@@ -1606,6 +1784,15 @@ object SparkEntry {
     "agg_event_stats"      -> (aggEventStats _),
     "events_daily"         -> (eventsDaily _),
     "events_daily_filled"  -> (eventsDailyFilled _),
+    "events_locf"          -> (eventsLocf _),
+    "events_running_users" -> (eventsRunningUsers _),
+    "seg_stream_enrich"    -> (segStreamEnrich _),
+    "semantic_dedup"       -> (semanticDedupStats _),
+    "gopher_quality"       -> (gopherQuality _),
+    "phrase_search"        -> (phraseSearchDocs _),
+    "weighted_median_price" -> (weightedMedianPrice _),
+    "twa_value"            -> (twaValue _),
+    "cohort_matrix"        -> (cohortMatrixQ _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
@@ -2309,6 +2496,183 @@ object SparkEntry {
          SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n
          FROM spine s LEFT JOIN daily d ON s.day = d.day
          ORDER BY day""",
+
+    // LOCF gap fill: same daily-close pick (row_number DESC == max_by on the
+    // (ts, event_id) struct), same dense spine, same windowed forward fill.
+    // The double value is never touched by arithmetic on either side.
+    "events_locf" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+                     FROM events),
+         ranked AS (SELECT user_id, day, value,
+                           row_number() OVER (PARTITION BY user_id, day
+                                              ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM ev),
+         daily AS (SELECT user_id, day, value AS v FROM ranked WHERE rn = 1),
+         fd AS (SELECT user_id, min(day) AS fday FROM daily GROUP BY 1),
+         spine AS (SELECT fd.user_id,
+                          unnest(generate_series(fd.fday,
+                                                 (SELECT max(day) FROM ev),
+                                                 INTERVAL 1 DAY))::DATE AS day
+                   FROM fd)
+         SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+                d.v IS NOT NULL AS observed,
+                last_value(d.v IGNORE NULLS)
+                  OVER (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+         FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+         ORDER BY s.user_id, s.day""",
+
+    // Running distinct users via the first-seen rewrite (identical fold).
+    "events_running_users" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         active AS (SELECT day, count(DISTINCT user_id) AS n_active
+                    FROM ev GROUP BY 1),
+         fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+         nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+         SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active,
+                CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+                CAST(sum(coalesce(nu.new_users, 0))
+                       OVER (ORDER BY a.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_users
+         FROM active a LEFT JOIN nu ON a.day = nu.day
+         ORDER BY day""",
+
+    // Stream-static enrichment == the equivalent batch join+aggregate; the
+    // left join surfaces unmatched users under a pinned sentinel so null
+    // sort-position differences can never appear.
+    "seg_stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, '<none>') AS segment,
+                count(*) AS n_events,
+                count(DISTINCT e.user_id) AS n_users,
+                CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // SemDeDup replay: plant the perturbed copies (same label), all-pairs
+    // cosine WITHIN label, keep-lowest-id policy, md5 of the kept id list.
+    // Planted pairs sit at cosine ≈ 0.999 vs a 0.51 natural maximum, so the
+    // 0.95 gate has enormous float headroom on both engines.
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         p AS (SELECT vec_id + 1000000 AS vec_id, label,
+                      list_concat([v[1] * 1.25], v[2:]) AS v
+               FROM base WHERE vec_id % 25 = 0),
+         c AS (SELECT * FROM base UNION ALL SELECT * FROM p),
+         dropped AS (SELECT DISTINCT a.vec_id
+                     FROM c a JOIN c b ON a.label = b.label AND b.vec_id < a.vec_id
+                     WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+         SELECT CAST(c.label AS INT) AS label,
+                count(*) AS n_total,
+                CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                md5(string_agg(CASE WHEN d.vec_id IS NULL
+                                    THEN CAST(c.vec_id AS VARCHAR) END,
+                               ',' ORDER BY c.vec_id)) AS kept_md5
+         FROM c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+         GROUP BY c.label ORDER BY label""",
+
+    // Gopher word-level rules: every boundary is integer cross-multiplied on
+    // both sides — no division anywhere, the flags are exact in any engine.
+    "gopher_quality" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws,
+                   regexp_extract_all(text, '\\S+') AS toks,
+                   length(text) - length(replace(text, '#', '')) AS nhash,
+                   (length(text) - length(replace(text, '...', ''))) // 3 AS nell
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                        AS BIGINT) AS sum_wlen,
+                   CAST(len(toks) AS BIGINT) AS n_toks,
+                   CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                        AS BIGINT) AS n_alpha,
+                   CAST(nhash + nell AS BIGINT) AS n_sym,
+                   CAST(len(list_filter(ws, x -> x IN ($EnStop))) AS BIGINT) AS n_stop
+            FROM w)
+          SELECT doc_id, n_words, sum_wlen,
+                 (n_words >= 50 AND n_words <= 100000) AS ok_nwords,
+                 (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10) AS ok_wlen,
+                 (n_alpha * 5 >= n_toks * 4) AS ok_alpha,
+                 (n_sym * 10 <= n_words) AS ok_symbols,
+                 (n_stop >= 2) AS ok_stopwords,
+                 ((n_words >= 50 AND n_words <= 100000)
+                  AND (sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10)
+                  AND (n_alpha * 5 >= n_toks * 4)
+                  AND (n_sym * 10 <= n_words)
+                  AND (n_stop >= 2)) AS gopher_pass
+          FROM m ORDER BY doc_id""",
+
+    // Positional-postings phrase search replayed as a direct adjacency scan
+    // over the word list (1-based in DuckDB; start is 0-based on both sides).
+    "phrase_search" -> {
+      val conds = PhraseTerms.zipWithIndex.map { case (term, j) =>
+        s"ws[CAST(i.i AS INT) + $j] = '$term'"
+      }.mkString(" AND ")
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                     FROM documents),
+          s AS (SELECT doc_id, CAST(i.i - 1 AS INT) AS start
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - ${PhraseTerms.length - 2}))
+                                 AS i) i
+                WHERE $conds)
+          SELECT doc_id, count(*) AS n_matches, min(start) AS first_pos
+          FROM s GROUP BY 1 ORDER BY 1"""
+    },
+
+    // Weighted exact median: identical cumulative-weight fold; the min-value-
+    // reaching-the-target result is invariant to intra-tie order (see
+    // RobustStats.weightedQuantile).
+    "weighted_median_price" ->
+      """WITH clean AS (SELECT l_returnflag, l_extendedprice AS v,
+                               CAST(l_quantity AS BIGINT) AS wt
+                        FROM lineitem
+                        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+         r AS (SELECT l_returnflag, v,
+                      sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cumw,
+                      sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+               FROM clean)
+         SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+                min(v) AS weighted_median
+         FROM r WHERE cumw >= CAST(ceil(0.5 * tw - 1e-9) AS BIGINT)
+         GROUP BY 1 ORDER BY 1""",
+
+    // Time-weighted average: same second-floored interval lengths, same
+    // exact decimal value·Δt sums (string-routed both ways), one final
+    // IEEE division on both sides.
+    "twa_value" ->
+      """WITH d AS (
+           SELECT user_id,
+                  CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)))
+                       AS BIGINT)
+                  - CAST(floor(epoch(ts)) AS BIGINT) AS dt,
+                  CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)) AS dv
+           FROM events)
+         SELECT user_id, count(*) AS n_intervals,
+                CAST(sum(dt) AS BIGINT) AS total_seconds,
+                CAST(CAST(sum(dv * CAST(dt AS DECIMAL(20,0))) AS VARCHAR)
+                     AS DOUBLE) AS vt_sum,
+                CAST(CAST(sum(dv * CAST(dt AS DECIMAL(20,0))) AS VARCHAR)
+                     AS DOUBLE)
+                  / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) AS twa
+         FROM d WHERE dt IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    // Cohort matrix: first-seen day per user, then distinct active users per
+    // (cohort, offset) — all integer.
+    "cohort_matrix" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(d.day - c.cohort_day AS INT) AS offset,
+                count(*) AS n_active
+         FROM days d JOIN cohorts c ON d.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // NB: DuckDB sum(BIGINT) yields HUGEINT, which pandas fetches as float64
     // and the driver's value hash then disagrees with Spark's int64 — every

@@ -149,6 +149,33 @@ object CorpusModel {
       .limit(topK)
   }
 
+  /** Exact phrase search via POSITIONAL postings — the scalable form of
+    * `WHERE text LIKE '%w1 w2 … wk%'`: the LIKE scan reads every byte of
+    * every document on every query; the postings form touches only the
+    * phrase's own terms. Postings are `(term, doc, position)` rows (at
+    * 100 TB an ingest-time table, partitioned by term — here built inline
+    * from the same word tokenizer every text operator shares); the phrase
+    * becomes a k-way equi-join on `(doc, start)` where term j must appear
+    * at `start + j`. The per-term filter is a literal IN pushed beneath the
+    * explode, so no exchange ever carries a non-phrase term.
+    *
+    * Returns one row per matching document: match count and first match
+    * position (0-based word offset) — all-integer, exactly reproducible. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val postings = docs.select(col(idCol),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w").isInCollection(phrase.distinct))
+    val starts = phrase.zipWithIndex.map { case (term, j) =>
+      postings.filter(col("w") === term)
+        .select(col(idCol), (col("pos") - lit(j)).as("start"))
+    }
+    starts.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
+
   /** Corpus-drift probe: Jaccard overlap of the two slices' top-k
     * vocabularies — the cheap shard-vs-shard distribution-shift check a
     * pipeline runs between ingest waves. Each top-k is deterministic

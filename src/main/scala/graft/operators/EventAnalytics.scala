@@ -100,4 +100,51 @@ object EventAnalytics {
     }
     perUser.agg(outs.head, outs.tail: _*)
   }
+
+  /** Full cohort-retention matrix — the generalized form of [[retention]]'s
+    * single row: users cohorted by FIRST-seen day, and for every (cohort,
+    * day-offset) cell the distinct users of that cohort active `offset`
+    * days after their first day. Two aggregations and one equi-join on the
+    * user key (the cohort table is per-user, joined back to events), all
+    * integer — no windows, no per-day user sets carried anywhere. */
+  def cohortMatrix(events: DataFrame, userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val cohorts = days.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_day"),
+               datediff(col("day"), col("cohort_day")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Time-weighted average value per user (ClickHouse `avgWeighted` with
+    * duration weights over a step function): each event's value holds until
+    * the user's next event; twa = Σ value·Δt / Σ Δt over the closed
+    * intervals. The last (open) interval is excluded.
+    *
+    * Exactness: `value` has ≤2 decimal digits, so the string-route decimal
+    * cast is exact; Δt is integer seconds; every product and sum is decimal
+    * arithmetic with zero rounding steps, surfaced through the digit
+    * string. The final division is the only IEEE op. One per-user window
+    * (lead), one aggregation — both on the user partition key. */
+  def timeWeightedAvg(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts", valueCol: String = "value",
+                      tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val dt = (unix_timestamp(lead(col(tsCol), 1).over(w)) -
+              unix_timestamp(col(tsCol)))
+    val dv = col(valueCol).cast("string").cast("decimal(12,2)")
+    events
+      .select(col(userCol), col(tsCol), col(tieBreak), col(valueCol))
+      .withColumn("__dt", dt)
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_intervals"),
+           sum(col("__dt")).as("total_seconds"),
+           sum(dv * col("__dt").cast("decimal(20,0)"))
+             .cast("string").cast("double").as("vt_sum"))
+      .withColumn("twa",
+        col("vt_sum") / col("total_seconds").cast("double"))
+  }
 }

@@ -64,4 +64,37 @@ object RobustStats {
            sum(col("cv").cast("decimal(27,6)")).cast("double").as("wins_sum"))
       .withColumn("wins_mean", col("wins_sum") / col("n"))
   }
+
+  /** ClickHouse `quantileExactWeighted(q)(value, weight)` per group: the
+    * smallest value whose cumulative weight reaches `ceil(q·W)` when the
+    * group is scanned in value order (weights integral and positive).
+    *
+    * Determinism under value ties: the cumulative-weight window assigns
+    * tie rows order-dependent partial sums, but the RESULT — the minimum
+    * value with any row's cumulative weight ≥ the target — depends only on
+    * each tie block's END weight, which is order-invariant; both engines
+    * agree regardless of intra-tie order (and of ROWS vs RANGE framing).
+    * The target uses the same under-ceil guard as the winsorized bounds.
+    *
+    * Plan shape: one per-group sort (the same inherent cost as
+    * [[winsorizedStats]]'s rank pass; the 100 TB approximate path is the
+    * weighted KLL variant), then a group-local aggregate — no second sort,
+    * no single-partition stage, no join at all. */
+  def weightedQuantile(df: DataFrame, keyCol: String, valueCol: String,
+                       weightCol: String, q: Double = 0.5): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "need 0 < q <= 1")
+    val clean = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+              col(weightCol) > 0)
+      .select(col(keyCol), col(valueCol), col(weightCol).cast("long").as("wt"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .withColumn("cumw", sum(col("wt")).over(wc))
+      .withColumn("tw", sum(col("wt")).over(Window.partitionBy(col(keyCol))))
+      .filter(col("cumw") >= ceil(lit(q) * col("tw") - lit(1e-9)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("tw")).as("total_weight"),
+           min(col(valueCol)).as("wq"))
+  }
 }

@@ -272,6 +272,43 @@ object Similarity {
               round(col("cosine"), 4).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * within each embedding CLUSTER, vectors whose cosine similarity to a
+    * cluster-mate exceeds `threshold` are duplicates and all but one are
+    * dropped. The cluster column is the trained coarse-quantizer assignment
+    * (here `label`, the same k-means stand-in as [[ivfTopK]]); the paper's
+    * keep-one-random policy becomes deterministic keep-LOWEST-id: a vector
+    * is dropped iff a LOWER-id cluster-mate sits within `threshold`.
+    *
+    * Scale shape: the cluster key bounds the quadratic blast radius — the
+    * only join is an equi-join on the cluster column, and #clusters grows
+    * with the corpus so per-cluster pairwise work stays bounded (the
+    * paper's own argument for clustering before pairwise cosine). The
+    * corpus is shuffled once by cluster; no global all-pairs anywhere.
+    *
+    * Returns the corpus plus a `kept` boolean (false = semantic duplicate
+    * of a lower-id cluster-mate); callers filter `kept` for the deduped
+    * corpus. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    clusterCol: String = "label"): DataFrame = {
+    val mates = corpus.select(col(clusterCol).as("__c"), col(idCol).as("__id_b"),
+                              col(vecCol).as("__v_b"))
+    val dropped = corpus
+      .select(col(clusterCol).as("__c"), col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(mates, Seq("__c"))
+      .filter(col("__id_b") < col("__id"))
+      // score+filter before the distinct: the dedup exchange sees only
+      // (id) rows of actual duplicates, not the per-cluster pair grid
+      .filter(cosine(col("__v"), col("__v_b")) >= threshold)
+      .select(col("__id")).distinct()
+      .withColumn("__dropped", lit(true))
+    corpus.join(dropped.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("kept", col("__dropped").isNull)
+      .drop("__dropped")
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via multi-table SRP buckets (no O(n²) scan), verified exactly.
     * At threshold 0.95 (θ≈18°, p≈0.90) the 8-bit/8-table default catches

@@ -40,4 +40,38 @@ object Layout {
       case None    => sorted.write.mode("append").parquet(path)
     }
   }
+
+  /** Small-file compaction (the lakehouse `OPTIMIZE`): rewrite a parquet
+    * directory into `ceil(totalBytes / targetBytes)` files, optionally
+    * re-clustered on `sortCols` (plain or, via [[zvalue]], Z-order) during
+    * the rewrite. Streaming ingest at 100 TB leaves thousands of
+    * trigger-sized files per partition; every subsequent scan pays their
+    * open/footer cost until a compaction pass folds them — the same reason
+    * ClickHouse background-merges its parts.
+    *
+    * The merge is a `coalesce` (no shuffle — files concatenate into fewer
+    * tasks); the frame is eagerly materialized before the overwrite because
+    * Spark refuses lazy self-overwrites (same contract as
+    * [[Mutations]]). Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path match {
+        case p if p.contains("://") => p
+        case p => s"file://$p"
+      }),
+      spark.sparkContext.hadoopConfiguration)
+    def parts(): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/part-*.parquet"))
+    val before = parts()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val merged = spark.read.parquet(path).coalesce(nOut)
+    val clustered =
+      if (sortCols.isEmpty) merged
+      else merged.sortWithinPartitions(sortCols.map(col): _*)
+    clustered.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    (before.length, parts().length)
+  }
 }

@@ -16,7 +16,7 @@ class PlanLintSpec extends SparkSpec {
   // eagerly-executing streaming queries: plans are exercised (and bounded) by
   // their own specs; building them here would run full streaming lifecycles
   private val streaming = Set("seg_stream_equiv", "seg_stream_native",
-    "seg_stream_stateful", "seg_retention_stream")
+    "seg_stream_stateful", "seg_retention_stream", "seg_stream_enrich")
 
   // scalar/global outputs: the FINAL one-row aggregate is the result itself,
   // upstream partial aggregation still runs distributed
@@ -30,8 +30,12 @@ class PlanLintSpec extends SparkSpec {
     "topk_words_sketch",   // the merged sketch is one scalar state row
     "bm25_search",         // 1-row corpus stats (N, Σdl) seed the scoring;
                            // the top-k itself is a TakeOrdered
-    "vocab_drift")         // one overlap-stats row from two TakeOrdered
+    "vocab_drift",         // one overlap-stats row from two TakeOrdered
                            // top-k sets
+    "events_locf",         // 1-row global max-day bound seeds each user's
+                           // spine explode (per-user windows stay partitioned)
+    "events_running_users") // cumsum over the #days-sized aggregated frame —
+                           // the first-seen rewrite already collapsed users
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusModel, EventAnalytics, RobustStats}
+
+/** Specs for the round-5 wave-2 operators: positional phrase search,
+  * weighted exact quantiles, time-weighted averages, the cohort matrix,
+  * and small-file compaction. */
+class SearchAndStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- phrase search -----------------------------------------------------
+
+  test("phraseSearch: adjacency, overlap, repeated terms, and misses") {
+    val docs = Seq(
+      (1L, "a b a b a"),       // "a b a" matches at 0 and 2 (overlapping)
+      (2L, "x a b a y"),       // one match at 1
+      (3L, "a b b a"),         // no "a b a"
+      (4L, "A B a"),           // case-folded match at 0
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusModel.phraseSearch(docs, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(out === Seq((1L, 2L, 0), (2L, 1L, 1), (4L, 1L, 0)))
+  }
+
+  test("phraseSearch matches a brute-force sliding scan on the corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val phrase = Seq("key", "value")
+    val got = CorpusModel.phraseSearch(docs, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val brute = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().flatMap { case (id, text) =>
+        val ws = "[a-z]+".r.findAllIn(Option(text).getOrElse("").toLowerCase).toArray
+        val starts = ws.indices.filter(i =>
+          i + phrase.length <= ws.length &&
+          phrase.indices.forall(j => ws(i + j) == phrase(j)))
+        if (starts.isEmpty) None else Some((id, starts.length.toLong, starts.min))
+      }.sorted
+    assert(got === brute)
+  }
+
+  // --- weighted exact quantile ------------------------------------------
+
+  test("weightedQuantile equals the expanded-multiset exact quantile") {
+    val df = Seq(
+      ("g", 10.0, 1L), ("g", 20.0, 3L), ("g", 30.0, 1L),
+      ("h", 5.0, 10L), ("h", 100.0, 1L)
+    ).toDF("k", "v", "w")
+    // expand each value w times and take the discrete quantile of the list
+    def brute(rows: Seq[(Double, Long)], q: Double): Double = {
+      val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+      expanded(math.max(1, math.ceil(q * expanded.size - 1e-9).toInt) - 1)
+    }
+    for (q <- Seq(0.1, 0.25, 0.5, 0.9, 1.0)) {
+      val got = RobustStats.weightedQuantile(df, "k", "v", "w", q)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got("g") === brute(Seq((10.0, 1L), (20.0, 3L), (30.0, 1L)), q),
+        s"g at q=$q")
+      assert(got("h") === brute(Seq((5.0, 10L), (100.0, 1L)), q), s"h at q=$q")
+    }
+  }
+
+  test("weightedQuantile is invariant to tie order and input partitioning") {
+    val rows = (1 to 400).map(i => ("k", (i % 7).toDouble, (i % 3 + 1).toLong))
+    val a = RobustStats.weightedQuantile(
+      rows.toDF("k", "v", "w").repartition(7), "k", "v", "w", 0.5).collect()
+    val b = RobustStats.weightedQuantile(
+      rows.reverse.toDF("k", "v", "w").repartition(2), "k", "v", "w", 0.5).collect()
+    assert(a.map(_.getDouble(2)).toSeq === b.map(_.getDouble(2)).toSeq)
+    assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq)
+  }
+
+  // --- time-weighted average --------------------------------------------
+
+  test("timeWeightedAvg on a hand-computed step function") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, 10.0),   // holds 10.0 for 60 s
+      (1L, ts(60), 2L, 20.0),  // holds 20.0 for 30 s
+      (1L, ts(90), 3L, 99.0),  // open interval — excluded
+      (2L, ts(0), 4L, 5.0)     // single event: no closed interval → no row
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.timeWeightedAvg(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 2L)                       // n_intervals
+    assert(r.getLong(2) === 90L)                      // total_seconds
+    assert(r.getDouble(3) === 10.0 * 60 + 20.0 * 30)  // vt_sum = 1200
+    assert(r.getDouble(4) === 1200.0 / 90.0)
+  }
+
+  // --- cohort matrix ------------------------------------------------------
+
+  test("cohortMatrix equals brute-force per-user replay") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .as[(Long, java.sql.Date)].collect()
+    val firstDay = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2.toLocalDate).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    }
+    val cells = ev.map { case (u, d) =>
+      val c = firstDay(u)
+      (c.toString, java.time.temporal.ChronoUnit.DAYS.between(c, d.toLocalDate).toInt, u)
+    }.distinct.groupBy(x => (x._1, x._2)).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("cohort_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === cells)
+  }
+
+  // --- compaction ---------------------------------------------------------
+
+  test("Layout.compact folds small files, preserves rows, applies clustering") {
+    val dir = tmpDir("compact")
+    val path = s"$dir/t.parquet"
+    val df = (1 to 10000).map(i => (i.toLong, (i * 2654435761L) % 1000, s"row$i"))
+      .toDF("id", "key", "payload")
+    df.repartition(40).write.parquet(path)  // 40 small files
+    val before = spark.read.parquet(path)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+
+    val (nBefore, nAfter) = graft.sources.Layout.compact(
+      spark, path, targetBytes = Long.MaxValue, sortCols = Seq("key"))
+    assert(nBefore === 40 && nAfter === 1, s"expected 40 → 1, got $nBefore → $nAfter")
+
+    val after = spark.read.parquet(path)
+    val afterRows = after.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(afterRows === before, "compaction changed the row multiset")
+    // clustering applied: the single output file is sorted by key
+    val keys = after.select("key").as[Long].collect()
+    assert(keys.sameElements(keys.sorted), "rows not clustered on sortCols")
+
+    // idempotent re-run: still 1 file, same rows
+    val (b2, a2) = graft.sources.Layout.compact(
+      spark, path, targetBytes = Long.MaxValue, sortCols = Seq("key"))
+    assert(b2 === 1 && a2 === 1)
+  }
+}
