@@ -1241,6 +1241,58 @@ object SparkEntry {
     Dedup.clusterNearDuplicates(minhashPairs(s, dir))
       .orderBy("id")
 
+  /** Cluster-representative selection by QUALITY — the keep policy real
+    * dedup pipelines use (keep the longest/highest-quality member, not the
+    * lowest id): every document joins its near-dup cluster (singletons are
+    * their own cluster), and each cluster emits the member with the most
+    * characters, ties to the lowest doc_id. One equi-join against the
+    * cluster assignment + one `max_by` aggregate — the representative pick
+    * never shuffles text, only (id, n_chars). */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.clusterNearDuplicates(minhashPairs(s, dir))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    docs.join(clusters, docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+              coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+             .as("rep_doc_id"),
+           max(col("n_chars")).as("rep_n_chars"))
+      .orderBy("cluster_id")
+  }
+
+  /** Trailing 7-day distinct users + event volume per observed day — the
+    * SCALABLE rewrite of a rolling `uniqExact` window: instead of carrying
+    * a per-day user-set state, each (user, day) observation fans out to the
+    * ≤7 window-ends it can contribute to (a bounded explode), and each
+    * window-end runs an ordinary distinct aggregate. Shuffle is
+    * 7·|distinct (user, day)| fixed-width rows; no quadratic window frame,
+    * no mergeable-set state. (The sketch path for wider windows is the
+    * same fan-out over per-day HLL states via [[graft.functions
+    * .Sketches]].) */
+  private def rolling7dUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+    val ud = ev.distinct()
+    val days = ud.select(col("day")).distinct()
+    val userFan = ud
+      .select(col("user_id"),
+              explode(sequence(col("day"), date_add(col("day"), 6),
+                               expr("interval 1 day"))).as("wend"))
+      .join(days.select(col("day").as("wend")), Seq("wend"), "left_semi")
+      .groupBy(col("wend"))
+      .agg(count_distinct(col("user_id")).as("users_7d"))
+    val evFan = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+              explode(sequence(col("day"), date_add(col("day"), 6),
+                               expr("interval 1 day"))).as("wend"))
+      .groupBy(col("wend")).agg(sum(col("n")).as("n_events_7d"))
+    userFan.join(evFan, Seq("wend"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
+              col("users_7d"), col("n_events_7d"))
+      .orderBy("day")
+  }
+
   /** Incremental cluster maintenance through the oracle gate: the PERSISTED
     * historical assignment ([[histAssignments]], an ingest-time artifact)
     * folded together with the new batch's probe pairs ([[newBatchPairs]],
@@ -1793,6 +1845,8 @@ object SparkEntry {
     "weighted_median_price" -> (weightedMedianPrice _),
     "twa_value"            -> (twaValue _),
     "cohort_matrix"        -> (cohortMatrixQ _),
+    "dedup_keep_best"      -> (dedupKeepBest _),
+    "rolling_7d_users"     -> (rolling7dUsers _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
@@ -2006,7 +2060,46 @@ object SparkEntry {
         SELECT src AS id, min(dst) AS cluster_id
         FROM reach GROUP BY src ORDER BY id"""
 
+  /** Same closure, extended with the keep-best representative pick:
+    * max n_chars per cluster, ties to the lowest doc_id, singletons their
+    * own cluster. */
+  private val DedupKeepBestOracle: String =
+    s"""WITH RECURSIVE $NearDupPairCtes,
+        np AS (SELECT id_a, id_b FROM pairs
+               WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+        e AS (SELECT id_a AS a, id_b AS b FROM np
+              UNION ALL SELECT id_b, id_a FROM np),
+        reach(src, dst) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        f AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        b AS (SELECT cluster_id, count(*) AS n_members,
+                     max(n_chars) AS rep_n_chars
+              FROM f GROUP BY 1),
+        r AS (SELECT f.cluster_id, min(f.doc_id) AS rep_doc_id
+              FROM f JOIN b ON f.cluster_id = b.cluster_id
+                           AND f.n_chars = b.rep_n_chars
+              GROUP BY 1)
+        SELECT b.cluster_id, b.n_members, r.rep_doc_id, b.rep_n_chars
+        FROM b JOIN r USING (cluster_id) ORDER BY cluster_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_keep_best" -> DedupKeepBestOracle,
+
+    // Trailing 7-day window stats: the fan-out rewrite must equal the
+    // direct interval join over observed days.
+    "rolling_7d_users" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM ev)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                count(DISTINCT e.user_id) AS users_7d,
+                count(*) AS n_events_7d
+         FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day ORDER BY 1""",
     "seg_naive" ->
       s"""SELECT user_id, count(*) AS n_events, count(*) >= ${ClickSeg.minCount} AS in_segment
           FROM events WHERE event_type = '${ClickSeg.eventType}'

@@ -38,6 +38,25 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
       .csv(lines)
 
+  /** ORC read with an EXPLICIT schema — the columnar interchange format next
+    * to parquet (Spark ships the reader/writer natively). Same no-inference
+    * contract as the other ingest edges; ORC's own stripe-level min/max
+    * statistics give the same data-skipping behaviour as parquet row
+    * groups. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Sorted ORC append — [[appendSorted]]'s layout contract on the ORC
+    * container. */
+  def appendSortedOrc(df: DataFrame, path: String, sortCols: Seq[String],
+                      partitionCol: Option[String] = None): Unit = {
+    val sorted = df.sortWithinPartitions(sortCols.map(col): _*)
+    partitionCol match {
+      case Some(p) => sorted.write.mode("append").partitionBy(p).orc(path)
+      case None    => sorted.write.mode("append").orc(path)
+    }
+  }
+
   /** JSON string column → struct column, same explicit-schema contract
     * (for embedded payloads like `events.props`). */
   def parseJsonColumn(df: DataFrame, jsonCol: String, schema: StructType,

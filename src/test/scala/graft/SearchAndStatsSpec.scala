@@ -111,6 +111,70 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(got === cells)
   }
 
+  // --- keep-best dedup policy ---------------------------------------------
+
+  test("dedup_keep_best: representative is the longest member, ties lowest id") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_keep_best")(spark, dir).collect()
+    val chars = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    // every cluster's representative must actually carry the cluster max
+    out.foreach { r =>
+      assert(chars(r.getLong(2)) === r.getLong(3),
+        s"cluster ${r.getLong(0)}: rep doesn't have rep_n_chars")
+    }
+    // multi-member clusters exist and every doc appears in exactly one cluster
+    assert(out.map(_.getLong(1)).sum === chars.size.toLong)
+    assert(out.exists(_.getLong(1) > 1))
+  }
+
+  // --- rolling 7-day window ----------------------------------------------
+
+  test("rolling_7d_users equals the direct trailing-window scan") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val days = ev.map(_._2).distinct
+    val got = SparkEntry.queries("rolling_7d_users")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val brute = days.map { d =>
+      val win = ev.filter { case (_, ed) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6))
+      }
+      (d.toString, win.map(_._1).distinct.length.toLong, win.length.toLong)
+    }.sorted
+    assert(got === brute)
+  }
+
+  // --- ORC ingest ---------------------------------------------------------
+
+  test("ORC ingest round-trips with explicit schema and sorted layout") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("orc")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType),
+      StructField("v", DoubleType)))
+    val df = (1 to 1000).map(i => ((i * 37L) % 1000, s"k${i % 5}", i / 10.0))
+      .toDF("id", "k", "v")
+    graft.sources.Ingest.appendSortedOrc(df.repartition(2), s"$dir/t.orc", Seq("id"))
+    val back = graft.sources.Ingest.orc(spark, s"$dir/t.orc", schema)
+    assert(back.schema === schema)
+    assert(back.count() === 1000L)
+    // decimal sums: double summation is partition-order dependent
+    assert(back.agg(sum(col("v").cast("decimal(27,6)"))).head.getDecimal(0) ===
+           df.agg(sum(col("v").cast("decimal(27,6)"))).head.getDecimal(0))
+    // sorted-within-file layout: each ORC file's rows are id-ordered
+    import org.apache.spark.sql.functions.{input_file_name, spark_partition_id}
+    val perFile = back.select(input_file_name().as("f"), col("id"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val ids = rows.map(_.getLong(1))
+      assert(ids.sameElements(ids.sorted), "ORC file not sorted on id")
+    }
+  }
+
   // --- compaction ---------------------------------------------------------
 
   test("Layout.compact folds small files, preserves rows, applies clustering") {
