@@ -370,6 +370,25 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** ClickHouse `groupArrayMovingAvg(7)` analogue: trailing 7-event mean
+    * value per user over the (ts, event_id)-ordered stream. The frame sum
+    * runs in exact decimal (value has ≤2 decimal digits — string-routed
+    * cast) and surfaces through the digit string, so frame-iteration order
+    * can never change a bit; the divide by the frame count is the single
+    * IEEE op. Per-user window — partitioned, never global. */
+  private def eventsMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-6, Window.currentRow)
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+              count(lit(1)).over(w).as("n_window"),
+              (sum(dv).over(w).cast("string").cast("double") /
+               count(lit(1)).over(w).cast("double")).as("mavg"))
+      .orderBy("event_id")
+  }
+
   private def eventsPropsExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -1557,6 +1576,58 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private val QcIters = 30
+  private val QcLr = 1.0
+  private val QcLabelChars = 300
+
+  // learned classifier weights per (session, corpus) — the same
+  // data-dependent-oracle lifecycle as the BPE merges and the int8 scales
+  private val qcWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Double]]()
+  @volatile private var lastQcWeights: Option[Array[Double]] = None
+
+  private def qcWeightsFor(s: SparkSession, dir: String): Array[Double] = {
+    val w = qcWeightCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => QualityClassifier.train(t(s, dir, "documents"),
+             col("n_chars") >= QcLabelChars, QcIters, QcLr))
+    lastQcWeights = Some(w)
+    w
+  }
+
+  /** Model-based quality filter ([[QualityClassifier]]): logistic
+    * regression trained on the corpus (label: long documents), applied as a
+    * LINEAR-margin scoring pass. The oracle replays the learned weights as
+    * literals over the identical left-associated feature fold, so every
+    * margin — and the `pass` flag — reproduces bit-for-bit. */
+  private def qualityClassifierQ(s: SparkSession, dir: String): DataFrame =
+    QualityClassifier.score(t(s, dir, "documents"), qcWeightsFor(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("margin"), col("pass"))
+      .orderBy("doc_id")
+
+  private def qcOracleSql(w: Array[Double]): String =
+    s"""WITH f AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(ws) AS DOUBLE) AS nw,
+                 CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                      AS DOUBLE) AS swl,
+                 CAST(len(list_filter(ws, x -> x IN ($EnStop))) AS DOUBLE) AS nstop,
+                 CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                      AS DOUBLE) AS np,
+                 CAST(length(text) AS DOUBLE) AS nc
+          FROM (SELECT doc_id, n_chars, text,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents)),
+        m AS (
+          SELECT doc_id, n_chars,
+                 1.0 * ${w(0)}
+                 + (nw / 100.0) * ${w(1)}
+                 + coalesce(nstop / nullif(nw, 0), 0.0) * ${w(2)}
+                 + (coalesce(swl / nullif(nw, 0), 0.0) / 10.0) * ${w(3)}
+                 + coalesce(np / nullif(nc, 0), 0.0) * ${w(4)} AS margin
+          FROM f)
+        SELECT doc_id, n_chars, margin, margin > 0 AS pass
+        FROM m ORDER BY doc_id"""
+
   private val PhraseTerms = Seq("key", "value")
 
   /** Exact phrase search ([[CorpusModel.phraseSearch]]): positional-postings
@@ -1838,6 +1909,7 @@ object SparkEntry {
     "events_daily_filled"  -> (eventsDailyFilled _),
     "events_locf"          -> (eventsLocf _),
     "events_running_users" -> (eventsRunningUsers _),
+    "events_moving_avg"    -> (eventsMovingAvg _),
     "seg_stream_enrich"    -> (segStreamEnrich _),
     "semantic_dedup"       -> (semanticDedupStats _),
     "gopher_quality"       -> (gopherQuality _),
@@ -1847,6 +1919,7 @@ object SparkEntry {
     "cohort_matrix"        -> (cohortMatrixQ _),
     "dedup_keep_best"      -> (dedupKeepBest _),
     "rolling_7d_users"     -> (rolling7dUsers _),
+    "quality_classifier"   -> (qualityClassifierQ _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
@@ -2630,6 +2703,19 @@ object SparkEntry {
                      AS BIGINT) AS cum_users
          FROM active a LEFT JOIN nu ON a.day = nu.day
          ORDER BY day""",
+
+    // Trailing 7-event moving average: identical frame, exact decimal frame
+    // sums via the string route on both sides, one IEEE divide.
+    "events_moving_avg" ->
+      """SELECT event_id, user_id, value,
+                count(*) OVER w AS n_window,
+                CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)))
+                            OVER w AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) OVER w AS DOUBLE) AS mavg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     // Stream-static enrichment == the equivalent batch join+aggregate; the
     // left join surfaces unmatched users under a pinned sentinel so null
@@ -3564,6 +3650,15 @@ object SparkEntry {
                            CAST(NULL AS BIGINT) AS n_words,
                            CAST(NULL AS BIGINT) AS n_bpe_tokens,
                            CAST(NULL AS VARCHAR) AS enc_md5
+                    WHERE 1 = 0"""),
+
+    // Learned-weights replay (data-dependent, like the BPE merges): margins
+    // reproduce bit-for-bit because scoring is a pinned IEEE sequence.
+    "quality_classifier" -> lastQcWeights.map(qcOracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_chars,
+                           CAST(NULL AS DOUBLE) AS margin,
+                           CAST(NULL AS BOOLEAN) AS pass
                     WHERE 1 = 0"""),
 
     // Same data-dependent technique: the learned int8 scales are embedded

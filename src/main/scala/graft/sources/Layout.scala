@@ -63,8 +63,14 @@ object Layout {
       }),
       spark.sparkContext.hadoopConfiguration)
     def parts(): Array[org.apache.hadoop.fs.FileStatus] =
-      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/part-*.parquet"))
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/part-*.parquet")))
+        .getOrElse(Array.empty)
     val before = parts()
+    // a partitioned table has no flat part files — rewriting it here would
+    // read the partition column as data and drop the directory layout;
+    // compact each partition directory individually instead
+    require(before.nonEmpty,
+      s"$path has no flat part-*.parquet files (missing or partitioned table)")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val merged = spark.read.parquet(path).coalesce(nOut)

@@ -201,5 +201,15 @@ class SearchAndStatsSpec extends SparkSpec {
     val (b2, a2) = graft.sources.Layout.compact(
       spark, path, targetBytes = Long.MaxValue, sortCols = Seq("key"))
     assert(b2 === 1 && a2 === 1)
+
+    // guards: missing path and partitioned tables are refused, not mangled
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, s"$dir/nope.parquet")
+    }
+    val part = s"$dir/p.parquet"
+    df.withColumn("pt", col("key") % 2).write.partitionBy("pt").parquet(part)
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, part)
+    }
   }
 }

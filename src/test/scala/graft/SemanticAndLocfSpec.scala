@@ -97,6 +97,30 @@ class SemanticAndLocfSpec extends SparkSpec {
     }
   }
 
+  // --- moving average -----------------------------------------------------
+
+  test("events_moving_avg: trailing frame means match a reference fold") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("events_moving_avg")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1)
+        val (n, avg) = got(ordered(i)._1)
+        assert(n === frame.length.toLong)
+        // exact-decimal frame sum reference
+        val sum = frame.map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_EVEN))
+          .foldLeft(BigDecimal(0))(_ + _)
+        assert(math.abs(avg - sum.toDouble / frame.length) < 1e-12,
+          s"event ${ordered(i)._1}: got $avg")
+      }
+    }
+  }
+
   // --- Gopher quality rules ---------------------------------------------
 
   test("gopher rules: integer boundaries behave on crafted fixtures") {
