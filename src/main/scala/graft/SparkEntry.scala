@@ -1654,6 +1654,68 @@ object SparkEntry {
     EventAnalytics.timeWeightedAvg(t(s, dir, "events"))
       .orderBy("user_id")
 
+  /** ClickHouse `intervalLengthSum` per supplier: the union length (in
+    * days) of each supplier's [ship, receipt] intervals, overlapping spans
+    * merged by the classic sweep: within the (start, end, unique-key)-
+    * ordered per-key stream, an interval opens a new ISLAND iff its start
+    * exceeds the running max end of all earlier intervals; islands then
+    * aggregate to (min start, max end). Per-key windows over a total order
+    * — deterministic, all-integer (dates), and the per-key outputs are
+    * provably independent of how ties were ordered (a tied interval always
+    * lands in its peer's island). */
+  private def intervalUnionDays(s: SparkSession, dir: String): DataFrame = {
+    // interval = [ship, ship + quantity days] (the schema carries no
+    // receipt date; quantity is integral 1..50, so ends are exact dates)
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey"), to_date(col("l_shipdate")).as("s"),
+      date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int")).as("e"),
+      col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("s").asc, col("e").asc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // day granularity: an interval starting the DAY AFTER the running max
+    // end continues the same covered run, so adjacency merges too —
+    // islands are exactly the maximal runs of covered days
+    val isNew = when(prevMax.isNull || col("s") > date_add(prevMax, 1), 1L)
+      .otherwise(0L)
+    li.withColumn("island",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"),
+           count(lit(1)).as("n"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n")).as("n_intervals"),
+           count(lit(1)).as("n_islands"),
+           sum(datediff(col("i_e"), col("i_s")) + 1).cast("long").as("covered_days"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Per-GROUP mergeable frequent-items states ([[graft.functions
+    * .FrequencySketch]]): top-5 words per source via one sketch state per
+    * (source, half), re-merged per source — the grouped form of
+    * topk_words_sketch's split-merge lifecycle. Oracled because the
+    * corpus vocabulary is far below the sketch map size (never evicts →
+    * exact); the evicting regime is error-bound-tested in ScalaTest. */
+  private def topkWordsBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FrequencySketch
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("word"))
+    t(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2).as("half"),
+              explode(TextAnalysis.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("half"))
+      .agg(FrequencySketch.topKState(col("word")).as("state"))
+      .groupBy(col("source"))
+      .agg(FrequencySketch.topKMergeState(col("state")).as("merged"))
+      .select(col("source"), explode(FrequencySketch.topKEstimate(col("merged"), 40)).as("t"))
+      .select(col("source"), col("t.item").as("word"), col("t.est").as("n"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("word"), col("n"))
+      .orderBy("source", "rank")
+  }
+
   /** Full cohort-retention matrix ([[EventAnalytics.cohortMatrix]]):
     * distinct active users per (first-seen cohort day, day offset). */
   private def cohortMatrixQ(s: SparkSession, dir: String): DataFrame =
@@ -1920,6 +1982,8 @@ object SparkEntry {
     "dedup_keep_best"      -> (dedupKeepBest _),
     "rolling_7d_users"     -> (rolling7dUsers _),
     "quality_classifier"   -> (qualityClassifierQ _),
+    "interval_union_days"  -> (intervalUnionDays _),
+    "topk_words_by_source" -> (topkWordsBySource _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
@@ -2162,6 +2226,46 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_keep_best" -> DedupKeepBestOracle,
+
+    // Sweep-line interval union replay: identical windows over the same
+    // total order; per-key outputs are tie-order invariant by construction.
+    "interval_union_days" ->
+      """WITH iv AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+                            CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e,
+                            l_orderkey, l_linenumber
+                     FROM lineitem),
+         pm AS (SELECT *, max(e) OVER (PARTITION BY l_suppkey
+                                       ORDER BY s, e, l_orderkey, l_linenumber
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING) AS prev_max
+                FROM iv),
+         fl AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                               THEN 1 ELSE 0 END AS isnew FROM pm),
+         isl AS (SELECT *, sum(isnew) OVER (PARTITION BY l_suppkey
+                                            ORDER BY s, e, l_orderkey, l_linenumber
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND CURRENT ROW) AS island
+                 FROM fl),
+         g AS (SELECT l_suppkey, island, min(s) AS i_s, max(e) AS i_e,
+                      count(*) AS n
+               FROM isl GROUP BY 1, 2)
+         SELECT l_suppkey, CAST(sum(n) AS BIGINT) AS n_intervals,
+                count(*) AS n_islands,
+                CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered_days
+         FROM g GROUP BY 1 ORDER BY 1""",
+
+    // Per-source top-5 words — the sketch runs in its exact (non-evicting)
+    // regime, so plain counts + a deterministic rank replay it.
+    "topk_words_by_source" ->
+      """WITH w AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                    FROM documents),
+         c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+         r AS (SELECT source, word, n,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n DESC, word) AS rank
+               FROM c)
+         SELECT source, CAST(rank AS INT) AS rank, word, n
+         FROM r WHERE rank <= 5 ORDER BY source, rank""",
 
     // Trailing 7-day window stats: the fan-out rewrite must equal the
     // direct interval join over observed days.

@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for `JSONEachRow` directories — the reference's
+  * ingest wire format (/root/reference/src/1-naive.test.ts:68,
+  * `format: "JSONEachRow"`) surfaced as a first-class Spark table:
+  *
+  *   spark.read.format("jsoneachrow").schema(s).load(dir)
+  *
+  * Built on the V2 read contract, with the two optimizations that matter at
+  * 100 TB implemented for real, not just declared:
+  *
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): only the
+  *    pruned fields are extracted from each parsed line — a 2-column query
+  *    over a 40-field log materializes 2 values per row;
+  *  - **filter pushdown** ([[SupportsPushDownFilters]]): equality/range/
+  *    null-test predicates on top-level fields are evaluated inside the
+  *    reader BEFORE any row is materialized into the engine, and appear in
+  *    the scan description (`PushedFilters: …`) for plan asserts, same as
+  *    the parquet source.
+  *
+  * Explicit schema is REQUIRED (the no-inference contract every graft
+  * ingest edge shares — inference would be a second pass over the data).
+  * One input partition per file; a production deployment would split large
+  * files by byte range exactly as the parquet reader does.
+  *
+  * Scope: a READ connector (the write side of this format is
+  * [[Ingest.jsonLines]] + a line sink). Supported field types: the ones
+  * the reference's wire format uses — string, boolean, all integral/
+  * floating numerics, and second-precision timestamps as ISO-8601 strings.
+  */
+class JsonEachRowSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "jsoneachrow"
+
+  // schema must be user-supplied; fail loudly rather than infer
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "jsoneachrow requires an explicit .schema(...) — inference is not supported")
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new JsonEachRowTable(schema, properties.get("path"))
+}
+
+private[sources] class JsonEachRowTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  require(path != null, "jsoneachrow requires a path")
+  override def name(): String = s"jsoneachrow:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonEachRowScanBuilder(tableSchema, path)
+}
+
+private[sources] class JsonEachRowScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept the filter shapes the row-level evaluator understands; hand the
+    * rest back to Spark. Accepted filters are ALSO re-checked by Spark (the
+    * V2 contract allows that), so a miss here can never produce wrong
+    * results — only wasted rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(JsonEachRowScan.evaluable(fullSchema, _))
+    pushed = ours
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new JsonEachRowScan(fullSchema, required, pushed, path)
+}
+
+private[sources] class JsonEachRowScan(fullSchema: StructType, required: StructType,
+                                       filters: Array[Filter], path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"JsonEachRowScan PushedFilters: [${filters.mkString(", ")}], " +
+    s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isFile) Array(dir)
+      else Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    files.sortBy(_.getName).map(f => JsonFilePartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonEachRowReaderFactory(fullSchema, required, filters)
+}
+
+private[sources] case class JsonFilePartition(file: String) extends InputPartition
+
+private[sources] object JsonEachRowScan {
+  /** Filter shapes the reader evaluates: (not-)null tests and =, <, <=, >,
+    * >= against literals on top-level fields of supported types. */
+  def evaluable(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => simpleField(schema, a)
+    case GreaterThan(a, _)        => simpleField(schema, a)
+    case GreaterThanOrEqual(a, _) => simpleField(schema, a)
+    case LessThan(a, _)           => simpleField(schema, a)
+    case LessThanOrEqual(a, _)    => simpleField(schema, a)
+    case IsNull(a)                => simpleField(schema, a)
+    case IsNotNull(a)             => simpleField(schema, a)
+    case And(l, r)                => evaluable(schema, l) && evaluable(schema, r)
+    case _                        => false
+  }
+
+  private def simpleField(schema: StructType, name: String): Boolean =
+    !name.contains(".") && schema.fields.exists(f =>
+      f.name == name && (f.dataType match {
+        case _: StringType | _: BooleanType | _: LongType | _: IntegerType |
+             _: ShortType | _: ByteType | _: DoubleType | _: FloatType => true
+        case _ => false
+      }))
+}
+
+private[sources] class JsonEachRowReaderFactory(fullSchema: StructType,
+                                                required: StructType,
+                                                filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonEachRowReader(p.asInstanceOf[JsonFilePartition].file,
+                          fullSchema, required, filters)
+}
+
+private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
+                                         required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  private val it = lines.getLines()
+  private var current: InternalRow = _
+
+  private def extract(node: JsonNode, name: String, dt: DataType): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) return null
+    dt match {
+      case StringType  => UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+      case BooleanType => if (v.isBoolean) java.lang.Boolean.valueOf(v.asBoolean) else null
+      case LongType    => if (v.canConvertToLong) java.lang.Long.valueOf(v.asLong) else null
+      case IntegerType => if (v.canConvertToInt) java.lang.Integer.valueOf(v.asInt) else null
+      case ShortType   => if (v.canConvertToInt) java.lang.Short.valueOf(v.asInt.toShort) else null
+      case ByteType    => if (v.canConvertToInt) java.lang.Byte.valueOf(v.asInt.toByte) else null
+      case DoubleType  => if (v.isNumber) java.lang.Double.valueOf(v.asDouble) else null
+      case FloatType   => if (v.isNumber) java.lang.Float.valueOf(v.asDouble.toFloat) else null
+      case TimestampType =>
+        // ISO-8601 (the wire format's best_effort contract); micros
+        if (!v.isTextual) null
+        else try {
+          val inst = java.time.OffsetDateTime.parse(v.asText).toInstant
+          java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        } catch { case _: java.time.format.DateTimeParseException => null }
+      case _ => null
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Long, y: Number)    => Some(java.lang.Long.compare(x, y.longValue))
+    case (x: java.lang.Integer, y: Number) => Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: java.lang.Short, y: Number)   => Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: java.lang.Byte, y: Number)    => Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: java.lang.Double, y: Number)  => Some(java.lang.Double.compare(x, y.doubleValue))
+    case (x: java.lang.Float, y: Number)   => Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: UTF8String, y: String)        => Some(x.toString.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def eval(node: JsonNode, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => cmp(raw(node, a), v).contains(0)
+    case GreaterThan(a, v)        => cmp(raw(node, a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(raw(node, a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(raw(node, a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(raw(node, a), v).exists(_ <= 0)
+    case IsNull(a)                => raw(node, a) == null
+    case IsNotNull(a)             => raw(node, a) != null
+    case And(l, r)                => eval(node, l) && eval(node, r)
+    case _                        => true
+  }
+
+  private def raw(node: JsonNode, name: String): Any =
+    fullSchema.fields.find(_.name == name)
+      .map(f => extract(node, name, f.dataType)).orNull
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        if (node != null && filters.forall(eval(node, _))) {
+          current = InternalRow.fromSeq(
+            required.fields.toSeq.map(f => extract(node, f.name, f.dataType)))
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

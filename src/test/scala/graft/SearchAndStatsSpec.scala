@@ -148,6 +148,48 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  // --- interval union -----------------------------------------------------
+
+  test("interval_union_days equals brute-force day-set union per supplier") {
+    val dir = "/root/testdata/sf0.001"
+    val iv = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("s"),
+              date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int")).as("e"))
+      .as[(Long, java.sql.Date, java.sql.Date)].collect()
+      .map { case (k, s, e) => (k, s.toLocalDate.toEpochDay, e.toLocalDate.toEpochDay) }
+    val got = SparkEntry.queries("interval_union_days")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    iv.groupBy(_._1).foreach { case (k, rows) =>
+      val days = rows.flatMap { case (_, s, e) => s to e }.toSet
+      val (nInt, nIsl, covered) = got(k)
+      assert(nInt === rows.length.toLong, s"supplier $k interval count")
+      assert(covered === days.size.toLong, s"supplier $k union length")
+      // island count == number of maximal runs in the day set
+      val runs = days.toSeq.sorted.foldLeft(0 -> Long.MinValue) {
+        case ((n, prev), d) => (if (d == prev + 1) n else n + 1, d)
+      }._1
+      assert(nIsl === runs.toLong, s"supplier $k island count")
+    }
+  }
+
+  // --- per-group frequent-items sketch ------------------------------------
+
+  test("topk_words_by_source matches exact per-source counts (non-evicting regime)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("topk_words_by_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(graft.functions.TextAnalysis.words(col("text"))).as("w"))
+      .groupBy("source", "w").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).toSeq.flatMap { case (src, ws) =>
+      ws.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex.map {
+        case ((_, w, n), i) => (src, i + 1, w, n)
+      }
+    }.sorted
+    assert(got.sorted === expected)
+  }
+
   // --- ORC ingest ---------------------------------------------------------
 
   test("ORC ingest round-trips with explicit schema and sorted layout") {
