@@ -82,6 +82,22 @@ object GraftFunctions {
     "graft_topk_estimate" -> { es =>
       require(es.length == 2, "graft_topk_estimate(state, k)")
       FreqTopKExpr(es.head, intLit(es(1)))
+    },
+    "graft_bitmap_card" -> { es =>
+      require(es.length == 1, "graft_bitmap_card(state)")
+      BitmapCardExpr(es.head)
+    },
+    "graft_bitmap_and_card" -> { es =>
+      require(es.length == 2, "graft_bitmap_and_card(stateA, stateB)")
+      BitmapOpCardExpr(es.head, es(1), BitmapOpCardExpr.And)
+    },
+    "graft_bitmap_or_card" -> { es =>
+      require(es.length == 2, "graft_bitmap_or_card(stateA, stateB)")
+      BitmapOpCardExpr(es.head, es(1), BitmapOpCardExpr.Or)
+    },
+    "graft_bitmap_andnot_card" -> { es =>
+      require(es.length == 2, "graft_bitmap_andnot_card(stateA, stateB)")
+      BitmapOpCardExpr(es.head, es(1), BitmapOpCardExpr.AndNot)
     })
 
   private def intLit(e: Expression): Int = e.eval(null) match {

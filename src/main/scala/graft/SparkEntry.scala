@@ -1245,6 +1245,8 @@ object SparkEntry {
     newBatchPairs(s, dir)
     contamArtifacts(s, dir)
     quantScalesFor(s, dir) // learned int8 scales: one corpus pass, reused by every probe
+    qcWeightsFor(s, dir)   // trained classifier weights: a model is the canonical
+                           // ingest-time artifact — scoring is the steady-state op
     // the shared MinHash pair list is the same class of corpus artifact as
     // the LSH index above — every consumer (clustering, leakage split,
     // incremental fold) reads the one materialization, so the first
@@ -1716,6 +1718,63 @@ object SparkEntry {
       .orderBy("source", "rank")
   }
 
+  /** Trailing 30-day distinct users via MERGED PER-DAY HLL STATES — the
+    * sketch path for wide rolling windows where [[rolling7dUsers]]'s exact
+    * fan-out gets expensive: one `uniqState` per day (30 small binary
+    * sketches here; always #days sketches regardless of corpus size), each
+    * fanned to the ≤30 window ends it covers, `uniqMerge` per window end.
+    * At 100 TB the per-day states are the ingest-time rollup and the
+    * window merge never touches raw events — ClickHouse's
+    * `uniqState`-in-a-materialized-view idiom. The exact count rides along
+    * (same fan-out over the distinct (user, day) pairs) and gates the
+    * estimate through the oracled `est_ok` envelope (HLL lgK=12 ⇒ σ ≈
+    * 1.6%; the gate allows 5% + a small absolute floor). */
+  private def rolling30dUsersHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+    val days = ev.select(col("day")).distinct()
+    def fanned(df: DataFrame): DataFrame = df
+      .select(col("*"), explode(sequence(col("day"), date_add(col("day"), 29),
+                                         expr("interval 1 day"))).as("wend"))
+      .join(days.select(col("day").as("wend")), Seq("wend"), "left_semi")
+    val exact = fanned(ev.distinct())
+      .groupBy(col("wend")).agg(count_distinct(col("user_id")).as("users_30d"))
+    val est = fanned(ev.groupBy(col("day"))
+        .agg(Sketches.uniqState(col("user_id")).as("st")))
+      .groupBy(col("wend")).agg(Sketches.uniqMerge(col("st")).as("est"))
+    exact.join(est, Seq("wend"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
+              col("users_30d"),
+              (abs(col("est") - col("users_30d")) <=
+                 greatest(lit(4.0), col("users_30d") * lit(0.05))).as("est_ok"))
+      .orderBy("day")
+  }
+
+  /** Exact bitmap segment algebra ([[graft.functions.BitmapAgg]] —
+    * ClickHouse `groupBitmap` family): the click and purchase audiences
+    * built as mergeable bitmap states (one per (segment, half), re-merged
+    * per segment — the same split-merge lifecycle every persisted state
+    * leg proves), then AND/OR/ANDNOT cardinalities between the two
+    * segments. Exact set algebra, unlike the HLL leg: audience overlap is
+    * precise. 1-row output — the sketch-algebra tail. */
+  private def segBitmapAlgebra(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapAgg
+    val states = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("half", pmod(col("user_id"), lit(2)))
+      .groupBy(col("event_type"), col("half"))
+      .agg(BitmapAgg.bitmapState(col("user_id")).as("st"))
+      .groupBy(col("event_type"))
+      .agg(BitmapAgg.bitmapMergeState(col("st")).as("st"))
+    val a = states.filter(col("event_type") === "click").select(col("st").as("a"))
+    val b = states.filter(col("event_type") === "purchase").select(col("st").as("b"))
+    a.crossJoin(b).select(
+      BitmapAgg.bitmapCard(col("a")).as("n_click"),
+      BitmapAgg.bitmapCard(col("b")).as("n_purchase"),
+      BitmapAgg.bitmapAndCard(col("a"), col("b")).as("n_both"),
+      BitmapAgg.bitmapOrCard(col("a"), col("b")).as("n_either"),
+      BitmapAgg.bitmapAndNotCard(col("a"), col("b")).as("n_click_only"))
+  }
+
   /** Full cohort-retention matrix ([[EventAnalytics.cohortMatrix]]):
     * distinct active users per (first-seen cohort day, day offset). */
   private def cohortMatrixQ(s: SparkSession, dir: String): DataFrame =
@@ -1984,6 +2043,8 @@ object SparkEntry {
     "quality_classifier"   -> (qualityClassifierQ _),
     "interval_union_days"  -> (intervalUnionDays _),
     "topk_words_by_source" -> (topkWordsBySource _),
+    "seg_bitmap_algebra"   -> (segBitmapAlgebra _),
+    "rolling_30d_users_hll" -> (rolling30dUsersHll _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
@@ -2226,6 +2287,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_keep_best" -> DedupKeepBestOracle,
+
+    // The exact trailing count is SQL; the HLL estimate gates through the
+    // deterministic est_ok envelope (TRUE on both sides, a broken sketch
+    // flips it) — the seg_idempotent_approx technique.
+    "rolling_30d_users_hll" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM ev)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                count(DISTINCT e.user_id) AS users_30d,
+                TRUE AS est_ok
+         FROM days d JOIN ev e ON e.day BETWEEN d.day - 29 AND d.day
+         GROUP BY d.day ORDER BY 1""",
+
+    // Exact bitmap algebra == exact distinct-set algebra in SQL.
+    "seg_bitmap_algebra" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM p) AS n_purchase,
+                (SELECT count(*) FROM c JOIN p USING (user_id)) AS n_both,
+                (SELECT count(*) FROM (SELECT user_id FROM c
+                                       UNION SELECT user_id FROM p)) AS n_either,
+                (SELECT count(*) FROM c
+                 WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only""",
 
     // Sweep-line interval union replay: identical windows over the same
     // total order; per-key outputs are tie-order invariant by construction.

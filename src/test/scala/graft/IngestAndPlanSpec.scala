@@ -256,6 +256,18 @@ class IngestAndPlanSpec extends SparkSpec {
     assert(r5.getDouble(0) == 0.5)
     assert(r5.getLong(1) == 32L)
     assert(r5.getString(2) == "a c")
+    // bitmap scalar registrations (states built via the API, algebra via SQL)
+    import graft.functions.BitmapAgg
+    Seq(1L, 3L, 5L).toDF("id").agg(BitmapAgg.bitmapState($"id").as("a"))
+      .crossJoin(Seq(3L, 5L, 7L).toDF("id").agg(BitmapAgg.bitmapState($"id").as("b")))
+      .createOrReplaceTempView("bm_states")
+    val bm = spark.sql(
+      """SELECT graft_bitmap_card(a) AS ca, graft_bitmap_and_card(a, b) AS cab,
+                graft_bitmap_or_card(a, b) AS cor,
+                graft_bitmap_andnot_card(a, b) AS cd
+         FROM bm_states""").collect()(0)
+    assert(bm.getLong(0) == 3L && bm.getLong(1) == 2L &&
+           bm.getLong(2) == 4L && bm.getLong(3) == 1L)
   }
 
   test("parameterized SQL (F8): named parameters bind into the flagship query") {

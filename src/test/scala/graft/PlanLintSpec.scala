@@ -34,8 +34,9 @@ class PlanLintSpec extends SparkSpec {
                            // top-k sets
     "events_locf",         // 1-row global max-day bound seeds each user's
                            // spine explode (per-user windows stay partitioned)
-    "events_running_users") // cumsum over the #days-sized aggregated frame —
+    "events_running_users", // cumsum over the #days-sized aggregated frame —
                            // the first-seen rewrite already collapsed users
+    "seg_bitmap_algebra")  // one sketch-algebra row over two 1-row states
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct

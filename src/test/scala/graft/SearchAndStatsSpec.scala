@@ -190,6 +190,47 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(got.sorted === expected)
   }
 
+  // --- exact bitmap states ------------------------------------------------
+
+  test("bitmap states: split-merge equals direct build, algebra is exact") {
+    import graft.functions.BitmapAgg
+    val ids = Seq(1L, 5L, 9L, 5L, 63L, 64L, 65L, 1000L)
+    val df = ids.zipWithIndex.map { case (id, i) => (id, i % 3) }.toDF("id", "part")
+    val direct = df.agg(BitmapAgg.bitmapState(col("id")).as("st"))
+      .select(BitmapAgg.bitmapCard(col("st"))).head.getLong(0)
+    val merged = df.groupBy(col("part"))
+      .agg(BitmapAgg.bitmapState(col("id")).as("st"))
+      .agg(BitmapAgg.bitmapMergeState(col("st")).as("st"))
+      .select(BitmapAgg.bitmapCard(col("st"))).head.getLong(0)
+    assert(direct === ids.distinct.length.toLong)
+    assert(merged === direct, "split-merge must equal the direct build")
+
+    // set algebra vs scala sets on two random-ish partitions
+    val xs = (0 until 400 by 3).map(_.toLong)
+    val ys = (0 until 400 by 5).map(_.toLong)
+    val sa = xs.toDF("id").agg(BitmapAgg.bitmapState(col("id")).as("a"))
+    val sb = ys.toDF("id").agg(BitmapAgg.bitmapState(col("id")).as("b"))
+    val r = sa.crossJoin(sb).select(
+      BitmapAgg.bitmapAndCard(col("a"), col("b")),
+      BitmapAgg.bitmapOrCard(col("a"), col("b")),
+      BitmapAgg.bitmapAndNotCard(col("a"), col("b"))).head
+    assert(r.getLong(0) === (xs.toSet & ys.toSet).size.toLong)
+    assert(r.getLong(1) === (xs.toSet | ys.toSet).size.toLong)
+    assert(r.getLong(2) === (xs.toSet -- ys.toSet).size.toLong)
+  }
+
+  test("bitmap state rejects out-of-domain ids loudly") {
+    import graft.functions.BitmapAgg
+    val err = intercept[Exception] {
+      Seq(-1L).toDF("id").agg(BitmapAgg.bitmapState(col("id"))).collect()
+    }
+    assert(err.getMessage != null)
+    intercept[Exception] {
+      Seq(1L << 30).toDF("id")
+        .agg(BitmapAgg.bitmapState(col("id"), maxBit = 1 << 20)).collect()
+    }
+  }
+
   // --- ORC ingest ---------------------------------------------------------
 
   test("ORC ingest round-trips with explicit schema and sorted layout") {

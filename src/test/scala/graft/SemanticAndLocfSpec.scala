@@ -121,6 +121,27 @@ class SemanticAndLocfSpec extends SparkSpec {
     }
   }
 
+  // --- rolling HLL window -------------------------------------------------
+
+  test("rolling_30d_users_hll: merged per-day states equal a direct window sketch") {
+    import graft.functions.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val probe = ev.agg(max(col("day"))).head.getDate(0) // densest window end
+    val win = ev.filter(col("day") >= date_sub(lit(probe), 29) && col("day") <= lit(probe))
+    // one-shot sketch over the window vs per-day state merge
+    val oneShot = win.agg(Sketches.uniqState(col("user_id")).as("st"))
+      .select(Sketches.uniqEstimate(col("st"))).head.getLong(0).toDouble
+    val merged = win.groupBy(col("day"))
+      .agg(Sketches.uniqState(col("user_id")).as("st"))
+      .agg(Sketches.uniqMerge(col("st"))).head.getLong(0).toDouble
+    assert(merged === oneShot, "day-state merge must equal the one-shot sketch")
+    val exact = win.select(col("user_id")).distinct().count().toDouble
+    assert(math.abs(merged - exact) <= math.max(4.0, exact * 0.05),
+      s"estimate $merged vs exact $exact outside the contract envelope")
+  }
+
   // --- Gopher quality rules ---------------------------------------------
 
   test("gopher rules: integer boundaries behave on crafted fixtures") {
