@@ -83,6 +83,10 @@ object GraftFunctions {
       require(es.length == 2, "graft_topk_estimate(state, k)")
       FreqTopKExpr(es.head, intLit(es(1)))
     },
+    "graft_text_stats" -> { es =>
+      require(es.length == 1, "graft_text_stats(text)")
+      TextStatsExpr(es.head, TextAnalysis.Stopwords("en"))
+    },
     "graft_bitmap_card" -> { es =>
       require(es.length == 1, "graft_bitmap_card(state)")
       BitmapCardExpr(es.head)

@@ -1292,21 +1292,26 @@ object SparkEntry {
     * no mergeable-set state. (The sketch path for wider windows is the
     * same fan-out over per-day HLL states via [[graft.functions
     * .Sketches]].) */
+  /** Fan each row's `day` out to the `width` trailing-window ends it
+    * contributes to (day .. day+width−1), restricted to OBSERVED days —
+    * the shared shape of every rolling-window rewrite here (exact 7-day,
+    * HLL 30-day): a bounded explode plus an ordinary aggregate, never a
+    * running set state. */
+  private def fanToWindowEnds(df: DataFrame, days: DataFrame, width: Int): DataFrame =
+    df.select(col("*"),
+              explode(sequence(col("day"), date_add(col("day"), width - 1),
+                               expr("interval 1 day"))).as("wend"))
+      .join(days.select(col("day").as("wend")), Seq("wend"), "left_semi")
+
   private def rolling7dUsers(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
     val ud = ev.distinct()
     val days = ud.select(col("day")).distinct()
-    val userFan = ud
-      .select(col("user_id"),
-              explode(sequence(col("day"), date_add(col("day"), 6),
-                               expr("interval 1 day"))).as("wend"))
-      .join(days.select(col("day").as("wend")), Seq("wend"), "left_semi")
+    val userFan = fanToWindowEnds(ud, days, 7)
       .groupBy(col("wend"))
       .agg(count_distinct(col("user_id")).as("users_7d"))
-    val evFan = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
-      .select(col("n"),
-              explode(sequence(col("day"), date_add(col("day"), 6),
-                               expr("interval 1 day"))).as("wend"))
+    val evFan = fanToWindowEnds(ev.groupBy(col("day")).agg(count(lit(1)).as("n")),
+                                days, 7)
       .groupBy(col("wend")).agg(sum(col("n")).as("n_events_7d"))
     userFan.join(evFan, Seq("wend"))
       .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
@@ -1554,17 +1559,17 @@ object SparkEntry {
     * instead of sum/n ≥ 3) so no engine ever divides — the flags are exact
     * everywhere. Pure codegen'd projection, parquet-scan speed. */
   private def gopherQuality(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextAnalysis.words(col("text"))
-    val toks = TextAnalysis.tokens(col("text"))
-    val nWords = size(ws).cast("long")
-    val sumWlen = coalesce(
-      aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long")), lit(0L))
-    val nToks = size(toks).cast("long")
-    val nAlphaToks = size(filter(toks, tk => tk.rlike("[A-Za-z]"))).cast("long")
-    val nSym = (size(split(col("text"), "#", -1)).cast("long") - 1L) +
-               (size(split(col("text"), "\\.\\.\\.", -1)).cast("long") - 1L)
-    val nStop = size(filter(ws,
-      w => array_contains(array(TextAnalysis.Stopwords("en").map(lit): _*), w))).cast("long")
+    // all eight counters from ONE native byte pass (TextStatsExpr; codegen
+    // subexpression elimination evaluates the shared struct once per row) —
+    // the HOF regex/aggregate forms survive as GopherStatsParity's reference
+    val st = graft.functions.NativeExprs.textStats(
+      col("text"), TextAnalysis.Stopwords("en"))
+    val nWords = st.getField("n_words")
+    val sumWlen = st.getField("sum_wlen")
+    val nToks = st.getField("n_toks")
+    val nAlphaToks = st.getField("n_alpha_toks")
+    val nSym = st.getField("n_hash") + st.getField("n_ellipsis")
+    val nStop = st.getField("n_stop")
     t(s, dir, "documents").select(
         col("doc_id"), nWords.as("n_words"), sumWlen.as("sum_wlen"),
         (nWords >= 50L && nWords <= 100000L).as("ok_nwords"),
@@ -1732,14 +1737,10 @@ object SparkEntry {
   private def rolling30dUsersHll(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
     val days = ev.select(col("day")).distinct()
-    def fanned(df: DataFrame): DataFrame = df
-      .select(col("*"), explode(sequence(col("day"), date_add(col("day"), 29),
-                                         expr("interval 1 day"))).as("wend"))
-      .join(days.select(col("day").as("wend")), Seq("wend"), "left_semi")
-    val exact = fanned(ev.distinct())
+    val exact = fanToWindowEnds(ev.distinct(), days, 30)
       .groupBy(col("wend")).agg(count_distinct(col("user_id")).as("users_30d"))
-    val est = fanned(ev.groupBy(col("day"))
-        .agg(Sketches.uniqState(col("user_id")).as("st")))
+    val est = fanToWindowEnds(ev.groupBy(col("day"))
+        .agg(Sketches.uniqState(col("user_id")).as("st")), days, 30)
       .groupBy(col("wend")).agg(Sketches.uniqMerge(col("st")).as("est"))
     exact.join(est, Seq("wend"))
       .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
@@ -1758,15 +1759,19 @@ object SparkEntry {
     * precise. 1-row output — the sketch-algebra tail. */
   private def segBitmapAlgebra(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.BitmapAgg
-    val states = t(s, dir, "events")
-      .filter(col("event_type").isin("click", "purchase"))
-      .withColumn("half", pmod(col("user_id"), lit(2)))
-      .groupBy(col("event_type"), col("half"))
-      .agg(BitmapAgg.bitmapState(col("user_id")).as("st"))
-      .groupBy(col("event_type"))
-      .agg(BitmapAgg.bitmapMergeState(col("st")).as("st"))
-    val a = states.filter(col("event_type") === "click").select(col("st").as("a"))
-    val b = states.filter(col("event_type") === "purchase").select(col("st").as("b"))
+    // each side ends in a GLOBAL merge aggregate, so an empty segment still
+    // yields one row holding the empty bitmap (zero counts), exactly like
+    // the oracle's scalar subqueries — a groupBy(segment) pivot would
+    // instead drop the output row when a segment has no events
+    def segmentState(tpe: String, as: String): DataFrame =
+      t(s, dir, "events")
+        .filter(col("event_type") === tpe)
+        .withColumn("half", pmod(col("user_id"), lit(2)))
+        .groupBy(col("half"))
+        .agg(BitmapAgg.bitmapState(col("user_id")).as("st"))
+        .agg(BitmapAgg.bitmapMergeState(col("st")).as(as))
+    val a = segmentState("click", "a")
+    val b = segmentState("purchase", "b")
     a.crossJoin(b).select(
       BitmapAgg.bitmapCard(col("a")).as("n_click"),
       BitmapAgg.bitmapCard(col("b")).as("n_purchase"),

@@ -135,6 +135,12 @@ object NativeExprs {
   def repetitionRatio(text: Column): Column =
     col(RepetitionRatioExpr(expr(text)))
 
+  /** All word/token/symbol counters the quality rules need, in ONE byte
+    * pass (see [[TextStatsExpr]]); each field matches its HOF reference
+    * form (parity-tested). */
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    col(TextStatsExpr(expr(text), stopwords))
+
   /** Character bigrams of an ALREADY [a-z ]-filtered text, as a byte loop —
     * the `transform(sequence, substr)` form is O(position) per substr and
     * goes quadratic on long documents. */
@@ -833,6 +839,99 @@ private[functions] object WordHashTokenizer {
     }
     count
   }
+}
+
+/** Every counter the word-level quality rules (Gopher flags, the quality
+  * classifier's features) need, in ONE pass over the UTF-8 bytes:
+  *
+  *   struct(n_words, sum_wlen, n_stop,      — [a-z]+ runs after ASCII
+  *                                            lowering (WordHashTokenizer's
+  *                                            documented equivalence with
+  *                                            the lower()+regex HOF form)
+  *          n_toks, n_alpha_toks,           — \S+ runs / those with a letter
+  *          n_hash, n_ellipsis,             — '#' count, non-overlapping '...'
+  *          n_punct)                        — ASCII punctuation characters
+  *
+  * Byte-level correctness: UTF-8 continuation bytes are ≥ 0x80, so they can
+  * never alias ASCII whitespace/letters/punctuation — multi-byte characters
+  * simply ride inside non-whitespace runs, exactly as `\S` sees them. The
+  * HOF reference forms live in the gopher parity spec. */
+case class TextStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_wlen", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_toks", LongType, nullable = false),
+    StructField("n_alpha_toks", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false)))
+
+  @transient private lazy val stopHashes: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    stopwords.foreach { w =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      s.add(XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                                  b.length, 42L))
+    }
+    s
+  }
+
+  private def isWs(b: Byte): Boolean = // Java regex \s (ASCII set, incl. \x0B)
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  private def isPunct(b: Byte): Boolean =
+    (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
+    (b >= '[' && b <= '`') || (b >= '{' && b <= '~')
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var nWords = 0L; var sumWlen = 0L; var nStop = 0L
+    var nToks = 0L; var nAlphaToks = 0L
+    var nHash = 0L; var nPunct = 0L; var nEllipsis = 0L
+    val wbuf = new Array[Byte](bytes.length max 1)
+    var wLen = 0          // current [a-z] run length (post-lowering)
+    var inTok = false     // inside a \S+ run
+    var tokHasAlpha = false
+    var dotRun = 0L       // current '.' run length
+    var i = 0
+    while (i <= bytes.length) {
+      val atEnd = i == bytes.length
+      val b: Byte = if (atEnd) ' ' else bytes(i)
+      val lc: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isLetter = lc >= 'a' && lc <= 'z'
+      // word runs
+      if (isLetter) { wbuf(wLen) = lc; wLen += 1 }
+      else if (wLen > 0) {
+        nWords += 1; sumWlen += wLen
+        if (stopHashes.contains(XXH64.hashUnsafeBytes(
+              wbuf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, wLen, 42L)))
+          nStop += 1
+        wLen = 0
+      }
+      // token runs
+      if (!atEnd && !isWs(b)) {
+        if (!inTok) { inTok = true; tokHasAlpha = false }
+        if (isLetter) tokHasAlpha = true
+      } else if (inTok) {
+        nToks += 1; if (tokHasAlpha) nAlphaToks += 1
+        inTok = false
+      }
+      // symbols
+      if (!atEnd) {
+        if (b == '#') nHash += 1
+        if (isPunct(b)) nPunct += 1
+        if (b == '.') dotRun += 1
+        else { nEllipsis += dotRun / 3; dotRun = 0 }
+      } else { nEllipsis += dotRun / 3 }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nWords, sumWlen, nStop, nToks, nAlphaToks,
+                                      nHash, nEllipsis, nPunct))
+  }
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(child = c)
 }
 
 /** Stopword-hit fraction over words, single pass; 0.0 for wordless text. */

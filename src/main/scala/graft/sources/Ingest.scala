@@ -49,13 +49,8 @@ object Ingest {
   /** Sorted ORC append — [[appendSorted]]'s layout contract on the ORC
     * container. */
   def appendSortedOrc(df: DataFrame, path: String, sortCols: Seq[String],
-                      partitionCol: Option[String] = None): Unit = {
-    val sorted = df.sortWithinPartitions(sortCols.map(col): _*)
-    partitionCol match {
-      case Some(p) => sorted.write.mode("append").partitionBy(p).orc(path)
-      case None    => sorted.write.mode("append").orc(path)
-    }
-  }
+                      partitionCol: Option[String] = None): Unit =
+    appendSortedAs("orc", df, path, sortCols, partitionCol)
 
   /** JSON string column → struct column, same explicit-schema contract
     * (for embedded payloads like `events.props`). */
@@ -69,12 +64,15 @@ object Ingest {
     * statistics give the primary-key-prefix skip behaviour of the ORDER BY
     * key (S1/S6: filters on the sort prefix skip whole row groups). */
   def appendSorted(df: DataFrame, path: String, sortCols: Seq[String],
-                   partitionCol: Option[String] = None): Unit = {
+                   partitionCol: Option[String] = None): Unit =
+    appendSortedAs("parquet", df, path, sortCols, partitionCol)
+
+  private def appendSortedAs(format: String, df: DataFrame, path: String,
+                             sortCols: Seq[String],
+                             partitionCol: Option[String]): Unit = {
     val sorted = df.sortWithinPartitions(sortCols.map(col): _*)
-    partitionCol match {
-      case Some(p) => sorted.write.mode("append").partitionBy(p).parquet(path)
-      case None    => sorted.write.mode("append").parquet(path)
-    }
+    val w = sorted.write.mode("append").format(format)
+    partitionCol.fold(w)(p => w.partitionBy(p)).save(path)
   }
 
   /** At-most-once ingest under duplicate delivery (T7): keep one row per

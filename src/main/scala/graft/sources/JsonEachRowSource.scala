@@ -75,14 +75,18 @@ private[sources] class JsonEachRowScanBuilder(fullSchema: StructType, path: Stri
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept the filter shapes the row-level evaluator understands; hand the
-    * rest back to Spark. Accepted filters are ALSO re-checked by Spark (the
-    * V2 contract allows that), so a miss here can never produce wrong
-    * results — only wasted rows. */
+  /** Accept the filter shapes the row-level evaluator understands, and
+    * return EVERY filter as a post-scan filter: the V2 contract applies
+    * only the returned filters after the scan, so a reader that kept an
+    * accepted filter to itself would be trusted blindly — a semantic
+    * mismatch would silently corrupt results. Returning them all makes the
+    * reader-side evaluation purely an early-skip optimization: a row the
+    * reader keeps too eagerly dies in Spark's re-check, and the reader's
+    * own comparisons (UTF8-binary for strings, integral-only numerics)
+    * match Spark's, so it never drops a row Spark would keep. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ours, rest) = filters.partition(JsonEachRowScan.evaluable(fullSchema, _))
-    pushed = ours
-    rest
+    pushed = filters.filter(JsonEachRowScan.evaluable(fullSchema, _))
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -154,16 +158,36 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
   private val it = lines.getLines()
   private var current: InternalRow = _
 
+  // resolved once per reader: no per-row schema scans, no per-row literal
+  // conversion (string literals pre-encoded to UTF8String for binary cmp)
+  private val fieldType: Map[String, DataType] =
+    fullSchema.fields.map(f => f.name -> f.dataType).toMap
+  private val filterLit: Map[String, UTF8String] = {
+    def lits(f: Filter): Seq[(String, UTF8String)] = f match {
+      case EqualTo(_, v: String)            => Seq(v -> UTF8String.fromString(v))
+      case GreaterThan(_, v: String)        => Seq(v -> UTF8String.fromString(v))
+      case GreaterThanOrEqual(_, v: String) => Seq(v -> UTF8String.fromString(v))
+      case LessThan(_, v: String)           => Seq(v -> UTF8String.fromString(v))
+      case LessThanOrEqual(_, v: String)    => Seq(v -> UTF8String.fromString(v))
+      case And(l, r)                        => lits(l) ++ lits(r)
+      case _                                => Seq.empty
+    }
+    filters.flatMap(lits).toMap
+  }
+
   private def extract(node: JsonNode, name: String, dt: DataType): Any = {
     val v = node.get(name)
     if (v == null || v.isNull) return null
     dt match {
       case StringType  => UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
       case BooleanType => if (v.isBoolean) java.lang.Boolean.valueOf(v.asBoolean) else null
-      case LongType    => if (v.canConvertToLong) java.lang.Long.valueOf(v.asLong) else null
-      case IntegerType => if (v.canConvertToInt) java.lang.Integer.valueOf(v.asInt) else null
-      case ShortType   => if (v.canConvertToInt) java.lang.Short.valueOf(v.asInt.toShort) else null
-      case ByteType    => if (v.canConvertToInt) java.lang.Byte.valueOf(v.asInt.toByte) else null
+      // integral targets demand integral JSON tokens: 3.7 must become null
+      // (the built-in reader's malformed-field behaviour), never truncate —
+      // a truncated value would also poison reader-side filter evaluation
+      case LongType    => if (v.isIntegralNumber && v.canConvertToLong) java.lang.Long.valueOf(v.asLong) else null
+      case IntegerType => if (v.isIntegralNumber && v.canConvertToInt) java.lang.Integer.valueOf(v.asInt) else null
+      case ShortType   => if (v.isIntegralNumber && v.canConvertToInt) java.lang.Short.valueOf(v.asInt.toShort) else null
+      case ByteType    => if (v.isIntegralNumber && v.canConvertToInt) java.lang.Byte.valueOf(v.asInt.toByte) else null
       case DoubleType  => if (v.isNumber) java.lang.Double.valueOf(v.asDouble) else null
       case FloatType   => if (v.isNumber) java.lang.Float.valueOf(v.asDouble.toFloat) else null
       case TimestampType =>
@@ -185,7 +209,11 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
     case (x: java.lang.Byte, y: Number)    => Some(java.lang.Long.compare(x.longValue, y.longValue))
     case (x: java.lang.Double, y: Number)  => Some(java.lang.Double.compare(x, y.doubleValue))
     case (x: java.lang.Float, y: Number)   => Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
-    case (x: UTF8String, y: String)        => Some(x.toString.compareTo(y))
+    // UTF8String.compareTo is UTF-8 BINARY order — Spark's string order;
+    // java String.compareTo (UTF-16 units) diverges beyond the BMP and
+    // would drop rows Spark keeps
+    case (x: UTF8String, y: String) =>
+      Some(x.compareTo(filterLit.getOrElse(y, UTF8String.fromString(y))))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None
   }
@@ -203,8 +231,7 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
   }
 
   private def raw(node: JsonNode, name: String): Any =
-    fullSchema.fields.find(_.name == name)
-      .map(f => extract(node, name, f.dataType)).orNull
+    fieldType.get(name).map(dt => extract(node, name, dt)).orNull
 
   override def next(): Boolean = {
     while (it.hasNext) {

@@ -56,12 +56,10 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path match {
-        case p if p.contains("://") => p
-        case p => s"file://$p"
-      }),
-      spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem handles scheme-less local paths AND URI-illegal
+    // characters (spaces etc.) that a hand-built java.net.URI rejects
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parts(): Array[org.apache.hadoop.fs.FileStatus] =
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/part-*.parquet")))
         .getOrElse(Array.empty)

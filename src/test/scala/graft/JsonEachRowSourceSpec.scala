@@ -64,6 +64,20 @@ class JsonEachRowSourceSpec extends SparkSpec {
     assert(df.count() === 301L)
   }
 
+  test("non-integral numbers in integral fields null out, never truncate") {
+    val dir = tmpDir("jer_frac")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.jsonl"),
+      """{"user_id": 3.7, "event_name": "x", "value": 1.0, "flag": true}
+        |{"user_id": 3, "event_name": "y", "value": 2.0, "flag": false}"""
+        .stripMargin.getBytes("UTF-8"))
+    val df = spark.read.format("jsoneachrow").schema(schema).load(dir)
+    assert(df.filter(col("user_id").isNull).select("event_name").as[String].collect()
+      === Array("x"), "3.7 must become null in a LongType field")
+    // a pushed equality can never match the truncated ghost value
+    assert(df.filter(col("user_id") === 3L).select("event_name").as[String].collect()
+      === Array("y"))
+  }
+
   test("null fields, range + null-test pushdown, boolean equality") {
     val dir = writeFixture()
     val df = spark.read.format("jsoneachrow").schema(schema).load(dir)

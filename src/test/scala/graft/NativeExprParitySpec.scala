@@ -282,4 +282,33 @@ class NativeExprParitySpec extends SparkSpec {
       .as[(Long, Int, Int, Option[Double])].collect().toSet
     assert(native == hof)
   }
+
+  test("textStats matches the HOF regex/aggregate reference forms") {
+    val stop = TextAnalysis.Stopwords("en")
+    val weird = Seq(
+      "", "   ", "the", "THE The tHe", "a#b ... c....d .......",
+      "x\ty\nzw", "héllo wörld the", "123 45a #tag a.b.c",
+      "trailing dots...", "#", "...", "it is a the of and to in you that"
+    ).toDF("text")
+    for (frame <- Seq(docs.select($"text"), weird)) {
+      val ws = TextAnalysis.words($"text")
+      val toks = TextAnalysis.tokens($"text")
+      val hof = frame.select(
+        size(ws).cast("long").as("n_words"),
+        coalesce(aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long")), lit(0L))
+          .as("sum_wlen"),
+        size(filter(ws, w => array_contains(array(stop.map(lit): _*), w)))
+          .cast("long").as("n_stop"),
+        size(toks).cast("long").as("n_toks"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha_toks"),
+        (size(split($"text", "#", -1)).cast("long") - 1L).as("n_hash"),
+        (size(split($"text", "\\.\\.\\.", -1)).cast("long") - 1L).as("n_ellipsis"),
+        length(regexp_replace($"text", "[^!-/:-@\\[-`{-~]", "")).cast("long")
+          .as("n_punct"))
+      val native = frame.select(
+        NativeExprs.textStats($"text", stop).as("st")).select("st.*")
+      assert(native.collect().map(_.toSeq).toSeq ===
+             hof.collect().map(_.toSeq).toSeq)
+    }
+  }
 }
