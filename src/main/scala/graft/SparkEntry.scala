@@ -396,6 +396,110 @@ object SparkEntry {
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
       .orderBy("event_type")
 
+  /** TPC-H Q14 shape — promoted-part revenue share for one ship month:
+    * conditional decimal aggregation + one final pinned ratio. */
+  private def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type").startsWith("PROMO"), disc.cast("decimal(27,6)"))
+                 .otherwise(lit(0).cast("decimal(27,6)")))
+             .cast("double").as("promo_revenue"),
+           dsum(disc).as("total_revenue"),
+           count(lit(1)).as("n_items"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** TPC-H Q17 shape — revenue lost to small-quantity orders of one brand:
+    * the correlated `l_quantity < 0.2 · avg(quantity) per part` subquery
+    * decorrelated into a per-part aggregate joined back (broadcast — one
+    * row per brand part). The threshold is computed through the exact
+    * decimal sum + digit string, so its double bits — and therefore every
+    * boundary comparison — are identical in any engine. */
+  private def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val thresh = li
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(((sum(col("l_quantity").cast("decimal(27,6)"))
+               .cast("string").cast("double")
+             / count(lit(1)).cast("double")) * lit(0.2)).as("qty_thresh"))
+    li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(thresh), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-attribute join predicates (OR of
+    * brand/size/quantity conjuncts), the classic pushdown-through-OR test. */
+  private def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+       col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+       col("l_quantity").between(10, 40))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q7 shape — bilateral shipping volume between two nations per
+    * ship year: the 6-way star join (lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation×2) with a symmetric nation-pair predicate; dims
+    * broadcast, the fact table never reshuffles before the final
+    * small-key aggregate. */
+  private def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val nations = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+              (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10 shape — top-20 customers by returned-item revenue: 3-way
+    * join, exact decimal revenue (so the TakeOrdered boundary is
+    * bit-stable), custkey tie-break. */
+  private def q10ReturnedTop(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   private def q6Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2053,6 +2157,11 @@ object SparkEntry {
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
     "q4_late_shipments"    -> (q4LateShipments _),
+    "q14_promo"            -> (q14Promo _),
+    "q17_small_qty"        -> (q17SmallQty _),
+    "q19_disjunctive"      -> (q19Disjunctive _),
+    "q7_volume"            -> (q7Volume _),
+    "q10_returned_top20"   -> (q10ReturnedTop _),
     "rollup_pricing"       -> (rollupPricing _),
     "cube_pricing"         -> (cubePricing _),
     "grouping_sets_pricing" -> (groupingSetsPricing _),
@@ -2292,6 +2401,83 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_keep_best" -> DedupKeepBestOracle,
+
+    // Q14 ratio: identical decimal conditional sums, identical final ops.
+    "q14_promo" ->
+      """WITH j AS (
+           SELECT p_type, l_extendedprice * (1.0 - l_discount) AS disc
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-02-01'),
+         a AS (
+           SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                THEN CAST(disc AS DECIMAL(27,6))
+                                ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                    AS promo_revenue,
+                  CAST(sum(CAST(disc AS DECIMAL(27,6))) AS DOUBLE)
+                    AS total_revenue,
+                  count(*) AS n_items
+           FROM j)
+         SELECT promo_revenue, total_revenue, n_items,
+                100.0 * promo_revenue / total_revenue AS promo_pct
+         FROM a""",
+
+    // Q17: the per-part threshold reproduces bit-for-bit (decimal sum →
+    // digit string → one division, one multiply), so the < comparison and
+    // the final sums agree exactly.
+    "q17_small_qty" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+         th AS (SELECT l_partkey,
+                       (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,6)))
+                                  AS VARCHAR) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) * 0.2 AS qty_thresh
+                FROM lineitem JOIN bp ON l_partkey = p_partkey
+                GROUP BY l_partkey)
+         SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                  / 7.0 AS avg_yearly,
+                count(*) AS n_rows
+         FROM lineitem l JOIN th ON l.l_partkey = th.l_partkey
+         WHERE l.l_quantity < th.qty_thresh""",
+
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 40)""",
+
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // Exact decimal revenue makes the top-20 boundary bit-stable; ties
+    // break on custkey identically in both engines.
+    "q10_returned_top20" ->
+      """SELECT c_custkey, c_name,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     // The exact trailing count is SQL; the HLL estimate gates through the
     // deterministic est_ok envelope (TRUE on both sides, a broken sketch

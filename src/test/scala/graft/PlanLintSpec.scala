@@ -36,7 +36,10 @@ class PlanLintSpec extends SparkSpec {
                            // spine explode (per-user windows stay partitioned)
     "events_running_users", // cumsum over the #days-sized aggregated frame —
                            // the first-seen rewrite already collapsed users
-    "seg_bitmap_algebra")  // one sketch-algebra row over two 1-row states
+    "seg_bitmap_algebra",  // one sketch-algebra row over two 1-row states
+    "q14_promo",           // single promo-share row
+    "q17_small_qty",       // single avg-yearly row
+    "q19_disjunctive")     // single disjunctive-revenue row
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct
