@@ -347,6 +347,44 @@ object SparkEntry {
       .orderBy("user_id", "day")
   }
 
+  /** Linear interpolation between daily closes — `WITH FILL INTERPOLATE`'s
+    * linear lane next to [[eventsLocf]]'s step fill: each unobserved day
+    * between a user's first and last observation gets
+    * `vp + (vn − vp) · (d − dp)/(dn − dp)` from its bracketing observed
+    * days. Two per-user windows (backward and forward ignore-null carries)
+    * over the dense per-user spine; the arithmetic is one pinned IEEE
+    * sequence over exact day deltas, mirrored verbatim in the oracle. */
+  private def eventsInterp(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+              col("ts"), col("event_id"), col("value"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+    val wPast = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    span
+      .select(col("user_id"),
+              explode(sequence(col("fday"), col("lday"),
+                               expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(wPast))
+      .withColumn("dp", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPast))
+      .withColumn("vn", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("dn", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("value_interp",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            (datediff(col("day"), col("dp")).cast("double") /
+             datediff(col("dn"), col("dp")).cast("double"))))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("v").isNotNull.as("observed"), col("value_interp"))
+      .orderBy("user_id", "day")
+  }
+
   /** Running distinct users per day — the SCALABLE rewrite of a running
     * `uniqExact` window: distinct-per-day is a normal aggregate, and the
     * cumulative count folds each user into their FIRST-seen day (a user
@@ -499,6 +537,44 @@ object SparkEntry {
            count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+
+  /** TPC-H Q15 shape — the top revenue supplier(s) for one ship quarter:
+    * revenue "view" + max-subquery join-back. Revenue goes through the
+    * exact decimal sum, so the max and the equality against it are
+    * bit-stable; ties (multiple suppliers at the max) all surface. */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: the HAVING-subquery join
+    * (orders whose lineitems total > 200 units), top-100 by price. All
+    * sums integral-exact (quantity is integral), price is a raw data
+    * double — every boundary bit-stable. */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
 
   private def q6Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -2138,8 +2214,11 @@ object SparkEntry {
     "events_daily"         -> (eventsDaily _),
     "events_daily_filled"  -> (eventsDailyFilled _),
     "events_locf"          -> (eventsLocf _),
+    "events_interp"        -> (eventsInterp _),
     "events_running_users" -> (eventsRunningUsers _),
     "events_moving_avg"    -> (eventsMovingAvg _),
+    "q15_top_supplier"     -> (q15TopSupplier _),
+    "q18_large_orders"     -> (q18LargeOrders _),
     "seg_stream_enrich"    -> (segStreamEnrich _),
     "semantic_dedup"       -> (semanticDedupStats _),
     "gopher_quality"       -> (gopherQuality _),
@@ -3067,6 +3146,73 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
          FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
          ORDER BY s.user_id, s.day""",
+
+    // Linear interpolation: same bracketing carries, same IEEE sequence
+    // (vp + (vn−vp) · (Δd / Δspan)), exact integer day deltas.
+    "events_interp" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+                     FROM events),
+         ranked AS (SELECT user_id, day, value,
+                           row_number() OVER (PARTITION BY user_id, day
+                                              ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM ev),
+         daily AS (SELECT user_id, day, value AS v FROM ranked WHERE rn = 1),
+         sp AS (SELECT user_id, min(day) AS fday, max(day) AS lday
+                FROM daily GROUP BY 1),
+         spine AS (SELECT sp.user_id,
+                          unnest(generate_series(sp.fday, sp.lday,
+                                                 INTERVAL 1 DAY))::DATE AS day
+                   FROM sp),
+         j AS (SELECT s.user_id, s.day, d.v
+               FROM spine s LEFT JOIN daily d
+                 ON d.user_id = s.user_id AND d.day = s.day),
+         c AS (SELECT user_id, day, v,
+                      last_value(v IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+                      last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+                      first_value(v IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+                      first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+               FROM j)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                v IS NOT NULL AS observed,
+                CASE WHEN v IS NOT NULL THEN v
+                     ELSE vp + (vn - vp) * (CAST(day - dp AS DOUBLE)
+                                            / CAST(dn - dp AS DOUBLE)) END
+                  AS value_interp
+         FROM c ORDER BY user_id, day""",
+
+    // Q15: exact decimal revenue makes max and its equality bit-stable.
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                AS DECIMAL(27,6))) AS DOUBLE) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum_qty > 200.0)
+         SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 
     // Running distinct users via the first-seen rewrite (identical fold).
     "events_running_users" ->

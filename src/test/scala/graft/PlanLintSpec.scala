@@ -39,7 +39,9 @@ class PlanLintSpec extends SparkSpec {
     "seg_bitmap_algebra",  // one sketch-algebra row over two 1-row states
     "q14_promo",           // single promo-share row
     "q17_small_qty",       // single avg-yearly row
-    "q19_disjunctive")     // single disjunctive-revenue row
+    "q19_disjunctive",     // single disjunctive-revenue row
+    "q15_top_supplier",    // 1-row max-revenue bound joins back
+    "q18_large_orders")    // global TakeOrdered boundary (as top10_customers)
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct

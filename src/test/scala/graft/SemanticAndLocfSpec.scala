@@ -79,6 +79,27 @@ class SemanticAndLocfSpec extends SparkSpec {
     }
   }
 
+  // --- linear interpolation ----------------------------------------------
+
+  test("events_interp: endpoints observed, gaps linear between brackets") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("events_interp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 && sorted.last._3, s"user $u spine ends unobserved")
+      // every unobserved day's value lies on the segment between brackets
+      val obs = sorted.zipWithIndex.filter(_._1._3).map(_._2)
+      sorted.zipWithIndex.filterNot(_._1._3).foreach { case ((_, d, _, v), i) =>
+        val lo = obs.filter(_ < i).max
+        val hi = obs.filter(_ > i).min
+        val (v0, v1) = (sorted(lo)._4, sorted(hi)._4)
+        val expect = v0 + (v1 - v0) * ((i - lo).toDouble / (hi - lo).toDouble)
+        assert(v === expect, s"user $u day $d not linear")
+      }
+    }
+  }
+
   // --- running distinct users -------------------------------------------
 
   test("events_running_users: cumulative count equals brute-force prefix distinct") {
