@@ -855,6 +855,14 @@ object SparkEntry {
     EventAnalytics.sequenceMatch(t(s, dir, "events"), FunnelSteps)
       .orderBy("user_id")
 
+  /** ClickHouse sequenceCount: how many DISJOINT click → purchase → signup
+    * completions per user ([[EventAnalytics.sequenceCount]]); the oracle
+    * replays the greedy automaton with a recursive CTE over the same
+    * (µs-total) event order. */
+  private def sequenceCountUsers(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sequenceCount(t(s, dir, "events"), FunnelSteps)
+      .orderBy("user_id")
+
   /** ClickHouse retention: weekly cohort counts anchored on week 1. */
   private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     def week(i: Int): Column = {
@@ -1829,9 +1837,11 @@ object SparkEntry {
     * cumulative quantity reaches half the group total. The result is a
     * data value — no interpolation, exact in any engine. */
   private def weightedMedianPrice(s: SparkSession, dir: String): DataFrame =
-    RobustStats.weightedQuantile(t(s, dir, "lineitem"), "l_returnflag",
-        "l_extendedprice", "l_quantity", q = 0.5)
-      .withColumnRenamed("wq", "weighted_median")
+    RobustStats.weightedQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity", qs = Seq(0.25, 0.5, 0.75))
+      .withColumnRenamed("wq_0.25", "p25_price")
+      .withColumnRenamed("wq_0.5", "weighted_median")
+      .withColumnRenamed("wq_0.75", "p75_price")
       .orderBy("l_returnflag")
 
   /** Time-weighted average value per user ([[EventAnalytics
@@ -2200,6 +2210,7 @@ object SparkEntry {
     "docs_filtered_stats"  -> (docsFilteredStats _),
     "funnel_levels"        -> (funnelLevels _),
     "sequence_match"       -> (sequenceMatchUsers _),
+    "sequence_count"       -> (sequenceCountUsers _),
     "cohort_retention"     -> (cohortRetention _),
     "seg_microbatch_hll"   -> (segMicroBatchHll _),
     "q1_pricing"           -> (q1Pricing _),
@@ -2527,6 +2538,36 @@ object SparkEntry {
                 AND l_quantity BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
                 AND l_quantity BETWEEN 10 AND 40)""",
+
+    // Greedy non-overlapping automaton replayed with a recursive CTE over
+    // the same µs-total event order (the packed_chunks recurrence-replay
+    // technique applied to a state machine).
+    "sequence_count" -> {
+      val k = FunnelSteps.length
+      val stepCase = FunnelSteps.zipWithIndex
+        .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }.mkString(" ")
+      val inList = FunnelSteps.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE ev AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CASE event_type $stepCase END AS step
+            FROM events WHERE event_type IN ($inList)),
+          n AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY 1),
+          walk(user_id, rn, state, cnt) AS (
+            SELECT user_id, 0, 1, 0 FROM n
+            UNION ALL
+            SELECT w.user_id, w.rn + 1,
+                   CASE WHEN e.step = w.state
+                        THEN CASE WHEN w.state = $k THEN 1 ELSE w.state + 1 END
+                        ELSE w.state END,
+                   w.cnt + CASE WHEN e.step = w.state AND w.state = $k
+                                THEN 1 ELSE 0 END
+            FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+          SELECT w.user_id, CAST(w.cnt AS BIGINT) AS n_matches
+          FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n
+          ORDER BY w.user_id"""
+    },
 
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -3342,9 +3383,13 @@ object SparkEntry {
                       sum(wt) OVER (PARTITION BY l_returnflag) AS tw
                FROM clean)
          SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
-                min(v) AS weighted_median
-         FROM r WHERE cumw >= CAST(ceil(0.5 * tw - 1e-9) AS BIGINT)
-         GROUP BY 1 ORDER BY 1""",
+                min(CASE WHEN cumw >= CAST(ceil(0.25 * tw - 1e-9) AS BIGINT)
+                         THEN v END) AS p25_price,
+                min(CASE WHEN cumw >= CAST(ceil(0.5 * tw - 1e-9) AS BIGINT)
+                         THEN v END) AS weighted_median,
+                min(CASE WHEN cumw >= CAST(ceil(0.75 * tw - 1e-9) AS BIGINT)
+                         THEN v END) AS p75_price
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     // Time-weighted average: same second-floored interval lengths, same
     // exact decimal value·Δt sums (string-routed both ways), one final

@@ -111,6 +111,11 @@ object NativeExprs {
   def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
     col(FunnelLevelExpr(expr(seq), nSteps, windowSeconds))
 
+  /** Greedy non-overlapping sequence-match counter over a time-sorted
+    * array<struct<t:long, step:int>> (see [[SequenceCountExpr]]). */
+  def sequenceCount(seq: Column, nSteps: Int): Column =
+    col(SequenceCountExpr(expr(seq), nSteps))
+
   /** Bounded sorted collect of (t, step) pairs: the `maxItems` time-EARLIEST
     * pairs per group, emitted time-sorted — hard O(maxItems) aggregation
     * state per key where `collect_list` is unbounded. Input must be a
@@ -524,6 +529,36 @@ case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long)
       i += 1
     }
     level
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** ClickHouse `sequenceCount('(?1)(?2)…')`-style greedy NON-OVERLAPPING
+  * pattern counter: over the (t, step)-sorted event array, an automaton
+  * advances on each event matching its next expected step and, on
+  * completing step `nSteps`, increments the count and resets — the greedy
+  * scan is optimal for counting disjoint subsequence matches. Order must be
+  * total (the event-time tie-break contract of the caller); unbounded
+  * window, like `sequenceMatch`. */
+case class SequenceCountExpr(child: Expression, nSteps: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var state = 1
+    var cnt = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getStruct(i, 2).getInt(1)
+      if (s == state) {
+        if (state == nSteps) { cnt += 1L; state = 1 }
+        else state += 1
+      }
+      i += 1
+    }
+    cnt
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -85,6 +85,33 @@ object EventAnalytics {
                  userCol, typeCol, tsCol, maxEventsPerUser)
       .select(col(userCol), (col("funnel_level") === steps.length).as("matched"))
 
+  /** ClickHouse `sequenceCount('(?1)(?2)…')`: the number of NON-OVERLAPPING
+    * in-order step completions per user (unbounded window) — the counting
+    * sibling of [[sequenceMatch]]'s boolean. A greedy automaton over the
+    * time-sorted stream (advance on the next expected step; on completion
+    * count and reset) — greedy is optimal for disjoint subsequence counts.
+    * Event times are MICROsecond-precision so the order is total (the
+    * corpus contract; second truncation can collide); per-user state rides
+    * the same bounded sorted-collect as the funnel DP. */
+  def sequenceCount(events: DataFrame, steps: Seq[String],
+                    userCol: String = "user_id", typeCol: String = "event_type",
+                    tsCol: String = "ts",
+                    maxEventsPerUser: Int = 1 << 20): DataFrame = {
+    require(steps.distinct.length == steps.length, "steps must be distinct")
+    val stepIdx = typedLit(steps.zipWithIndex.toMap)
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+              unix_micros(col(tsCol)).as("__t"),
+              (element_at(stepIdx, col(typeCol)) + 1).cast("int").as("__step"))
+      .groupBy(col(userCol))
+      .agg(graft.functions.NativeExprs.boundedEventSeq(
+             struct(col("__t"), col("__step")), maxEventsPerUser).as("__seq"))
+      .select(col(userCol),
+              graft.functions.NativeExprs.sequenceCount(
+                col("__seq"), steps.length).as("n_matches"))
+  }
+
   /** ClickHouse-style `retention(cond0, cond1, …)`: per user, whether the
     * anchor condition held, and for each subsequent condition whether BOTH it
     * and the anchor held — aggregated to cohort counts. Conditions are

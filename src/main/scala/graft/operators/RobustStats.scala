@@ -81,20 +81,32 @@ object RobustStats {
     * weighted KLL variant), then a group-local aggregate — no second sort,
     * no single-partition stage, no join at all. */
   def weightedQuantile(df: DataFrame, keyCol: String, valueCol: String,
-                       weightCol: String, q: Double = 0.5): DataFrame = {
-    require(q > 0.0 && q <= 1.0, "need 0 < q <= 1")
+                       weightCol: String, q: Double = 0.5): DataFrame =
+    weightedQuantiles(df, keyCol, valueCol, weightCol, Seq(q))
+      .withColumnRenamed(s"wq_$q", "wq")
+
+  /** ClickHouse `quantilesExactWeighted(q1, q2, …)`: every quantile picked
+    * from the SAME cumulative-weight pass — one per-group sort total,
+    * regardless of how many quantiles are requested (each is a conditional
+    * min over the shared frame). Output columns `wq_<q>`. */
+  def weightedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                        weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "need non-empty qs, each in (0, 1]")
     val clean = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
               col(weightCol) > 0)
       .select(col(keyCol), col(valueCol), col(weightCol).cast("long").as("wt"))
     val wc = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picks = qs.map { q =>
+      min(when(col("cumw") >= ceil(lit(q) * col("tw") - lit(1e-9)).cast("long"),
+               col(valueCol))).as(s"wq_$q")
+    }
     clean
       .withColumn("cumw", sum(col("wt")).over(wc))
       .withColumn("tw", sum(col("wt")).over(Window.partitionBy(col(keyCol))))
-      .filter(col("cumw") >= ceil(lit(q) * col("tw") - lit(1e-9)).cast("long"))
       .groupBy(col(keyCol))
-      .agg(max(col("tw")).as("total_weight"),
-           min(col(valueCol)).as("wq"))
+      .agg(max(col("tw")).as("total_weight"), picks: _*)
   }
 }

@@ -148,6 +148,44 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  // --- sequence counting --------------------------------------------------
+
+  test("sequenceCount: greedy non-overlapping matches on crafted streams") {
+    import graft.operators.EventAnalytics
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(u: Long, i: Int, tp: String) =
+      (u, new java.sql.Timestamp(t0.getTime + i * 1000L), i.toLong, tp)
+    val rows =
+      // user 1: a b a b → exactly 2 disjoint (a,b) matches
+      Seq(ev(1, 1, "a"), ev(1, 2, "b"), ev(1, 3, "a"), ev(1, 4, "b")) ++
+      // user 2: a a b b → 1: the single-automaton chain (ClickHouse
+      // semantics — search RESUMES after a completed chain) ignores a2
+      // while awaiting b, completes at b3, and b4 alone cannot match
+      Seq(ev(2, 1, "a"), ev(2, 2, "a"), ev(2, 3, "b"), ev(2, 4, "b")) ++
+      // user 3: b b a → in-order never completes → 0 (still a row: has events)
+      Seq(ev(3, 1, "b"), ev(3, 2, "b"), ev(3, 3, "a")) ++
+      // user 4: interleaved noise between steps → 1
+      Seq(ev(4, 1, "a"), ev(4, 2, "x"), ev(4, 3, "b"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.sequenceCount(df, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("sequenceCount is consistent with sequenceMatch on the corpus") {
+    import graft.operators.EventAnalytics
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val steps = Seq("click", "purchase", "signup")
+    val counts = EventAnalytics.sequenceCount(ev, steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matches = EventAnalytics.sequenceMatch(ev, steps)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    matches.foreach { case (u, m) =>
+      assert((counts.getOrElse(u, 0L) >= 1L) === m,
+        s"user $u: count ${counts.get(u)} vs matched $m")
+    }
+  }
+
   // --- interval union -----------------------------------------------------
 
   test("interval_union_days equals brute-force day-set union per supplier") {
