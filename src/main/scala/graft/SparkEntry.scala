@@ -427,6 +427,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** ClickHouse `deltaSum` per user: the sum of POSITIVE value increments
+    * over the (ts, event_id)-ordered stream (counter-reset-tolerant rate
+    * accounting). Deltas are exact decimal differences (value has ≤2
+    * decimal digits), conditionally summed in decimal and surfaced through
+    * the digit string — no float subtraction anywhere. */
+  private def eventsDeltaSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    val delta = dv - lag(dv, 1).over(w)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__d", delta)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("__d") > 0, col("__d")))
+                      .cast("string").cast("double"), lit(0.0)).as("delta_sum"),
+           count(when(col("__d") > 0, lit(1))).as("n_increases"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   private def eventsPropsExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -2228,6 +2249,7 @@ object SparkEntry {
     "events_interp"        -> (eventsInterp _),
     "events_running_users" -> (eventsRunningUsers _),
     "events_moving_avg"    -> (eventsMovingAvg _),
+    "events_delta_sum"     -> (eventsDeltaSum _),
     "q15_top_supplier"     -> (q15TopSupplier _),
     "q18_large_orders"     -> (q18LargeOrders _),
     "seg_stream_enrich"    -> (segStreamEnrich _),
@@ -3270,6 +3292,23 @@ object SparkEntry {
                      AS BIGINT) AS cum_users
          FROM active a LEFT JOIN nu ON a.day = nu.day
          ORDER BY day""",
+
+    // deltaSum: exact decimal differences and conditional sums, digit-string
+    // surfaced — no float subtraction on either side.
+    "events_delta_sum" ->
+      """WITH d AS (
+           SELECT user_id,
+                  CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2))
+                  - lag(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+           FROM events)
+         SELECT user_id,
+                coalesce(CAST(CAST(sum(CASE WHEN delta > 0 THEN delta END)
+                                   AS VARCHAR) AS DOUBLE), 0.0) AS delta_sum,
+                CAST(count(CASE WHEN delta > 0 THEN 1 END) AS BIGINT)
+                  AS n_increases,
+                count(*) AS n_events
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     // Trailing 7-event moving average: identical frame, exact decimal frame
     // sums via the string route on both sides, one IEEE divide.

@@ -142,6 +142,27 @@ class SemanticAndLocfSpec extends SparkSpec {
     }
   }
 
+  // --- deltaSum -----------------------------------------------------------
+
+  test("events_delta_sum: positive increments only, exact decimals") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val tmp = tmpDir("dsum")
+    // 10.5 → 12.25 (+1.75) → 7 (reset) → 7.1 (+0.1) → single-event user
+    Seq((1L, ts(1), 1L, "a", 10.50, "{}"), (1L, ts(2), 2L, "a", 12.25, "{}"),
+        (1L, ts(3), 3L, "a", 7.00, "{}"), (1L, ts(4), 4L, "a", 7.10, "{}"),
+        (2L, ts(1), 5L, "a", 3.0, "{}"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = SparkEntry.queries("events_delta_sum")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((1.85, 2L, 4L)))
+    assert(out(2L) === ((0.0, 0L, 1L)))
+  }
+
   // --- rolling HLL window -------------------------------------------------
 
   test("rolling_30d_users_hll: merged per-day states equal a direct window sketch") {
