@@ -448,6 +448,27 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** ClickHouse `boundingRatio(ts, value)` per user: (last − first value)
+    * / (last − first second) over the event stream — the end-to-end rate.
+    * First/last picked by `min_by`/`max_by` over the unique (ts, event_id)
+    * order; the subtraction and single division are one pinned IEEE
+    * sequence over a data double and an exact integer span. Flat-span
+    * users (one event) emit NULL rate on both sides. */
+  private def eventsBoundingRatio(s: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min_by(col("value"), ord).as("first_value"),
+           max_by(col("value"), ord).as("last_value"),
+           (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+             .as("span_s"),
+           count(lit(1)).as("n_events"))
+      .withColumn("rate_per_s",
+        (col("last_value") - col("first_value")) /
+          nullif(col("span_s"), lit(0L)).cast("double"))
+      .orderBy("user_id")
+  }
+
   private def eventsPropsExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -2250,6 +2271,7 @@ object SparkEntry {
     "events_running_users" -> (eventsRunningUsers _),
     "events_moving_avg"    -> (eventsMovingAvg _),
     "events_delta_sum"     -> (eventsDeltaSum _),
+    "events_bounding_ratio" -> (eventsBoundingRatio _),
     "q15_top_supplier"     -> (q15TopSupplier _),
     "q18_large_orders"     -> (q18LargeOrders _),
     "seg_stream_enrich"    -> (segStreamEnrich _),
@@ -3292,6 +3314,29 @@ object SparkEntry {
                      AS BIGINT) AS cum_users
          FROM active a LEFT JOIN nu ON a.day = nu.day
          ORDER BY day""",
+
+    // boundingRatio: arg-extremes over the unique (ts, event_id) order, one
+    // pinned subtraction + division; NULL rate for zero spans on both sides.
+    "events_bounding_ratio" ->
+      """WITH o AS (
+           SELECT user_id, value, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rrn
+           FROM events),
+         a AS (
+           SELECT user_id,
+                  min(CASE WHEN rn = 1 THEN value END) AS first_value,
+                  min(CASE WHEN rrn = 1 THEN value END) AS last_value,
+                  CAST(floor(epoch(max(ts))) AS BIGINT)
+                    - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
+                  count(*) AS n_events
+           FROM o GROUP BY 1)
+         SELECT user_id, first_value, last_value, span_s, n_events,
+                (last_value - first_value)
+                  / CAST(nullif(span_s, 0) AS DOUBLE) AS rate_per_s
+         FROM a ORDER BY user_id""",
 
     // deltaSum: exact decimal differences and conditional sums, digit-string
     // surfaced — no float subtraction on either side.
