@@ -287,17 +287,26 @@ object Similarity {
     * paper's own argument for clustering before pairwise cosine). The
     * corpus is shuffled once by cluster; no global all-pairs anywhere.
     *
+    * The cluster equi-join routes through [[graft.operators.Dedup
+    * .saltedBandJoin]] (cluster = the bucket, band pinned to 0): a skewed
+    * mega-cluster — exactly what a near-dup-heavy corpus produces — gets its
+    * pair grid hash-salted across `skewSalt` reducers instead of funneling
+    * through one; corpora with no cluster over `skewCap` rows short-circuit
+    * to the plain join, paying only the metadata-sized detection agg.
+    *
     * Returns the corpus plus a `kept` boolean (false = semantic duplicate
     * of a lower-id cluster-mate); callers filter `kept` for the deduped
     * corpus. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    clusterCol: String = "label"): DataFrame = {
-    val mates = corpus.select(col(clusterCol).as("__c"), col(idCol).as("__id_b"),
-                              col(vecCol).as("__v_b"))
-    val dropped = corpus
-      .select(col(clusterCol).as("__c"), col(idCol).as("__id"), col(vecCol).as("__v"))
-      .join(mates, Seq("__c"))
+                    clusterCol: String = "label",
+                    skewSalt: Int = 8, skewCap: Long = 2048L): DataFrame = {
+    val probe = corpus.select(lit(0).as("band"), col(clusterCol).as("bucket"),
+                              col(idCol).as("__id"), col(vecCol).as("__v"))
+    val mates = corpus.select(lit(0).as("band"), col(clusterCol).as("bucket"),
+                              col(idCol).as("__id_b"), col(vecCol).as("__v_b"))
+    val dropped = Dedup
+      .saltedBandJoin(probe, mates, "__id", salt = skewSalt, cap = skewCap)
       .filter(col("__id_b") < col("__id"))
       // score+filter before the distinct: the dedup exchange sees only
       // (id) rows of actual duplicates, not the per-cluster pair grid
@@ -312,19 +321,26 @@ object Similarity {
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via multi-table SRP buckets (no O(n²) scan), verified exactly.
     * At threshold 0.95 (θ≈18°, p≈0.90) the 8-bit/8-table default catches
-    * ≈99% of true pairs while keeping buckets tiny. */
+    * ≈99% of true pairs while keeping buckets tiny.
+    *
+    * The bucket self-join routes through [[graft.operators.Dedup
+    * .saltedBandJoin]] (table index = the band): a hot SRP bucket —
+    * correlated embeddings, the signature of a near-dup-heavy corpus —
+    * gets its pair grid hash-salted across `skewSalt` reducers; cold
+    * corpora short-circuit to the plain join. */
   def embeddingNearDuplicates(corpus: DataFrame, threshold: Double, dim: Int,
                               nBits: Int = 8, tables: Int = 8,
                               idCol: String = "vec_id", vecCol: String = "embedding",
-                              seed: Long = 42L): DataFrame = {
+                              seed: Long = 42L,
+                              skewSalt: Int = 8, skewCap: Long = 2048L): DataFrame = {
     val buckets = srpTableBuckets(col(vecCol), nBits, dim, tables, seed)
     val withSig = corpus.select(col(idCol), col(vecCol), explode(buckets).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.tbl"), col("tb.bucket"))
-    val a = withSig.select(col("tbl"), col("bucket"), col(idCol).as("id_a"),
+      .select(col(idCol), col(vecCol), col("tb.tbl").as("band"), col("tb.bucket"))
+    val a = withSig.select(col("band"), col("bucket"), col(idCol).as("id_a"),
                            col(vecCol).as("v_a"))
-    val b = withSig.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
+    val b = withSig.select(col("band"), col("bucket"), col(idCol).as("id_b"),
                            col(vecCol).as("v_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    Dedup.saltedBandJoin(a, b, "id_a", salt = skewSalt, cap = skewCap)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold) // score+filter pre-shuffle: dedup sees survivors only

@@ -50,6 +50,51 @@ class SemanticAndLocfSpec extends SparkSpec {
       s"dropped ${nTotal - nKept} of $nTotal — expected exactly the planted copies")
   }
 
+  test("semanticDedup: adversarial mega-cluster goes through the salt guard unchanged") {
+    // one cluster holds a 60-row near-dup flood (the skew case: every pair
+    // grid cell lands in one bucket); cap forced to 8 so salting engages
+    val flood = (0L until 60L).map(i => (i, 0, vec(1.0, 0.0, 0.0)))
+    val corpus = (flood ++ Seq((100L, 0, vec(0.0, 1.0, 0.0)),
+                               (101L, 0, vec(0.0, 0.0, 1.0))))
+      .toDF("vec_id", "label", "embedding")
+    // the fixture genuinely trips hot-bucket detection at this cap
+    val probe = corpus.select(lit(0).as("band"), col("label").as("bucket"),
+                              col("vec_id"))
+    assert(!operators.Dedup.hotBuckets(probe, cap = 8L).isEmpty,
+      "fixture must have a hot cluster at cap=8")
+    val salted = Similarity.semanticDedup(corpus, threshold = 0.95,
+        skewSalt = 4, skewCap = 8L)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    val plain = Similarity.semanticDedup(corpus, threshold = 0.95,
+        skewCap = Long.MaxValue)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(salted === plain, "salted lane must match the plain join exactly")
+    // and both match the policy: keep lowest id of the flood + both orthogonals
+    assert(salted.filter(_._2).keySet === Set(0L, 100L, 101L))
+  }
+
+  test("embeddingNearDuplicates: single hot SRP bucket goes through the salt guard") {
+    // 50 identical vectors share every (table, bucket) — the hot-bucket
+    // worst case for the SRP self-join; two orthogonal vectors pair with
+    // nothing. cap=8 forces the salt lane; the pair SET must equal both the
+    // plain-lane run and the brute-force expectation.
+    val flood = (0L until 50L).map(i => (i, vec(1.0, 0.0, 0.0)))
+    val corpus = (flood ++ Seq((100L, vec(0.0, 1.0, 0.0)),
+                               (101L, vec(0.0, 0.0, 1.0))))
+      .toDF("vec_id", "embedding")
+    val salted = Similarity.embeddingNearDuplicates(corpus, threshold = 0.95,
+        dim = 3, skewSalt = 4, skewCap = 8L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plain = Similarity.embeddingNearDuplicates(corpus, threshold = 0.95,
+        dim = 3, skewCap = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for (i <- 0L until 50L; j <- (i + 1) until 50L)
+      yield (i, j)).toSet
+    assert(salted === plain, "salted lane must match the plain join exactly")
+    assert(salted === expected,
+      s"must find exactly the ${expected.size} flood pairs; got ${salted.size}")
+  }
+
   // --- LOCF gap fill -----------------------------------------------------
 
   test("events_locf: filled value equals most recent daily close") {
