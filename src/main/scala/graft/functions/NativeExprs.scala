@@ -77,7 +77,8 @@ object NativeExprs {
     col(ShingleSetExpr(expr(text), k))
 
   /** Whitespace-collapse + lowercase + trim; byte-identical to
-    * `trim(regexp_replace(lower(text), "\\s+", " "))`. */
+    * `trim(regexp_replace(lower(text), TextAnalysis.WsPattern, " "))` —
+    * RE2 `\s` semantics (no VT), see [[graft.functions.TextAnalysis.WsClass]]. */
   def normalizeText(text: Column): Column = col(NormalizeTextExpr(expr(text)))
 
   /** Exact Jaccard of two distinct-element long arrays; matches
@@ -471,7 +472,8 @@ case class NormalizeTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val ws =
+    java.util.regex.Pattern.compile(graft.functions.TextAnalysis.WsPattern)
 
   override def nullSafeEval(input: Any): Any = {
     val t = input.asInstanceOf[UTF8String]
@@ -488,7 +490,7 @@ case class NormalizeTextExpr(child: Expression)
     var i = 0
     while (i < nb) {
       val c = in(i)
-      val isWs = c == ' ' || (c >= 0x09 && c <= 0x0d) // Java \s = [ \t\n\x0B\f\r]
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' // RE2 \s — no VT
       if (isWs) { if (o > 0) pendingSpace = true } // leading ws drops
       else {
         if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
@@ -914,8 +916,9 @@ case class TextStatsExpr(child: Expression, stopwords: Seq[String])
     s
   }
 
-  private def isWs(b: Byte): Boolean = // Java regex \s (ASCII set, incl. \x0B)
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  private def isWs(b: Byte): Boolean = // RE2 \s = [ \t\n\f\r] — NO \x0B; the
+    // DuckDB oracle tokenizes with RE2 \S+, so the engine must agree on VT
+    b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
   private def isPunct(b: Byte): Boolean =
     (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
     (b >= '[' && b <= '`') || (b >= '{' && b <= '~')

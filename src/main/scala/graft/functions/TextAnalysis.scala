@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (`\S+` runs) — the token-count tokenizer. */
-  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+  /** The engine's whitespace class, spelled explicitly as the RE2 `\s` set
+    * (`[ \t\n\f\r]` — NO vertical tab). Java's `\s` additionally includes
+    * `\x0B`, so a bare `\s`/`\S` in a Spark-side pattern would tokenize a
+    * VT-bearing document differently from the same pattern run in a
+    * RE2-based engine (DuckDB, Go). Every tokenizer here uses this class so
+    * one definition holds across engines. */
+  val WsClass: String    = " \\t\\n\\f\\r"
+  val WsPattern: String  = s"[$WsClass]+"
+  val TokPattern: String = s"[^$WsClass]+"
+
+  /** Whitespace tokens (`\S+` runs, RE2 `\s` semantics) — the token-count
+    * tokenizer. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit(TokPattern), lit(0))
 
   /** Lowercase alphabetic words — the linguistic tokenizer. */
   def words(text: Column): Column = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
@@ -30,7 +41,7 @@ object TextAnalysis {
     * whitespace), restricted to RE2-compatible syntax (no lookahead) so the
     * same pattern runs in any engine. Proxy for LLM token budgeting. */
   val BpeIshPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
 
   def bpeIshTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeIshPattern), lit(0)))
@@ -159,7 +170,7 @@ object TextAnalysis {
 
   /** Reference SQL-function form of [[normalized]] (parity-tested). */
   def normalizedHof(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), WsPattern, " "))
 
   /** Full-document fingerprint: md5 of the normalized text (hex string). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   spark.read.format("jsoneachrow").schema(s).load(dir)
   *
-  * Built on the V2 read contract, with the two optimizations that matter at
+  * Built on the V2 read contract, with the optimizations that matter at
   * 100 TB implemented for real, not just declared:
   *
   *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): only the
@@ -28,7 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    null-test predicates on top-level fields are evaluated inside the
   *    reader BEFORE any row is materialized into the engine, and appear in
   *    the scan description (`PushedFilters: …`) for plan asserts, same as
-  *    the parquet source.
+  *    the parquet source;
+  *  - **statistics** ([[SupportsReportStatistics]]): on-disk byte size is
+  *    reported at plan time, so joins against small connector tables get
+  *    broadcast (without it DSv2 defaults to Long.Max and NOTHING ever
+  *    broadcasts) and CBO sees real sizes;
+  *  - **limit pushdown** ([[SupportsPushDownLimit]]): a bare LIMIT stops
+  *    each partition reader after N rows instead of draining the file —
+  *    partial pushdown, Spark's global Limit still applies.
   *
   * Explicit schema is REQUIRED (the no-inference contract every graft
   * ingest edge shares — inference would be a second pass over the data).
@@ -66,14 +73,23 @@ private[sources] class JsonEachRowTable(tableSchema: StructType, path: String)
     new JsonEachRowScanBuilder(tableSchema, path)
 }
 
-private[sources] class JsonEachRowScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+private[graft] class JsonEachRowScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown: each partition reader stops after emitting `limit`
+    * rows instead of draining its file. Reported as PARTIALLY pushed
+    * (`isPartiallyPushed` default true), so Spark keeps its own global
+    * Limit — the reader-side cut is purely an early-stop optimization and
+    * can never change results, exactly like the filter contract above. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   /** Accept the filter shapes the row-level evaluator understands, and
     * return EVERY filter as a post-scan filter: the V2 contract applies
@@ -90,29 +106,50 @@ private[sources] class JsonEachRowScanBuilder(fullSchema: StructType, path: Stri
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new JsonEachRowScan(fullSchema, required, pushed, path)
+  override def build(): Scan =
+    new JsonEachRowScan(fullSchema, required, pushed, path, limit,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 }
 
 private[sources] class JsonEachRowScan(fullSchema: StructType, required: StructType,
-                                       filters: Array[Filter], path: String)
-    extends Scan with Batch {
+                                       filters: Array[Filter], path: String,
+                                       limit: Int, sessionTz: String)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"JsonEachRowScan PushedFilters: [${filters.mkString(", ")}], " +
+    (if (limit >= 0) s"PushedLimit: $limit, " else "") +
     s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def listFiles(): Array[java.io.File] = {
     val dir = new java.io.File(path)
-    val files =
-      if (dir.isFile) Array(dir)
-      else Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    files.sortBy(_.getName).map(f => JsonFilePartition(f.getAbsolutePath): InputPartition)
+    if (dir.isFile) Array(dir)
+    else Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
   }
 
+  /** On-disk byte size as the plan-time size estimate — the same signal the
+    * file sources feed the optimizer. Without it, a DSv2 relation defaults
+    * to `spark.sql.defaultSizeInBytes` (= Long.Max), so a join against even
+    * a tiny connector table would never broadcast and CBO would treat every
+    * connector read as unbounded. JSON text is a conservative OVERestimate
+    * of the pruned row width (UTF-8 + field names + punctuation vs binary
+    * columns), so a broadcast decision made on it is safe: the in-memory
+    * build side is smaller than what the threshold approved. Row count is
+    * left unset — lines are unknown without a scan; CBO treats it as
+    * absent rather than guessing. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = listFiles().map(_.length()).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().sortBy(_.getName).map(f => JsonFilePartition(f.getAbsolutePath): InputPartition)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonEachRowReaderFactory(fullSchema, required, filters)
+    new JsonEachRowReaderFactory(fullSchema, required, filters, limit, sessionTz)
 }
 
 private[sources] case class JsonFilePartition(file: String) extends InputPartition
@@ -143,19 +180,31 @@ private[sources] object JsonEachRowScan {
 
 private[sources] class JsonEachRowReaderFactory(fullSchema: StructType,
                                                 required: StructType,
-                                                filters: Array[Filter])
+                                                filters: Array[Filter],
+                                                limit: Int, sessionTz: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new JsonEachRowReader(p.asInstanceOf[JsonFilePartition].file,
-                          fullSchema, required, filters)
+                          fullSchema, required, filters, limit, sessionTz)
 }
 
 private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
-                                         required: StructType, filters: Array[Filter])
+                                         required: StructType, filters: Array[Filter],
+                                         limit: Int, sessionTz: String)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file, "UTF-8")
-  private val it = lines.getLines()
+  // REPLACE on malformed bytes: one bad byte must degrade to U+FFFD in that
+  // line (Jackson then fails just that record, which is skipped below) —
+  // never a MalformedInputException that kills the whole partition. Same
+  // resilience contract as the built-in JSON reader's PERMISSIVE mode.
+  private val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+    .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(new java.io.FileInputStream(file), decoder))
+  private val it = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+  private val zone = java.time.ZoneId.of(sessionTz)
+  private var emitted = 0L
   private var current: InternalRow = _
 
   // resolved once per reader: no per-row schema scans, no per-row literal
@@ -191,22 +240,41 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
       case DoubleType  => if (v.isNumber) java.lang.Double.valueOf(v.asDouble) else null
       case FloatType   => if (v.isNumber) java.lang.Float.valueOf(v.asDouble.toFloat) else null
       case TimestampType =>
-        // ISO-8601 (the wire format's best_effort contract); micros
+        // ISO-8601 (the wire format's best_effort contract); micros.
+        // Offset-less values resolve in the SESSION timezone — the built-in
+        // JSON reader's behaviour — not to null.
         if (!v.isTextual) null
         else try {
-          val inst = java.time.OffsetDateTime.parse(v.asText).toInstant
+          val inst = try java.time.OffsetDateTime.parse(v.asText).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(v.asText).atZone(zone).toInstant
+          }
           java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
         } catch { case _: java.time.format.DateTimeParseException => null }
       case _ => null
     }
   }
 
+  // An integral field against a FRACTIONAL literal must compare exactly —
+  // longValue truncation would turn `x > -3.5` into `x > -3` and reader-drop
+  // -3, violating the never-drop invariant. BigDecimal via the literal's
+  // digit string is exact for every (long, double) pair; the lane is cold
+  // (Spark unwraps casts before pushdown, so fractional literals against
+  // integral fields are rare-to-unreachable).
+  private def cmpLongExact(x: Long, y: Number): Int = y match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => java.lang.Long.compare(x, y.longValue)
+    case _ =>
+      java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(y.toString))
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
-    case (x: java.lang.Long, y: Number)    => Some(java.lang.Long.compare(x, y.longValue))
-    case (x: java.lang.Integer, y: Number) => Some(java.lang.Long.compare(x.longValue, y.longValue))
-    case (x: java.lang.Short, y: Number)   => Some(java.lang.Long.compare(x.longValue, y.longValue))
-    case (x: java.lang.Byte, y: Number)    => Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: java.lang.Long, y: Number)    => Some(cmpLongExact(x, y))
+    case (x: java.lang.Integer, y: Number) => Some(cmpLongExact(x.longValue, y))
+    case (x: java.lang.Short, y: Number)   => Some(cmpLongExact(x.longValue, y))
+    case (x: java.lang.Byte, y: Number)    => Some(cmpLongExact(x.longValue, y))
     case (x: java.lang.Double, y: Number)  => Some(java.lang.Double.compare(x, y.doubleValue))
     case (x: java.lang.Float, y: Number)   => Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
     // UTF8String.compareTo is UTF-8 BINARY order — Spark's string order;
@@ -234,6 +302,7 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
     fieldType.get(name).map(dt => extract(node, name, dt)).orNull
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed per-partition limit
     while (it.hasNext) {
       val line = it.next()
       if (line.nonEmpty) {
@@ -241,6 +310,7 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
         if (node != null && filters.forall(eval(node, _))) {
           current = InternalRow.fromSeq(
             required.fields.toSeq.map(f => extract(node, f.name, f.dataType)))
+          emitted += 1
           return true
         }
       }
@@ -249,5 +319,5 @@ private[sources] class JsonEachRowReader(file: String, fullSchema: StructType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = reader.close()
 }

@@ -45,7 +45,9 @@ class NativeExprParitySpec extends SparkSpec {
                            TextAnalysis.normalizedHof($"text").as("b"))
       .filter(not($"a" <=> $"b")).count()
     assert(diff == 0)
-    val weird = Seq("", "  ", "\tA  B\nC ", " x ", "Ün  Zwei").toDF("text")
+    // \u000B (VT) is NOT whitespace under the engine's RE2-aligned \s set
+    val weird = Seq("", "  ", "\tA  B\nC ", " x ", "Ün  Zwei",
+                    "a\u000Bb  c", "\u000B lead", "Ü\u000Bx").toDF("text")
     val d2 = weird.select(TextAnalysis.normalized($"text").as("a"),
                           TextAnalysis.normalizedHof($"text").as("b"))
       .filter(not($"a" <=> $"b")).count()
@@ -287,8 +289,10 @@ class NativeExprParitySpec extends SparkSpec {
     val stop = TextAnalysis.Stopwords("en")
     val weird = Seq(
       "", "   ", "the", "THE The tHe", "a#b ... c....d .......",
-      "x\ty\nzw", "héllo wörld the", "123 45a #tag a.b.c",
-      "trailing dots...", "#", "...", "it is a the of and to in you that"
+      "x\ty\nz\u000Bw", "héllo wörld the", "123 45a #tag a.b.c",
+      "trailing dots...", "#", "...", "it is a the of and to in you that",
+      // VT is a token CHARACTER under the RE2-aligned \s set: "a\u000Bb" is ONE token
+      "a\u000Bb two", "\u000B", "the\u000Bthe and"
     ).toDF("text")
     for (frame <- Seq(docs.select($"text"), weird)) {
       val ws = TextAnalysis.words($"text")
