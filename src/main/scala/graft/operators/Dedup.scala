@@ -677,64 +677,80 @@ object Dedup {
                                 estMargin: Double = 0.2,
                                 corpusSigs: Option[DataFrame] = None,
                                 skewSalt: Int = 8, skewCap: Long = 2048L,
-                                corpusHot: Option[DataFrame] = None): DataFrame = {
-    val newIndex = lshIndex(newDocs, textCol, idCol, shingleK, numHashes, bands, seed)
+                                corpusHot: Option[DataFrame] = None,
+                                maxSigBroadcastBytes: Long = 64L << 20): DataFrame = {
+    // the batch's signatures are computed ONCE and feed both the banding
+    // pass and the estimate prune (previously two separate minhash passes
+    // over the batch text)
+    val newSigs = lshSignatures(newDocs, textCol, idCol, shingleK, numHashes, seed)
+      .localCheckpoint(true)
+    val newIndex = newSigs
+      .select(col(idCol),
+              explode(lshBands(col("sig"), bands, numHashes / bands)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
       .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
     // candidates vs the historical index + within the new batch itself;
     // both joins go through the hot-bucket salt guard: on a template-heavy
     // corpus one bucket can hold much of the batch, and an unsalted shuffle
-    // join would push its whole pair grid through a single reducer
+    // join would push its whole pair grid through a single reducer.
+    // Orientation (new vs old) is KEPT through the prune so each side's
+    // signature comes from the right table; the (id_a ≤ id_b) contract is
+    // restored after the prune.
     val hot = hotBuckets(a, skewCap)
     val vsCorpus = saltedBandJoin(a, corpusIndex
         .select(col("band"), col("bucket"), col(idCol).as("id_old")), "id_new",
         skewSalt, skewCap, Some(hot), rightIdCol = Some("id_old"),
         rightHotOpt = corpusHot)
       .filter(col("id_new") =!= col("id_old"))
-      .select(least(col("id_new"), col("id_old")).as("id_a"),
-              greatest(col("id_new"), col("id_old")).as("id_b"))
+      .dropDuplicates("id_new", "id_old")
+      .localCheckpoint(true) // consumed twice: old-id set + the prune join
     val b = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_b2"))
     val vsSelf = saltedBandJoin(a, b, "id_new", skewSalt, skewCap, Some(hot))
       .filter(col("id_new") < col("id_b2"))
-      .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
-    val candidates = vsCorpus.unionByName(vsSelf)
-      .dropDuplicates("id_a", "id_b")
-      .localCheckpoint(true)
-    // 1 KB signatures fetched from the persisted sig table when the caller
-    // has one (the production shape — written at ingest beside the bucket
-    // rows), recomputed only for docs in some candidate pair otherwise;
-    // then the same estimate prune as the batch pipeline — the 12 KB
-    // shingle arrays ship for the tiny survivor set, never for the raw LSH
-    // candidate flood.
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b").as(idCol))).distinct()
-    // no checkpoint here: on a flood-prone corpus candIds covers most docs,
-    // and re-scanning the (column-pruned) source twice is cheaper than
-    // materializing every candidate text body
-    val candDocs = corpus.unionByName(newDocs)
-      .join(candIds, Seq(idCol), "left_semi")
-    val sigs = corpusSigs match {
-      case Some(cs) =>
-        lshSignatures(newDocs, textCol, idCol, shingleK, numHashes, seed)
-          .unionByName(cs.select(col(idCol), col("sig")))
-          .join(candIds, Seq(idCol), "left_semi")
-      case None =>
-        candDocs.select(col(idCol),
-          graft.functions.NativeExprs.minhashSig(
-            graft.functions.TextAnalysis.normalized(col(textCol)),
-            shingleK, numHashes, seed).as("sig"))
+      .dropDuplicates("id_new", "id_b2")
+    // Estimate prune. The new-batch sig table is batch-sized (1 KB/doc), so
+    // under the byte budget it BROADCASTS: the within-batch pairs prune with
+    // zero shuffle, and the vs-corpus pairs pay exactly ONE shuffle join —
+    // against the persisted corpus sigs (the production shape; recomputed
+    // for candidate docs only when the caller has no sig table), filtered to
+    // candidate old-ids first so corpus-sig bytes shipped are O(candidates),
+    // never O(corpus). Above the budget every join falls back to shuffle.
+    val nNew = newSigs.count()
+    val bcastNew = nNew * (numHashes * 8L + 32L) <= maxSigBroadcastBytes
+    def newSide(as1: String, as2: String): DataFrame = {
+      val f = newSigs.select(col(idCol).as(as1), col("sig").as(as2))
+      if (bcastNew) broadcast(f) else f
     }
-    val pruned = candidates
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
-                >= threshold - estMargin)
-      .select(col("id_a"), col("id_b"))
+    val est = graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
+    val oldIds = vsCorpus.select(col("id_old").as(idCol)).distinct()
+    val oldSigs = (corpusSigs match {
+      case Some(cs) => cs.select(col(idCol), col("sig"))
+          .join(oldIds, Seq(idCol), "left_semi")
+      case None => corpus.join(oldIds, Seq(idCol), "left_semi")
+          .select(col(idCol),
+            graft.functions.NativeExprs.minhashSig(
+              graft.functions.TextAnalysis.normalized(col(textCol)),
+              shingleK, numHashes, seed).as("sig"))
+    }).select(col(idCol).as("id_old"), col("sig").as("sig_b"))
+    val corpusPruned = vsCorpus
+      .join(newSide("id_new", "sig_a"), Seq("id_new"))
+      .join(oldSigs, Seq("id_old"))
+      .filter(est >= threshold - estMargin)
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+              greatest(col("id_new"), col("id_old")).as("id_b"))
+    val selfPruned = vsSelf
+      .join(newSide("id_new", "sig_a"), Seq("id_new"))
+      .join(newSide("id_b2", "sig_b"), Seq("id_b2"))
+      .filter(est >= threshold - estMargin)
+      .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
+    val pruned = corpusPruned.unionByName(selfPruned)
     val survivorIds = pruned.select(col("id_a").as(idCol))
       .union(pruned.select(col("id_b").as(idCol))).distinct()
     // sorted shingle sets -> linear-merge exact verify (see the batch
-    // pipeline above for the rationale)
-    val sh = candDocs
+    // pipeline above for the rationale); the 12 KB shingle arrays ship for
+    // the tiny survivor set only, never for the raw LSH candidate flood
+    val sh = corpus.unionByName(newDocs)
       .join(survivorIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         sort_array(graft.functions.NativeExprs.shingleSet(col(textCol), shingleK)).as("sh"))

@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Stage-level decomposition of the incremental near-dup PROBE at sf0.1 —
-  * which of its internal passes (new-batch signatures, bucket join,
+  * which of its internal passes (new-batch signatures, bucket joins,
   * candidate dedup, estimate prune, shingle verify) actually costs time.
+  * Mirrors the FUSED shape of `Dedup.incrementalNearDuplicates`: batch sigs
+  * computed once and broadcast into the prune, corpus sigs joined once.
   * Run: `Test/runMain graft.ProfileIncremental`. */
 object ProfileIncremental {
   def main(args: Array[String]): Unit = {
@@ -34,38 +36,50 @@ object ProfileIncremental {
       Dedup.lshSignatures(corpus).localCheckpoint(true)
     }
     // ---- the probe, decomposed (mirrors incrementalNearDuplicates) ----
-    val newIndex = time("probe: new-batch index (sig+banding)") {
-      Dedup.lshIndex(newDocs).localCheckpoint(true)
+    val newSigs = time("probe: new-batch signatures (one pass)") {
+      Dedup.lshSignatures(newDocs).localCheckpoint(true)
+    }
+    val newIndex = time("probe: banding off the materialized sigs") {
+      newSigs.select(col("doc_id"),
+          explode(graft.operators.Dedup.lshBands(col("sig"), 32, 4)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+        .localCheckpoint(true)
     }
     val a = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_new"))
-    val candidates = time("probe: bucket joins + candidate dedup") {
-      val vsCorpus = a.join(index
+    val vsCorpus = time("probe: vs-corpus bucket join + dedup") {
+      val v = a.join(index
           .select(col("band"), col("bucket"), col("doc_id").as("id_old")),
           Seq("band", "bucket"))
         .filter(col("id_new") =!= col("id_old"))
+        .dropDuplicates("id_new", "id_old")
+        .localCheckpoint(true)
+      println(s"[profile]   vs-corpus candidates: ${v.count()}")
+      v
+    }
+    val vsSelf = time("probe: within-batch bucket join + dedup") {
+      val b = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_b2"))
+      val v = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_new") < col("id_b2"))
+        .dropDuplicates("id_new", "id_b2")
+        .localCheckpoint(true)
+      println(s"[profile]   within-batch candidates: ${v.count()}")
+      v
+    }
+    val est = graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
+    val pruned = time("probe: estimate prune (bcast new sigs, 1 corpus-sig join)") {
+      val sigA = broadcast(newSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_a")))
+      val sigB2 = broadcast(newSigs.select(col("doc_id").as("id_b2"), col("sig").as("sig_b")))
+      val oldIds = vsCorpus.select(col("id_old").as("doc_id")).distinct()
+      val oldSigs = corpusSigs.join(oldIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("id_old"), col("sig").as("sig_b"))
+      val cp = vsCorpus.join(sigA, Seq("id_new")).join(oldSigs, Seq("id_old"))
+        .filter(est >= 0.3)
         .select(least(col("id_new"), col("id_old")).as("id_a"),
                 greatest(col("id_new"), col("id_old")).as("id_b"))
-      val b = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_b2"))
-      val vsSelf = a.join(b, Seq("band", "bucket"))
-        .filter(col("id_new") < col("id_b2"))
+      val sp = vsSelf.join(sigA, Seq("id_new")).join(sigB2, Seq("id_b2"))
+        .filter(est >= 0.3)
         .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
-      val c = vsCorpus.unionByName(vsSelf).dropDuplicates("id_a", "id_b")
-        .localCheckpoint(true)
-      println(s"[profile]   candidates: ${c.count()}")
-      c
-    }
-    val candIds = candidates.select(col("id_a").as("doc_id"))
-      .union(candidates.select(col("id_b").as("doc_id"))).distinct()
-    println(s"[profile]   candidate docs: ${candIds.count()}")
-    val pruned = time("probe: sig fetch + estimate prune") {
-      val sigs = Dedup.lshSignatures(newDocs)
-        .unionByName(corpusSigs)
-        .join(candIds, Seq("doc_id"), "left_semi")
-      val p = candidates
-        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .filter(graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b")) >= 0.3)
-        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val p = cp.unionByName(sp).localCheckpoint(true)
       println(s"[profile]   pruned survivors: ${p.count()}")
       p
     }
