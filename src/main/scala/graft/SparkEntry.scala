@@ -1000,12 +1000,16 @@ object SparkEntry {
     finally {
       prevNanos.fold(s.conf.unset(nanosKey))(v => s.conf.set(nanosKey, v))
       prevShuf.fold(s.conf.unset(shufKey))(v => s.conf.set(shufKey, v))
-      val root = java.nio.file.Paths.get(tmp)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      deleteTree(tmp)
     }
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** End-to-end STREAMING correctness through the oracle gate: the events
@@ -1645,6 +1649,25 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, IvfProbes)
       .orderBy("query_id", "rank")
+  }
+
+  /** The IVF DISK lane end-to-end: write the corpus cell-partitioned
+    * (ingest-time in production), probe through partition pruning, exact
+    * re-rank. Result is defined to be identical to [[annTopKIvf]] — same
+    * quantizer, same probe ranking, same candidates — so it shares that
+    * oracle; what this query additionally exercises is the pruned read
+    * path (PartitionFilters plan shape is spec-asserted in
+    * PipelineOpsSpec). */
+  private def annTopKIvfDisk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    try {
+      Similarity.writeIvfLayout(emb, tmp)
+      Similarity.ivfTopKFromLayout(s, tmp,
+          emb.filter(col("vec_id") < AnnQueries), AnnK, IvfProbes)
+        .orderBy("query_id", "rank")
+        .localCheckpoint(true) // materialize before the layout dir is deleted
+    } finally deleteTree(tmp)
   }
 
   private def minhashNearDup(s: SparkSession, dir: String): DataFrame =
@@ -2325,6 +2348,7 @@ object SparkEntry {
     "ann_topk_brute"       -> (annTopK _),
     "ann_topk_srp"         -> (annTopKSrp _),
     "ann_topk_ivf"         -> (annTopKIvf _),
+    "ann_topk_ivf_disk"    -> (annTopKIvfDisk _),
     "ann_topk_quant"       -> (annTopKQuant _),
     "minhash_neardup"      -> (minhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
@@ -2532,6 +2556,41 @@ object SparkEntry {
               GROUP BY 1)
         SELECT b.cluster_id, b.n_members, r.rep_doc_id, b.rep_n_chars
         FROM b JOIN r USING (cluster_id) ORDER BY cluster_id"""
+
+
+  /** Shared DuckDB oracle for the two IVF lanes: ann_topk_ivf (in-memory)
+    * and ann_topk_ivf_disk (cell-partitioned layout + pruned probe scan) —
+    * same quantizer, probe ranking and candidate sets by construction. */
+  private def ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+          f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                       unnest(embedding) AS x
+                FROM embeddings),
+          cent AS (
+            SELECT label, pos,
+                   CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
+                     / count(*) AS c
+            FROM f GROUP BY label, pos),
+          centarr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $AnnQueries),
+          probe AS (
+            SELECT query_id, qv, label,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(qv, cv) DESC, label) AS pr
+            FROM q CROSS JOIN centarr),
+          cand AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.qv, e.v) AS sim
+            FROM (SELECT * FROM probe WHERE pr <= $IvfProbes) p
+            JOIN e ON e.label = p.label
+            WHERE e.vec_id <> p.query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM cand)
+          SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+          FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk"""
 
   def oracleSql: Map[String, String] = Map(
     "dedup_keep_best" -> DedupKeepBestOracle,
@@ -3974,36 +4033,10 @@ object SparkEntry {
     // IVF reproduced end-to-end: exact decimal centroids per label cell,
     // probe the 3 nearest cells per query, exact re-rank inside them. The
     // centroid math mirrors embedding_centroids so both engines agree bitwise.
-    "ann_topk_ivf" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                     FROM embeddings),
-          f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-                       unnest(embedding) AS x
-                FROM embeddings),
-          cent AS (
-            SELECT label, pos,
-                   CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
-                     / count(*) AS c
-            FROM f GROUP BY label, pos),
-          centarr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $AnnQueries),
-          probe AS (
-            SELECT query_id, qv, label,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY list_cosine_similarity(qv, cv) DESC, label) AS pr
-            FROM q CROSS JOIN centarr),
-          cand AS (
-            SELECT p.query_id, e.vec_id AS neighbor_id,
-                   list_cosine_similarity(p.qv, e.v) AS sim
-            FROM (SELECT * FROM probe WHERE pr <= $IvfProbes) p
-            JOIN e ON e.label = p.label
-            WHERE e.vec_id <> p.query_id),
-          r AS (SELECT query_id, neighbor_id, sim,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, neighbor_id) AS rnk
-                FROM cand)
-          SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
-          FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk""",
+    "ann_topk_ivf" -> ivfOracleSql,
+    // the disk lane is DEFINED to produce the in-memory lane's results —
+    // same quantizer, probe ranking, candidates; only the read path differs
+    "ann_topk_ivf_disk" -> ivfOracleSql,
 
     // Brute-force all-pairs Jaccard over distinct char 5-grams of normalized
     // text. Valid as an exact oracle because (a) the LSH banding has full

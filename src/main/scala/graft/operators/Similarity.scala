@@ -168,9 +168,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               cellCol: String = "label"): DataFrame = {
+    val centDf = ivfCentroidTable(corpus, cellCol, vecCol)
+    ivfRerank(corpus, ivfProbeList(queries, centDf, nprobe, idCol, vecCol),
+              k, idCol, vecCol, cellCol)
+  }
+
+  /** The IVF quantizer as a broadcast-sized frame: (__cell, centroid vec).
+    * #cells × dim doubles — the same driver-resident scale as a production
+    * IVF index's coarse quantizer. */
+  private def ivfCentroidTable(corpus: DataFrame, cellCol: String,
+                               vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = labelCentroids(corpus, cellCol, vecCol)
+    labelCentroids(corpus, cellCol, vecCol)
       .select(col(cellCol).cast("long").as("cell"), col("pos"), col("centroid"))
       .collect()
       .groupBy(_.getLong(0))
@@ -178,19 +188,32 @@ object Similarity {
         (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
       }
       .toSeq.sortBy(_._1)
-    val centDf = centroids.toDF("__cell", "__cv")
+      .toDF("__cell", "__cv")
+  }
+
+  /** Per-query probe list: rank the (broadcast) centroids by cosine, keep
+    * the `nprobe` nearest cells. (query_id, qv, __cell) — queries×nprobe
+    * rows, broadcast-sized. */
+  private def ivfProbeList(queries: DataFrame, centDf: DataFrame, nprobe: Int,
+                           idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
                            col(vecCol).cast("array<double>").as("qv"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("__cell"))
-    val probed = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("__csim", cosine(col("qv"), col("__cv")))
       .withColumn("__pr", row_number().over(wp))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("__cell"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-                          col(vecCol).cast("array<double>").as("cv"),
-                          col(cellCol).cast("long").as("__cell"))
+  }
+
+  /** Exact re-rank of the probed cells: corpus rows join the broadcast
+    * probe list on cell — the corpus is never shuffled. */
+  private def ivfRerank(cells: DataFrame, probed: DataFrame, k: Int,
+                        idCol: String, vecCol: String, cellCol: String): DataFrame = {
+    val c = cells.select(col(idCol).as("neighbor_id"),
+                         col(vecCol).cast("array<double>").as("cv"),
+                         col(cellCol).cast("long").as("__cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(probed), Seq("__cell"))
@@ -200,6 +223,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
               round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Ingest-time IVF disk layout: the corpus written PARTITIONED BY its
+    * cell assignment. This is what turns the probe's corpus read into
+    * partition pruning — [[ivfTopKFromLayout]]'s scan opens only the
+    * `nprobe` cells each query ranked; files of unprobed cells are never
+    * listed into the scan (`PartitionFilters` in the plan, spec-asserted).
+    * At 100 TB this is the difference between reading nprobe/#cells of the
+    * corpus and reading all of it. */
+  def writeIvfLayout(corpus: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     cellCol: String = "label"): Unit =
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
+                  col(cellCol).cast("long").as(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** IVF top-k against a [[writeIvfLayout]] directory. Identical results to
+    * [[ivfTopK]] over the same corpus; the difference is the read path: the
+    * probed cell set (queries × nprobe cells, driver-sized like the
+    * quantizer itself) becomes an `IN` predicate on the partition column,
+    * so the re-rank scan prunes to exactly those directories. The centroid
+    * pass scans the layout once here; in production the quantizer is an
+    * ingest-time artifact loaded, not recomputed. */
+  def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int, nprobe: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        cellCol: String = "label"): DataFrame = {
+    val layout = spark.read.parquet(path)
+    val centDf = ivfCentroidTable(layout, cellCol, vecCol)
+    val probed = ivfProbeList(queries, centDf, nprobe, idCol, vecCol)
+      .localCheckpoint(true) // consumed twice: cell-list collect + re-rank join
+    val cells = probed.select(col("__cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = layout.filter(col(cellCol).isin(cells.map(Long.box): _*))
+    ivfRerank(pruned, probed, k, idCol, vecCol, cellCol)
   }
 
   /** Per-dimension int8 quantization scales: s_d = 127 / max_i |x_{i,d}|

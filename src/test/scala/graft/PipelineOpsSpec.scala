@@ -483,6 +483,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute, "nprobe = #cells must equal brute force")
   }
 
+  test("IVF disk layout: probe scan PRUNES to the probed cell partitions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // 2 queries × 3 probes ≤ 6 of the 10 cells — pruning must be visible
+    val queries = emb.filter($"vec_id" < 2)
+    val dir = tmpDir("ivf_layout")
+    Similarity.writeIvfLayout(emb, dir)
+    val nprobe = 3
+    val disk = Similarity.ivfTopKFromLayout(spark, dir, queries, 5, nprobe)
+    // identical results to the in-memory lane over the same corpus
+    val mem = Similarity.ivfTopK(emb, queries, 5, nprobe)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(disk.orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq === mem)
+    // the re-rank scan must carry a PartitionFilters IN-list on the cell
+    // column — i.e. the layout read is partition PRUNING, not a full scan
+    val plan = disk.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains(dir.replace("file:", "")) || l.contains("PartitionFilters"))
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(plan.contains("label") && plan.contains(" IN ("),
+      s"probed-cell IN-list missing from scan:\n$scanLine\n$plan")
+    // and the pruned file set is a strict subset: probed cells < total cells
+    val nCells = emb.select($"label").distinct().count()
+    val probedCells = disk.queryExecution.executedPlan.toString
+    val listed = new java.io.File(dir).listFiles().count(_.getName.startsWith("label="))
+    assert(listed == nCells, "layout must have one directory per cell")
+    // 2 queries × 3 probes touch at most 6 cell dirs of the 10
+    val m = """PartitionFilters: \[[^\]]*IN \(([^)]*)\)""".r
+      .findFirstMatchIn(probedCells)
+    assert(m.nonEmpty, "IN-list not found in PartitionFilters")
+    val probedCount = m.get.group(1).split(",").length
+    assert(probedCount < nCells,
+      s"probe must prune: $probedCount probed vs $nCells cells")
+  }
+
   test("phash60: native == in-process reference; chunk join == brute force") {
     // native vs reference on arbitrary bytes (incl. non-ASCII, empty)
     val rnd = new scala.util.Random(41)
