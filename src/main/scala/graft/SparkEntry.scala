@@ -987,19 +987,28 @@ object SparkEntry {
                              (body: String => DataFrame): DataFrame = {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val shufKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNanos = s.conf.getOption(nanosKey)
     val prevShuf = s.conf.getOption(shufKey)
+    val prevNoData = s.conf.getOption(noDataKey)
     s.conf.set(nanosKey, "true")
     // state-store partition count follows shuffle.partitions at query start;
     // per-partition checkpoint/delta files dominate a contract-scale run, so
     // scope streaming to few, fatter state partitions (a fresh checkpoint dir
     // per run means the count never has to match an older checkpoint)
-    s.conf.set(shufKey, "4")
+    s.conf.set(shufKey, "2")
+    // no contract query emits on event-time TIMEOUT (inner joins and
+    // update-mode aggregates emit during data batches), so the trailing
+    // no-data watermark-finalization batch is pure trigger overhead here.
+    // Operators that close state on timeout (statefulSessionize) need it ON
+    // — their specs run outside this scope with the default.
+    s.conf.set(noDataKey, "false")
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     try body(tmp).localCheckpoint(true)
     finally {
       prevNanos.fold(s.conf.unset(nanosKey))(v => s.conf.set(nanosKey, v))
       prevShuf.fold(s.conf.unset(shufKey))(v => s.conf.set(shufKey, v))
+      prevNoData.fold(s.conf.unset(noDataKey))(v => s.conf.set(noDataKey, v))
       deleteTree(tmp)
     }
   }
@@ -1086,12 +1095,14 @@ object SparkEntry {
   private def segRetentionStream(s: SparkSession, dir: String): DataFrame =
     withStreamScope(s, "graft_stream_retention") { tmp =>
       // replay only the segment's event type (processBatch filters to it
-      // anyway, and so does the oracle) across three source files → three
+      // anyway, and so does the oracle) across TWO source files → two
       // micro-batches; per-trigger fixed cost dominates this query, so the
-      // batch count IS its bench cost
+      // batch count IS its bench cost — two is the minimum that still fires
+      // the TTL mid-stream (batch 0 writes a change-log day, batch 1's
+      // epoch sits past the retention horizon and drops it)
       t(s, dir, "events").filter(col("event_type") === ClickSeg.eventType)
-        .withColumn("shard", pmod(col("event_id"), lit(3)).cast("int"))
-        .repartition(3, col("shard")) // exactly one file per shard dir
+        .withColumn("shard", pmod(col("event_id"), lit(2)).cast("int"))
+        .repartition(2, col("shard")) // exactly one file per shard dir
         .write.partitionBy("shard").parquet(s"$tmp/src")
       val pipe = new graft.state.MicroBatchPipeline(
         s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
@@ -1101,8 +1112,11 @@ object SparkEntry {
         .parquet(s"$tmp/src")
       val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
           stream, pipe,
+          // 2-day stride: batch 1's cutoff (epoch − 1 day retention) lands
+          // strictly past batch 0's change-log partition, so the TTL drop
+          // happens while the stream is still running
           epochToTs = id => java.sql.Timestamp.valueOf(
-            java.time.LocalDate.parse("2030-01-01").plusDays(id).atStartOfDay()),
+            java.time.LocalDate.parse("2030-01-01").plusDays(2 * id).atStartOfDay()),
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
           retentionDays = Some(1))
         .option("checkpointLocation", s"$tmp/ckpt")
