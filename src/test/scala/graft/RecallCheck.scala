@@ -72,15 +72,83 @@ object RecallCheck {
     println(s"[recall] ngram-jaccard pairs: ${ng.size} vs brute ${ngBrute.size}; " +
       s"missed=${(ngBrute -- ng).size} extra=${(ng -- ngBrute).size}")
 
+    // perceptual phash pairs: the 4×15-bit pigeonhole guarantees full
+    // recall to Hamming 3, so the chunk join must equal brute force exactly
+    val media = graft.operators.Multimodal.syntheticMediaTable(docs)
+      .localCheckpoint(true)
+    val ph = pairSet(graft.operators.Multimodal.phashNearDuplicates(media))
+    val hashed = media.select(col("media_id"),
+        coalesce(graft.functions.NativeExprs.phash60(col("content")), lit(0L)).as("p"))
+      .localCheckpoint(true)
+    val phBrute = pairSet(hashed.select(col("media_id").as("id_a"), col("p").as("pa"))
+      .crossJoin(broadcast(hashed.select(col("media_id").as("id_b"), col("p").as("pb"))))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 3))
+    println(s"[recall] phash pairs: ${ph.size} vs brute ${phBrute.size}; " +
+      s"missed=${(phBrute -- ph).size} extra=${(ph -- phBrute).size}")
+
+    // the contract queries' planted embedding corpus (base + perturbed
+    // copies of every 25th vector, copies keeping their source's cluster)
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("embedding"))
+    val embPlanted = embBase.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("label"),
+              transform(col("embedding"),
+                        (x, i) => when(i === 0, x * lit(1.25)).otherwise(x)).as("embedding"))
+    val embCorpus = embBase.unionByName(embPlanted).localCheckpoint(true)
+    val cosine = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.NativeExprs.cosineSim(a, b)
+
+    // semanticDedup kept-set vs brute (cluster-bounded pairs are exact):
+    // a vector is dropped iff a LOWER-id same-cluster mate sits at >= t
+    val semKept = graft.operators.Similarity.semanticDedup(embCorpus, threshold = 0.95)
+      .filter(col("kept")).select(col("vec_id").cast("long"))
+      .as[Long].collect().toSet
+    val allIds = embCorpus.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    val semDropBrute = embCorpus
+      .select(col("label").as("l"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(embCorpus.select(col("label").as("l"), col("vec_id").as("id_b"),
+                             col("embedding").as("vb")), Seq("l"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(cosine(col("va"), col("vb")) >= 0.95)
+      .select(col("id_a").cast("long")).distinct().as[Long].collect().toSet
+    val semKeptBrute = allIds -- semDropBrute
+    println(s"[recall] semantic kept: ${semKept.size} vs brute ${semKeptBrute.size}; " +
+      s"missed=${(semKeptBrute -- semKept).size} extra=${(semKept -- semKeptBrute).size}")
+
+    // embeddingNearDuplicates vs all-pairs brute force. The SRP bucketing
+    // is probabilistic-recall by design; the exact cosine verify means
+    // extras are impossible — report both, gate on extras == 0 and recall.
+    val en = pairSet(graft.operators.Similarity.embeddingNearDuplicates(
+      embCorpus, threshold = 0.95, dim = 64))
+    val enBrute = pairSet(embCorpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(broadcast(embCorpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= 0.95))
+    val enRecall = if (enBrute.isEmpty) 1.0
+                   else enBrute.intersect(en).size.toDouble / enBrute.size
+    println(f"[recall] embedding pairs: ${en.size} vs brute ${enBrute.size}; " +
+      s"missed=${(enBrute -- en).size} extra=${(en -- enBrute).size} " +
+      f"recall=$enRecall%.4f")
+
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
     val okEd = ed == edBruteSet
     val okNg = ng == ngBrute
+    val okPh = ph == phBrute
+    val okSem = semKept == semKeptBrute
+    val okEn = (en -- enBrute).isEmpty && enRecall >= 0.98
     println(s"[recall] RESULT: minhash=${if (okLsh) "EXACT" else "MISMATCH"} " +
       s"incremental=${if (okInc) "EXACT" else "MISMATCH"} " +
       s"editdist=${if (okEd) "EXACT" else "MISMATCH"} " +
-      s"ngram=${if (okNg) "EXACT" else "MISMATCH"}")
+      s"ngram=${if (okNg) "EXACT" else "MISMATCH"} " +
+      s"phash=${if (okPh) "EXACT" else "MISMATCH"} " +
+      s"semantic=${if (okSem) "EXACT" else "MISMATCH"} " +
+      s"embedding=${if (en == enBrute) "EXACT"
+                    else if (okEn) f"OK(recall=$enRecall%.4f, 0 extras)"
+                    else "MISMATCH"}")
     spark.stop()
-    if (!okLsh || !okInc || !okEd || !okNg) sys.exit(1)
+    if (!okLsh || !okInc || !okEd || !okNg || !okPh || !okSem || !okEn) sys.exit(1)
   }
 }
