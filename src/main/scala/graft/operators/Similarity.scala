@@ -175,9 +175,12 @@ object Similarity {
 
   /** The IVF quantizer as a broadcast-sized frame: (__cell, centroid vec).
     * #cells × dim doubles — the same driver-resident scale as a production
-    * IVF index's coarse quantizer. */
-  private def ivfCentroidTable(corpus: DataFrame, cellCol: String,
-                               vecCol: String): DataFrame = {
+    * IVF index's coarse quantizer. Public because it is an INGEST-TIME
+    * artifact: callers that probe a persisted layout repeatedly build this
+    * once (SparkEntry.warmIngestArtifacts) and pass it to
+    * [[ivfTopKFromLayout]] instead of re-scanning the corpus per probe. */
+  def ivfCentroidTable(corpus: DataFrame, cellCol: String = "label",
+                       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     labelCentroids(corpus, cellCol, vecCol)
@@ -243,15 +246,17 @@ object Similarity {
     * [[ivfTopK]] over the same corpus; the difference is the read path: the
     * probed cell set (queries × nprobe cells, driver-sized like the
     * quantizer itself) becomes an `IN` predicate on the partition column,
-    * so the re-rank scan prunes to exactly those directories. The centroid
-    * pass scans the layout once here; in production the quantizer is an
-    * ingest-time artifact loaded, not recomputed. */
+    * so the re-rank scan prunes to exactly those directories. The quantizer
+    * is an ingest-time artifact: pass the prebuilt `centroids` frame
+    * ([[ivfCentroidTable]]) to keep the probe free of any corpus pass; the
+    * fallback recompute exists only for stand-alone use. */
   def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, k: Int, nprobe: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        cellCol: String = "label"): DataFrame = {
+                        cellCol: String = "label",
+                        centroids: Option[DataFrame] = None): DataFrame = {
     val layout = spark.read.parquet(path)
-    val centDf = ivfCentroidTable(layout, cellCol, vecCol)
+    val centDf = centroids.getOrElse(ivfCentroidTable(layout, cellCol, vecCol))
     val probed = ivfProbeList(queries, centDf, nprobe, idCol, vecCol)
       .localCheckpoint(true) // consumed twice: cell-list collect + re-rank join
     val cells = probed.select(col("__cell")).distinct()

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Regression guard for the events `ts` parquet unit (round-6 breakage): the
+  * driver's generator has shipped `ts` both as TIMESTAMP(NANOS) and as
+  * TIMESTAMP(MICROS) across rounds, and the read path must decode IDENTICAL
+  * epochs from either — batch AND streaming. The streaming half is the exact
+  * blind spot that let a 1000× time compression through r06's fixture-only
+  * specs: a LongType stream schema silently read a micros file as raw int64.
+  */
+class EventsTsUnitSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one event at a pinned epoch (2023-06-15 12:34:56.789012 UTC) plus one a
+  // day later: micros value 1686832496789012 — past 2^53 ns in nanos form,
+  // so a double division would already corrupt it (DIV must not)
+  private val epochsUs = Seq(1686832496789012L, 1686918896789012L)
+
+  private def writeFixture(unit: String): String = {
+    val dir = tmpDir(s"events_$unit")
+    val base = epochsUs.zipWithIndex
+      .map { case (us, i) => (i.toLong, us, i.toLong, "click", 1.0, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val withTs = unit match {
+      // raw int64 nanos — what the NANOS file reads as under nanosAsLong
+      case "ns" => base.withColumn("ts", col("us") * 1000L)
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) — the r07 generator's unit
+      case "us" => base.withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+    }
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def streamedEvents(dir: String): DataFrame = {
+    val raw = spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
+      .parquet(s"$dir/events.parquet")
+    val norm = Tables.normalizeEventsTs(raw, Tables.eventsTsType(spark, dir))
+    val name = s"events_ts_unit_${System.nanoTime()}"
+    val q = norm.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def epochs(df: DataFrame): Seq[Long] =
+    df.select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect().toSeq.sorted
+
+  test("batch read decodes identical epochs from a nanos and a micros file") {
+    val (nsDir, usDir) = (writeFixture("ns"), writeFixture("us"))
+    assert(epochs(Tables.events(spark, nsDir)) === epochsUs)
+    assert(epochs(Tables.events(spark, usDir)) === epochsUs)
+  }
+
+  test("streaming read decodes identical epochs from a nanos and a micros file") {
+    val (nsDir, usDir) = (writeFixture("ns"), writeFixture("us"))
+    assert(epochs(streamedEvents(nsDir)) === epochsUs)
+    assert(epochs(streamedEvents(usDir)) === epochsUs)
+  }
+
+  test("real testdata: streamed ts range and count equal the batch read") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+      .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    // the production stream shape: schema probed from the footer, glob on the
+    // single events file, same normalization as batch
+    val raw = spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val norm = Tables.normalizeEventsTs(raw, Tables.eventsTsType(spark, dir))
+    val name = s"events_real_${System.nanoTime()}"
+    val q = norm.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    assert(streamed === batch)
+    assert(batch.getLong(0) > 0)
+  }
+}

@@ -88,4 +88,66 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // --- interval x interval overlap join -----------------------------------
+
+  // two interval tables of mixed span (incl. zero-span points, negatives, and
+  // whole-domain stragglers on BOTH sides) under a low-cardinality key so
+  // key-collisions are plentiful
+  private lazy val leftIv = {
+    val rnd = new scala.util.Random(13)
+    ((1 to 60).map { i =>
+      val lo = rnd.nextLong() % 400L
+      (i.toLong, i.toLong % 3, lo, lo + rnd.nextInt(120))
+    } :+ ((98L, 0L, -450L, 450L)) :+ ((99L, 1L, 5L, 5L)))
+      .toDF("lid", "k", "a_lo", "a_hi")
+  }
+  private lazy val rightIv = {
+    val rnd = new scala.util.Random(17)
+    ((1 to 50).map { i =>
+      val lo = rnd.nextLong() % 400L
+      (i.toLong, i.toLong % 3, lo, lo + rnd.nextInt(90))
+    } :+ ((88L, 1L, -500L, 500L)) :+ ((89L, 2L, -7L, -7L)))
+      .toDF("rid", "k", "b_lo", "b_hi")
+  }
+
+  private def bruteOverlap(keyed: Boolean): Set[(Long, Long)] =
+    leftIv.crossJoin(rightIv.withColumnRenamed("k", "k2"))
+      .filter($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi" &&
+              (if (keyed) $"k" === $"k2" else lit(true)))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+
+  private def overlapPairs(df: DataFrame): Seq[(Long, Long)] =
+    df.select($"lid", $"rid").as[(Long, Long)].collect().toSeq
+
+  test("interval overlap == brute force across widths, keyed and unkeyed") {
+    for (keyed <- Seq(true, false); w <- Seq(0L, 1L, 16L, 1000L)) {
+      val right = if (keyed) rightIv else rightIv.drop("k")
+      val left = if (keyed) leftIv else leftIv.drop("k")
+      val got = overlapPairs(RangeJoin.intervalOverlap(
+        left, "a_lo", "a_hi", right, "b_lo", "b_hi",
+        keys = if (keyed) Seq("k") else Nil, bandWidth = w))
+      assert(got.toSet == bruteOverlap(keyed), s"keyed=$keyed w=$w")
+      assert(got.size == got.toSet.size, s"duplicate pairs at keyed=$keyed w=$w")
+    }
+  }
+
+  test("interval overlap straggler lanes (broadcast and coarse-band) == brute force") {
+    for (maxBcast <- Seq(1L << 22, 0L)) { // broadcast lane, then coarse-band lane
+      val got = overlapPairs(RangeJoin.intervalOverlap(
+        leftIv, "a_lo", "a_hi", rightIv, "b_lo", "b_hi", keys = Seq("k"),
+        bandWidth = 8L, maxBandsPerInterval = 4, maxBroadcastRows = maxBcast))
+      assert(got.toSet == bruteOverlap(keyed = true), s"maxBroadcastRows=$maxBcast")
+      assert(got.size == got.toSet.size, s"duplicates at maxBroadcastRows=$maxBcast")
+    }
+  }
+
+  test("interval overlap hot path plans equi-joins only — no nested loop, no cartesian") {
+    val plan = RangeJoin.intervalOverlap(
+        leftIv, "a_lo", "a_hi", rightIv, "b_lo", "b_hi", keys = Seq("k"),
+        bandWidth = 64L, maxBandsPerInterval = 1024)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
