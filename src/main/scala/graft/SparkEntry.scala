@@ -965,12 +965,24 @@ object SparkEntry {
     * equi-join on (user, band), never a nested loop over the pair space. */
   private def rangeOverlapSessions(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // ONE events scan builds both session tables (conditional split of the
+    // small per-(user,type,day) aggregate), then eager-materialize: the
+    // operator evaluates each side several times (band-width derivation,
+    // straggler counts, the join itself), and every evaluation would
+    // otherwise re-run the events aggregation — same discipline as
+    // rangeJoinOrders above
+    val sess = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      // 2 partitions, not 32: the operator's metadata passes (band-width
+      // percentile, straggler counts) each launch a job over this ~32k-row
+      // frame, and at 32 tiny tasks per job the scheduler overhead dwarfs
+      // the work; the overlap join re-shuffles to full width anyway
+      .coalesce(2)
+      .localCheckpoint()
     def sessions(tpe: String, p: String) =
-      ev.filter(col("event_type") === tpe)
-        .groupBy(col("user_id"), to_date(col("ts")).as("__day"))
-        .agg(min(unix_micros(col("ts"))).as(s"${p}_lo"),
-             max(unix_micros(col("ts"))).as(s"${p}_hi"))
-        .drop("__day")
+      sess.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("lo").as(s"${p}_lo"), col("hi").as(s"${p}_hi"))
     RangeJoin.intervalOverlap(
         sessions("click", "c"), "c_lo", "c_hi",
         sessions("purchase", "p"), "p_lo", "p_hi", keys = Seq("user_id"))
