@@ -2091,6 +2091,50 @@ object SparkEntry {
       BitmapAgg.bitmapAndNotCard(col("a"), col("b")).as("n_click_only"))
   }
 
+  /** Theta-sketch segment set algebra through the oracle gate — the
+    * ClickHouse `uniqTheta` combinator family ([[graft.functions
+    * .ThetaSketch]]): persisted per-half states built and re-merged like a
+    * state table, then INTERSECTED / DIFFERENCED after aggregation — the ops
+    * HLL states cannot do. Output carries the exact audience counts
+    * (hash-matched against DuckDB) plus `*_est_ok` booleans asserting each
+    * sketch/set-op estimate sits inside its own deterministic ±3σ bounds —
+    * TRUE on both sides at any scale, flipped by a broken sketch. Each side
+    * ends in a GLOBAL aggregate so an empty segment still yields one row. */
+  private def segThetaAlgebra(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    def segmentState(tpe: String, as: String): DataFrame =
+      t(s, dir, "events")
+        .filter(col("event_type") === tpe)
+        .withColumn("half", pmod(col("user_id"), lit(2)))
+        .groupBy(col("half"))
+        .agg(ThetaSketch.thetaState(col("user_id")).as("st"))
+        .agg(ThetaSketch.thetaUnionState(col("st")).as(as))
+    val flags = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+    val exact = flags.agg(
+      sum(col("c")).cast("long").as("n_click"),
+      sum(col("p")).cast("long").as("n_purchase"),
+      count(lit(1)).as("n_either"),
+      sum(col("c") * col("p")).cast("long").as("n_both"),
+      sum(col("c") * (lit(1) - col("p"))).cast("long").as("n_click_only"))
+    val a = segmentState("click", "a")
+    val b = segmentState("purchase", "b")
+    exact.crossJoin(a).crossJoin(b).select(
+      col("n_click"), col("n_purchase"), col("n_either"), col("n_both"),
+      col("n_click_only"),
+      ThetaSketch.thetaBoundsContain(col("a"), col("n_click")).as("click_est_ok"),
+      ThetaSketch.thetaBoundsContain(col("b"), col("n_purchase")).as("purchase_est_ok"),
+      ThetaSketch.thetaBoundsContain(
+        ThetaSketch.thetaUnion(col("a"), col("b")), col("n_either")).as("union_est_ok"),
+      ThetaSketch.thetaBoundsContain(
+        ThetaSketch.thetaIntersect(col("a"), col("b")), col("n_both")).as("both_est_ok"),
+      ThetaSketch.thetaBoundsContain(
+        ThetaSketch.thetaAnotB(col("a"), col("b")), col("n_click_only")).as("clickonly_est_ok"))
+  }
+
   /** Full cohort-retention matrix ([[EventAnalytics.cohortMatrix]]):
     * distinct active users per (first-seen cohort day, day offset). */
   private def cohortMatrixQ(s: SparkSession, dir: String): DataFrame =
@@ -2367,6 +2411,7 @@ object SparkEntry {
     "interval_union_days"  -> (intervalUnionDays _),
     "topk_words_by_source" -> (topkWordsBySource _),
     "seg_bitmap_algebra"   -> (segBitmapAlgebra _),
+    "seg_theta_algebra"    -> (segThetaAlgebra _),
     "rolling_30d_users_hll" -> (rolling30dUsersHll _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
@@ -2782,6 +2827,25 @@ object SparkEntry {
                                        UNION SELECT user_id FROM p)) AS n_either,
                 (SELECT count(*) FROM c
                  WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only""",
+
+    // Exact audience counts hash-match; the est_ok booleans are TRUE here by
+    // definition and on the Spark side iff each theta estimate sits inside
+    // its own deterministic ±3σ bounds (exact equality in the exact regime).
+    "seg_theta_algebra" ->
+      """WITH f AS (SELECT user_id,
+                           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+                    FROM events WHERE event_type IN ('click', 'purchase')
+                    GROUP BY user_id)
+         SELECT CAST(sum(c) AS BIGINT) AS n_click,
+                CAST(sum(p) AS BIGINT) AS n_purchase,
+                count(*) AS n_either,
+                CAST(sum(c * p) AS BIGINT) AS n_both,
+                CAST(sum(c * (1 - p)) AS BIGINT) AS n_click_only,
+                TRUE AS click_est_ok, TRUE AS purchase_est_ok,
+                TRUE AS union_est_ok, TRUE AS both_est_ok,
+                TRUE AS clickonly_est_ok
+         FROM f""",
 
     // Sweep-line interval union replay: identical windows over the same
     // total order; per-key outputs are tie-order invariant by construction.

@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Sketches, Union}
+
+/** Mergeable theta distinct sketches with FULL set algebra — the ClickHouse
+  * `uniqTheta` / `uniqThetaState` / `uniqThetaMerge` +
+  * `uniqThetaIntersect/Union/Not` combinator family. This completes what the
+  * HLL leg ([[Sketches]]) cannot do: HLL states only UNION, while theta
+  * sketches are hash SAMPLES of the key set, so two persisted segment states
+  * can be INTERSECTED or DIFFERENCED after the fact ("users in segment A and
+  * B", "in A but not B") without re-scanning the event log — the operation a
+  * 100 TB audience-overlap query needs, because the raw key sets are far too
+  * large to materialize and re-shuffle per question.
+  *
+  * State is a serialized compact theta sketch: O(2^lgK) bytes per group,
+  * order-insensitive, exact below 2^lgK retained keys (the estimate IS the
+  * count) and a bounded estimate above. Set-op estimates carry deterministic
+  * lower/upper bounds, so results are contract-checkable at any scale via
+  * `bounds-contain-exact` booleans even where the estimate itself is
+  * approximate ([[thetaBoundsContain]]).
+  *
+  * Aggregates are Catalyst `TypedImperativeAggregate`s (planner-split
+  * partials, map-side combine); set ops and estimates are scalar expressions
+  * over the binary states.
+  */
+object ThetaSketch {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Default log2 nominal entries: 2^14 = 16384 retained hashes ≈ 0.8% RSE
+    * in estimation mode, exact below 16384 distinct keys, ≤128 KB state. */
+  val DefaultLgK = 14
+
+  /** Partial: per-group serialized theta sketch over a long/string/double
+    * column (ClickHouse `uniqThetaState`). Nulls are skipped. */
+  def thetaState(c: Column, lgK: Int = DefaultLgK): Column =
+    col(ThetaStateAgg(expr(c), lgK).toAggregateExpression())
+
+  /** Merge persisted sketch states across rows into one state
+    * (`uniqThetaMerge` without the estimate — for state-table compaction). */
+  def thetaUnionState(state: Column, lgK: Int = DefaultLgK): Column =
+    col(ThetaMergeAgg(expr(state), lgK).toAggregateExpression())
+
+  /** Scalar set ops over two serialized states (each → a new state). */
+  def thetaUnion(a: Column, b: Column): Column =
+    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.UnionOp))
+  def thetaIntersect(a: Column, b: Column): Column =
+    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.IntersectOp))
+  def thetaAnotB(a: Column, b: Column): Column =
+    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.AnotBOp))
+
+  /** Rounded distinct estimate of a serialized state (`uniqTheta`). */
+  def thetaEstimate(state: Column): Column = col(ThetaEstimateExpr(expr(state)))
+
+  /** TRUE iff `exact` lies within the sketch's ±`numStdDev`σ bounds —
+    * deterministic given the state, TRUE for a correct sketch at any scale
+    * (and exactly `est == exact` in the exact regime), so approximate
+    * results stay oracle-checkable. */
+  def thetaBoundsContain(state: Column, exact: Column, numStdDev: Int = 3): Column =
+    col(ThetaBoundsExpr(expr(state), expr(exact), numStdDev))
+}
+
+private[functions] object ThetaSerde {
+  def toBytes(u: Union): Array[Byte] = u.getResult.toByteArray
+  def sketch(b: Array[Byte]): Sketch = Sketches.heapifySketch(Memory.wrap(b))
+  def newUnion(lgK: Int): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+}
+
+/** Theta build aggregate: raw values in, serialized compact sketch out. */
+case class ThetaStateAgg(child: Expression, lgK: Int,
+                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Union = ThetaSerde.newUnion(lgK)
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType    => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case DoubleType  => buf.update(v.asInstanceOf[Double])
+      case StringType  => buf.update(v.asInstanceOf[UTF8String].toString)
+      case other => throw new IllegalArgumentException(
+        s"thetaState: unsupported input type $other")
+    }
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
+  override def eval(buf: Union): Any = ThetaSerde.toBytes(buf)
+  override def serialize(buf: Union): Array[Byte] = ThetaSerde.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaSerde.newUnion(lgK)
+    u.union(ThetaSerde.sketch(bytes)); u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaStateAgg =
+    copy(child = c)
+}
+
+/** Theta re-merge aggregate: serialized states in, merged state out. */
+case class ThetaMergeAgg(child: Expression, lgK: Int,
+                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Union = ThetaSerde.newUnion(lgK)
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(ThetaSerde.sketch(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
+  override def eval(buf: Union): Any = ThetaSerde.toBytes(buf)
+  override def serialize(buf: Union): Array[Byte] = ThetaSerde.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaSerde.newUnion(lgK)
+    u.union(ThetaSerde.sketch(bytes)); u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaMergeAgg =
+    copy(child = c)
+}
+
+object ThetaSetOpExpr {
+  sealed trait Op
+  case object UnionOp extends Op
+  case object IntersectOp extends Op
+  case object AnotBOp extends Op
+}
+
+/** Scalar theta set operation: two serialized states → the serialized
+  * result state (union / intersection / A-not-B). */
+case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExpr.Op)
+  extends BinaryExpression with CodegenFallback {
+  import ThetaSetOpExpr._
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ThetaSerde.sketch(a.asInstanceOf[Array[Byte]])
+    val sb = ThetaSerde.sketch(b.asInstanceOf[Array[Byte]])
+    val result: CompactSketch = op match {
+      case UnionOp     => SetOperation.builder().buildUnion().union(sa, sb)
+      case IntersectOp => SetOperation.builder().buildIntersection().intersect(sa, sb)
+      case AnotBOp     => SetOperation.builder().buildANotB().aNotB(sa, sb)
+    }
+    result.toByteArray
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaSetOpExpr =
+    copy(left = l, right = r)
+}
+
+/** Scalar: rounded distinct estimate of a serialized theta state. */
+case class ThetaEstimateExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    math.round(ThetaSerde.sketch(input.asInstanceOf[Array[Byte]]).getEstimate)
+  override protected def withNewChildInternal(c: Expression): ThetaEstimateExpr =
+    copy(child = c)
+}
+
+/** Scalar: TRUE iff `exact` is inside the state's ±numStdDev bounds. */
+case class ThetaBoundsExpr(left: Expression, right: Expression, numStdDev: Int)
+  extends BinaryExpression with CodegenFallback {
+  require(numStdDev >= 1 && numStdDev <= 3, s"numStdDev must be 1..3: $numStdDev")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(state: Any, exact: Any): Any = {
+    val sk = ThetaSerde.sketch(state.asInstanceOf[Array[Byte]])
+    val x = exact.asInstanceOf[Long].toDouble
+    sk.getLowerBound(numStdDev) <= x && x <= sk.getUpperBound(numStdDev)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaBoundsExpr =
+    copy(left = l, right = r)
+}

@@ -37,6 +37,7 @@ class PlanLintSpec extends SparkSpec {
     "events_running_users", // cumsum over the #days-sized aggregated frame —
                            // the first-seen rewrite already collapsed users
     "seg_bitmap_algebra",  // one sketch-algebra row over two 1-row states
+    "seg_theta_algebra",   // one theta-algebra row over three 1-row frames
     "q14_promo",           // single promo-share row
     "q17_small_qty",       // single avg-yearly row
     "q19_disjunctive",     // single disjunctive-revenue row
