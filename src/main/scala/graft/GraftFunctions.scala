@@ -102,6 +102,37 @@ object GraftFunctions {
     "graft_bitmap_andnot_card" -> { es =>
       require(es.length == 2, "graft_bitmap_andnot_card(stateA, stateB)")
       BitmapOpCardExpr(es.head, es(1), BitmapOpCardExpr.AndNot)
+    },
+    // theta distinct states: aggregate functions registered bare — the
+    // analyzer wraps a returned AggregateFunction in its AggregateExpression
+    "graft_theta_state" -> { es =>
+      require(es.length == 1 || es.length == 2, "graft_theta_state(col[, lgK])")
+      ThetaStateAgg(es.head, if (es.length == 2) intLit(es(1)) else ThetaSketch.DefaultLgK)
+    },
+    "graft_theta_union_state" -> { es =>
+      require(es.length == 1 || es.length == 2, "graft_theta_union_state(state[, lgK])")
+      ThetaMergeAgg(es.head, if (es.length == 2) intLit(es(1)) else ThetaSketch.DefaultLgK)
+    },
+    "graft_theta_union" -> { es =>
+      require(es.length == 2, "graft_theta_union(stateA, stateB)")
+      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.UnionOp)
+    },
+    "graft_theta_intersect" -> { es =>
+      require(es.length == 2, "graft_theta_intersect(stateA, stateB)")
+      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.IntersectOp)
+    },
+    "graft_theta_anotb" -> { es =>
+      require(es.length == 2, "graft_theta_anotb(stateA, stateB)")
+      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.AnotBOp)
+    },
+    "graft_theta_estimate" -> { es =>
+      require(es.length == 1, "graft_theta_estimate(state)")
+      ThetaEstimateExpr(es.head)
+    },
+    "graft_theta_bounds_ok" -> { es =>
+      require(es.length == 2 || es.length == 3,
+        "graft_theta_bounds_ok(state, exact[, numStdDev])")
+      ThetaBoundsExpr(es.head, es(1), if (es.length == 3) intLit(es(2)) else 3)
     })
 
   private def intLit(e: Expression): Int = e.eval(null) match {

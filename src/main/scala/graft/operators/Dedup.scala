@@ -245,16 +245,7 @@ object Dedup {
                         maxDirectDocs: Long = 100000L,
                         maxDirectBroadcastBytes: Long = 64L << 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val grams = fanOutSmallInput(docs).select(
-        col(idCol).as("id"),
-        split(TextAnalysis.normalized(col(textCol)), " ").as("w"))
-      .select(col("id"),
-        when(size(col("w")) >= n,
-             array_distinct(expr(
-               s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
-          .otherwise(array().cast("array<string>")).as("g"))
-      .filter(size(col("g")) > 0) // J is undefined against an empty set
-      .localCheckpoint(true)
+    val grams = wordGramSets(docs, n, textCol, idCol)
     val sizes = grams.select(col("id"), size(col("g")).as("sz"))
     // set size rides inline on the posting rows — no join needed to reach it
     val posting = grams.select(col("id"), size(col("g")).as("sz"),
@@ -353,6 +344,107 @@ object Dedup {
         .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
         .filter(col("jac") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+    }
+  }
+
+  /** Distinct word-n-gram sets per doc, checkpointed (shared by the
+    * resemblance and containment joins): (id, g). Empty-gram docs (shorter
+    * than `n` words) are dropped — both measures are undefined there. */
+  private def wordGramSets(docs: DataFrame, n: Int,
+                           textCol: String, idCol: String): DataFrame =
+    fanOutSmallInput(docs).select(
+        col(idCol).as("id"),
+        split(TextAnalysis.normalized(col(textCol)), " ").as("w"))
+      .select(col("id"),
+        when(size(col("w")) >= n,
+             array_distinct(expr(
+               s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+          .otherwise(array().cast("array<string>")).as("g"))
+      .filter(size(col("g")) > 0)
+      .localCheckpoint(true)
+
+  /** EXACT directed n-gram CONTAINMENT pairs — C(a→b) = |Gₐ ∩ G_b| / |Gₐ|
+    * ≥ t for every ordered pair a ≠ b. The ASYMMETRIC complement to
+    * [[ngramJaccardPairs]]: resemblance finds same-sized near-twins, while
+    * containment finds documents SUBSUMED by others (quotes, excerpts,
+    * boilerplate wrappers around a copied core — J stays low when |G_b| ≫
+    * |Gₐ|, C does not), the standard measure for quote/subset detection in
+    * pre-training dedup.
+    *
+    * Two exact plans, dispatched on the same Σ df² statistic:
+    *
+    *  - **Count-based** (dense gram universes): the per-pair shared-gram
+    *    count IS the intersection, so a posting self-join + pair count
+    *    computes exact containment with no arrays; the one-sided size
+    *    filter (|G_b| ≥ t·|Gₐ| — necessary since C ≥ t forces the overlap
+    *    o = ⌈t·|Gₐ|⌉ ≤ |G_b|) runs before the aggregation.
+    *
+    *  - **One-sided prefix-filtered** (Zipf universes): in the global
+    *    rarest-first (df, gram) total order, a pair with overlap ≥ o must
+    *    share a gram among A's first |Gₐ| − o + 1 grams — by pigeonhole,
+    *    regardless of B's ordering — so candidates join A's rare-gram
+    *    PREFIX against B's FULL posting list (the full side never indexes
+    *    hot grams as join keys from A's prefix: prefixes hold each doc's
+    *    rarest grams). The positional residual (overlap ≤ |Gₐ| − posₐ for
+    *    A's earliest shared gram) prunes inside the join; survivors verify
+    *    exactly on the gram arrays.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       maxDenseJoinRows: Double = 5e8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val grams = wordGramSets(docs, n, textCol, idCol)
+    val sizes = grams.select(col("id"), size(col("g")).as("sz"))
+    val posting = grams.select(col("id"), size(col("g")).as("sz"),
+                               explode(col("g")).as("gram"))
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+    val joinRows = gramDf.agg(coalesce(sum(col("df").cast("double") * col("df")),
+                                       lit(0.0)))
+      .first().getDouble(0)
+    // one-sided size necessity: C ≥ t ⟹ |G_b| ≥ ⌈t·|Gₐ|⌉ (the −1e-9 keeps
+    // the rational t·sz boundary from rounding a hair high in doubles)
+    val sizeOk = col("sz_b").cast("double") >= lit(threshold) * col("sz_a") - lit(1e-9)
+    if (joinRows <= maxDenseJoinRows) {
+      val pa = posting.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val pb = posting.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+      pa.join(pb, Seq("gram"))
+        .filter(col("id_a") =!= col("id_b") && sizeOk)
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .withColumn("containment", col("inter") / col("sz_a"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+    } else {
+      // A's prefix in rarest-first order: length sz − ⌈t·sz⌉ + 1 (ceil on
+      // the under-shot product — a too-short prefix would drop boundary
+      // pairs; the epsilon only ever lengthens it)
+      val prefixA = posting.drop("sz").join(gramDf, "gram")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+        .join(sizes, "id")
+        .select(col("id"), col("sz"), expr(
+          s"transform(slice(sorted, 1, sz - CAST(ceil($threshold * sz - 1e-9) AS INT) + 1), s -> s.gram)")
+          .as("pref"))
+        .select(col("id"), col("sz"), posexplode(col("pref")).as(Seq("pos", "gram")))
+      val pa = prefixA.select(col("gram"), col("id").as("id_a"),
+                              col("sz").as("sz_a"), col("pos").as("pos_a"))
+      val pb = posting.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+      val cand = pa.join(pb, Seq("gram"))
+        .filter(col("id_a") =!= col("id_b") && sizeOk)
+        // overlap through A's EARLIEST shared gram is ≤ sz_a − pos_a: every
+        // earlier A-gram is absent from B, so a qualifying pair survives
+        // through that gram; later shared grams only tighten the bound
+        .filter((col("sz_a") - col("pos_a")).cast("double")
+          >= ceil(lit(threshold) * col("sz_a") - lit(1e-9)))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(grams.select(col("id").as("id_a"), col("g").as("ga"),
+          size(col("g")).as("sz_a")), "id_a")
+        .join(grams.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("containment", col("inter") / col("sz_a"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
     }
   }
 

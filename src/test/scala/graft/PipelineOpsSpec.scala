@@ -126,6 +126,86 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // --- directed containment (asymmetric near-dup) --------------------------
+
+  private def bruteContainment(rows: Seq[(Long, String)], t: Double,
+                               n: Int): Set[(Long, Long, Double)] = {
+    def grams(text: String): Set[String] = {
+      val w = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia != ib
+      (ga, gb) = (grams(ta), grams(tb)) if ga.nonEmpty && gb.nonEmpty
+      c = ga.intersect(gb).size.toDouble / ga.size if c >= t
+    } yield (ia, ib, math.round(c * 10000) / 10000.0)).toSet
+  }
+
+  test("containment pairs equal brute force on both lanes, including scores") {
+    val local = docs.as[(Long, String)].collect().toSeq
+    val brute = bruteContainment(local, 0.5, 2)
+    assert(brute.nonEmpty, "fixture must contain contained pairs")
+    for ((plan, denseLimit) <- Seq(("count", 5e8), ("prefix", 0.0))) {
+      val got = Dedup.containmentPairs(docs, threshold = 0.5, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect()
+      assert(got.length == got.toSet.size, s"plan $plan emitted duplicate pairs")
+      assert(got.toSet == brute, s"plan $plan must be exact; got ${got.toSet} vs $brute")
+    }
+  }
+
+  test("containment finds subset docs jaccard misses; boundary C = t survives") {
+    // quote ⊂ host with |host| ≫ |quote|: C(quote→host) = 1, J ≈ 4/65 —
+    // the asymmetric pair class this operator exists for
+    val quote = "alpha beta gamma delta epsilon"
+    val host = quote + " " + (1 to 60).map(i => s"f$i").mkString(" ")
+    val df = Seq((0L, quote), (1L, host)).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val c = Dedup.containmentPairs(df, threshold = 0.9, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect().toSet
+      assert(c == Set((0L, 1L, 1.0)), s"subset doc must be contained; got $c")
+    }
+    assert(Dedup.ngramJaccardPairs(df, threshold = 0.9, n = 2).count() == 0L,
+      "jaccard must miss the asymmetric pair")
+    // exact C = t boundary (8 of A's 10 bigrams shared) must survive on
+    // both lanes, in both directions
+    val boundary = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 x y"),
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.containmentPairs(boundary, threshold = 0.8, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((0L, 1L, 0.8), (1L, 0L, 1.0)), s"boundary pairs; got $got")
+    }
+    // adversarial rational boundary (t·sz overshoots in doubles): C(big→sub)
+    // = 3/273 = exactly 1/91 — regression for the −1e-9 ceil/size guards
+    val big = (0 to 273).map(i => s"w$i").mkString(" ")
+    val sub = (0 to 3).map(i => s"w$i").mkString(" ")
+    val adv = Seq((0L, big), (1L, sub)).toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.containmentPairs(adv, threshold = 1.0 / 91, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 1L), (1L, 0L)), s"float-boundary pairs; got $got")
+    }
+  }
+
+  test("containment: degenerate docs never pair, empty corpus never crashes") {
+    val weird = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    for (denseLimit <- Seq(5e8, 0.0)) {
+      val got = Dedup.containmentPairs(weird, threshold = 0.5, n = 2,
+          maxDenseJoinRows = denseLimit)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 1L), (1L, 0L)), s"got $got")
+      assert(Dedup.containmentPairs(
+        Seq((0L, "x"), (1L, "")).toDF("doc_id", "text"),
+        threshold = 0.5, n = 2, maxDenseJoinRows = denseLimit).count() == 0L)
+    }
+  }
+
   test("hot-bucket salting: salted band join is multiset-identical to the plain join") {
     // one bucket holds a flood (every doc shares it), another is cold;
     // cap=4 forces the salt to engage on the flood bucket only
