@@ -20,26 +20,31 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  private val eventsTsTypes =
-    scala.collection.concurrent.TrieMap.empty[String, DataType]
+  private val eventsSchemas =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
 
-  /** Parquet-footer type of `events.ts` under the nanos-as-long conf, probed
-    * once per directory (footer-only, no data scan): `LongType` ⇔ the file
-    * stores TIMESTAMP(NANOS) (which Spark's vectorized reader otherwise
-    * rejects); `TimestampNTZType`/`TimestampType` ⇔ TIMESTAMP(MICROS).
-    * The generator has shipped BOTH units across rounds, so every events
-    * read path branches on this probe instead of assuming a unit.
+  /** Parquet-footer schema of `events.parquet` under the nanos-as-long
+    * conf, probed once per directory (footer-only, no data scan). `ts` comes
+    * back `LongType` ⇔ the file stores TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader otherwise rejects); `TimestampNTZType`/
+    * `TimestampType` ⇔ TIMESTAMP(MICROS). The generator has shipped BOTH
+    * units across rounds, so every events read path — batch and stream —
+    * derives from this probe instead of assuming any column's stored type.
     *
     * The conf is deliberately session-global (not set/restored): the frames
     * built from it are LAZY, so the flag must still be true whenever the
     * scan executes. It only changes how TIMESTAMP(NANOS) parquet is read —
     * no other query's semantics depend on it.
     */
-  def eventsTsType(spark: SparkSession, sfDir: String): DataType =
-    eventsTsTypes.getOrElseUpdate(sfDir, {
+  private def eventsFileSchema(spark: SparkSession, sfDir: String): StructType =
+    eventsSchemas.getOrElseUpdate(sfDir, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+      spark.read.parquet(s"$sfDir/events.parquet").schema
     })
+
+  /** Stored type of `events.ts` (see [[eventsFileSchema]]). */
+  def eventsTsType(spark: SparkSession, sfDir: String): DataType =
+    eventsFileSchema(spark, sfDir)("ts").dataType
 
   /** Normalize a raw events frame's `ts` (typed as [[eventsTsType]] reports)
     * to session-zone `TimestampType` at micros precision, whatever unit the
@@ -60,15 +65,13 @@ object Tables {
       throw new IllegalStateException(s"unsupported events.ts parquet type: $other")
   }
 
-  /** Schema for a file-STREAM read of `events.parquet`, with `ts` typed as
-    * the footer actually stores it (probed batch-side, so a micros file is
-    * never silently read as raw int64). Pair with [[normalizeEventsTs]]. */
+  /** Schema for a file-STREAM read of `events.parquet` — the batch-probed
+    * footer schema verbatim, so EVERY column (not just `ts`) is typed as the
+    * file actually stores it and a regenerated file can never be silently
+    * misread through a stale hardcoded stream schema. Pair with
+    * [[normalizeEventsTs]]. */
   def eventsRawSchema(spark: SparkSession, sfDir: String): StructType =
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", eventsTsType(spark, sfDir)),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    eventsFileSchema(spark, sfDir)
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = eventsTsType(spark, sfDir) // also sets nanosAsLong for the lazy scan
