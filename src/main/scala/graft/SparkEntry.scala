@@ -2174,6 +2174,45 @@ object SparkEntry {
         ThetaSketch.thetaAnotB(col("a"), col("b")), col("n_click_only")).as("clickonly_est_ok"))
   }
 
+  /** Weekly audience retention FROM PERSISTED SKETCH STATES — the canonical
+    * uniqTheta production shape: one theta state per week survives in a
+    * state table, and "how many of last week's actives returned" is a
+    * lag-window INTERSECTION over adjacent states — no re-scan of the event
+    * log, the operation HLL states cannot answer. The exact adjacent-week
+    * counts ride along (hash-matched against DuckDB) and each intersection
+    * estimate is gated by its own deterministic ±3σ bounds. The lag window
+    * runs over the #weeks-sized aggregated frame — metadata-sized at any
+    * corpus scale. */
+  private def thetaWeeklyRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val uw = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+      .localCheckpoint() // consumed by both the exact join and the states
+    val exact = uw.alias("a")
+      .join(uw.alias("b"),
+        col("b.user_id") === col("a.user_id") &&
+        col("b.week") === date_sub(col("a.week"), 7))
+      .groupBy(col("a.week").as("week"))
+      .agg(count(lit(1)).as("n_retained"))
+    val states = uw.groupBy(col("week"))
+      .agg(ThetaSketch.thetaState(col("user_id")).as("st"),
+           count(lit(1)).as("n_active"))
+    val w = Window.orderBy(col("week"))
+    states
+      .withColumn("prev_st", lag(col("st"), 1).over(w))
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .join(exact, Seq("week"), "left")
+      .filter(col("prev_st").isNotNull && col("prev_week") === date_sub(col("week"), 7))
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+              col("n_active"), col("n_retained"),
+              ThetaSketch.thetaBoundsContain(
+                ThetaSketch.thetaIntersect(col("prev_st"), col("st")),
+                col("n_retained")).as("retained_est_ok"))
+      .orderBy("week")
+  }
+
   /** Full cohort-retention matrix ([[EventAnalytics.cohortMatrix]]):
     * distinct active users per (first-seen cohort day, day offset). */
   private def cohortMatrixQ(s: SparkSession, dir: String): DataFrame =
@@ -2451,6 +2490,7 @@ object SparkEntry {
     "topk_words_by_source" -> (topkWordsBySource _),
     "seg_bitmap_algebra"   -> (segBitmapAlgebra _),
     "seg_theta_algebra"    -> (segThetaAlgebra _),
+    "theta_weekly_retention" -> (thetaWeeklyRetention _),
     "rolling_30d_users_hll" -> (rolling30dUsersHll _),
     "events_props_extract" -> (eventsPropsExtract _),
     "q6_revenue"           -> (q6Revenue _),
@@ -2886,6 +2926,25 @@ object SparkEntry {
                 TRUE AS union_est_ok, TRUE AS both_est_ok,
                 TRUE AS clickonly_est_ok
          FROM f""",
+
+    // Exact adjacent-week retention counts hash-match; the est_ok gate is
+    // TRUE on the Spark side iff the lag-window theta INTERSECTION of the
+    // two weeks' persisted states brackets the exact count.
+    "theta_weekly_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('week', ts) AS DATE) AS week
+                     FROM events),
+          act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY week),
+          ret AS (SELECT a.week, count(*) AS n_retained
+                  FROM uw a JOIN uw b
+                    ON b.user_id = a.user_id AND b.week = a.week - 7
+                  GROUP BY a.week)
+         SELECT strftime(a.week, '%Y-%m-%d') AS week, a.n_active,
+                CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained,
+                TRUE AS retained_est_ok
+         FROM act a LEFT JOIN ret r ON r.week = a.week
+         WHERE EXISTS (SELECT 1 FROM act p WHERE p.week = a.week - 7)
+         ORDER BY week""",
 
     // Sweep-line interval union replay: identical windows over the same
     // total order; per-key outputs are tie-order invariant by construction.

@@ -38,6 +38,7 @@ class PlanLintSpec extends SparkSpec {
                            // the first-seen rewrite already collapsed users
     "seg_bitmap_algebra",  // one sketch-algebra row over two 1-row states
     "seg_theta_algebra",   // one theta-algebra row over three 1-row frames
+    "theta_weekly_retention", // lag window over the #weeks-sized state frame
     "q14_promo",           // single promo-share row
     "q17_small_qty",       // single avg-yearly row
     "q19_disjunctive",     // single disjunctive-revenue row
