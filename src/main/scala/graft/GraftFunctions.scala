@@ -114,16 +114,19 @@ object GraftFunctions {
       ThetaMergeAgg(es.head, if (es.length == 2) intLit(es(1)) else ThetaSketch.DefaultLgK)
     },
     "graft_theta_union" -> { es =>
-      require(es.length == 2, "graft_theta_union(stateA, stateB)")
-      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.UnionOp)
+      require(es.length == 2 || es.length == 3, "graft_theta_union(stateA, stateB[, lgK])")
+      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.UnionOp,
+        if (es.length == 3) intLit(es(2)) else ThetaSketch.DefaultLgK)
     },
     "graft_theta_intersect" -> { es =>
-      require(es.length == 2, "graft_theta_intersect(stateA, stateB)")
-      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.IntersectOp)
+      require(es.length == 2 || es.length == 3, "graft_theta_intersect(stateA, stateB[, lgK])")
+      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.IntersectOp,
+        if (es.length == 3) intLit(es(2)) else ThetaSketch.DefaultLgK)
     },
     "graft_theta_anotb" -> { es =>
-      require(es.length == 2, "graft_theta_anotb(stateA, stateB)")
-      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.AnotBOp)
+      require(es.length == 2 || es.length == 3, "graft_theta_anotb(stateA, stateB[, lgK])")
+      ThetaSetOpExpr(es.head, es(1), ThetaSetOpExpr.AnotBOp,
+        if (es.length == 3) intLit(es(2)) else ThetaSketch.DefaultLgK)
     },
     "graft_theta_estimate" -> { es =>
       require(es.length == 1, "graft_theta_estimate(state)")

@@ -1225,6 +1225,38 @@ object SparkEntry {
         .orderBy("user_id")
     }
 
+  /** Streaming gap sessionization through the oracle gate — the session
+    * shape previously attested only by specs (T8 streaming generalization):
+    * the events stream replays in a single AvailableNow batch through
+    * [[graft.streaming.StatefulOps.statefulSessionize]]
+    * (flatMapGroupsWithState, O(1) open-session state per user), each
+    * session is APPENDED to the parquet sink the moment a later event
+    * closes it, and the read-back must equal the batch sessionizer minus
+    * each user's FINAL session: with no-data batches disabled
+    * ([[withStreamScope]]) the final open session stays in state awaiting
+    * more data — the live-pipeline semantics — so the emitted set is
+    * exactly the inline-closed sessions. That contract is boundary-free
+    * (no dependence on watermark-vs-timeout-timestamp tie-breaking, which
+    * is the one part of the close-out path an engine-independent oracle
+    * cannot pin; the timeout path is spec-pinned against the batch
+    * sessionizer in StateAndStreamingSpec instead). */
+  private def sessionsStreamClosed(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_stream_sessions") { tmp =>
+      val stream = eventsStream(s, dir)
+      val closed = graft.streaming.StatefulOps.statefulSessionize(
+        stream, gapSeconds = 3600)
+      val q = closed.toDF().writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("user_id").cast("long").as("user_id"),
+                col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }
+
   /** Stream-stream interval join through the oracle gate: clicks and
     * purchases replay as two streams; each purchase joins same-user clicks
     * within the hour before it (watermarked on both sides, AvailableNow).
@@ -2418,7 +2450,13 @@ object SparkEntry {
   // Contract maps
   // ======================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: iteration order == insertion order, so Bench's run order is
+  // deterministic and new queries append at the END — existing queries keep
+  // their run position round-over-round (a plain Map hash-reshuffles the
+  // order whenever an entry is added, which made cold-start cost land on
+  // different queries every round and manufactured phantom regressions).
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "seg_naive"            -> (segNaive _),
     "seg_idempotent"       -> (segIdempotent _),
     "seg_idempotent_approx" -> (segIdempotentApprox _),
@@ -2557,6 +2595,7 @@ object SparkEntry {
     "topk_words_sketch"    -> (topkWordsSketch _),
     "pipeline_clean_stats" -> (pipelineCleanStats _),
     "multimodal_decode"    -> (multimodalDecode _),
+    "sessions_stream_closed" -> (sessionsStreamClosed _),
   )
 
   // ----------------------------------------------------------------------
@@ -3272,6 +3311,34 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
                 CAST(sum(duration_s) AS BIGINT) AS total_duration_s
          FROM g GROUP BY user_id ORDER BY user_id""",
+
+    // batch sessionization MINUS each user's final session == the streaming
+    // sessionizer's inline-closed emission set (the final open session stays
+    // in state — see sessionsStreamClosed). The recurrence runs on
+    // floor-second epochs, matching the streaming state's second-granular
+    // OpenSession envelope.
+    "sessions_stream_closed" ->
+      """WITH o AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  lag(CAST(floor(epoch(ts)) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                  ts, event_id
+           FROM events),
+         s AS (
+           SELECT user_id, t,
+                  sum(CASE WHEN prev IS NULL OR t - prev > 3600 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM o),
+         g AS (
+           SELECT user_id, session_id, min(t) AS session_start,
+                  max(t) AS session_end, count(*) AS n_events
+           FROM s GROUP BY 1, 2),
+         m AS (SELECT user_id, max(session_id) AS last_id FROM g GROUP BY 1)
+         SELECT g.user_id, session_start, session_end,
+                CAST(n_events AS BIGINT) AS n_events
+         FROM g JOIN m ON g.user_id = m.user_id AND g.session_id < m.last_id
+         ORDER BY g.user_id, session_start""",
 
     "funnel_levels" -> {
       val w = FunnelWindowS

@@ -36,11 +36,15 @@ object Tables {
     * scan executes. It only changes how TIMESTAMP(NANOS) parquet is read —
     * no other query's semantics depend on it.
     */
-  private def eventsFileSchema(spark: SparkSession, sfDir: String): StructType =
-    eventsSchemas.getOrElseUpdate(sfDir, {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet").schema
-    })
+  private def eventsFileSchema(spark: SparkSession, sfDir: String): StructType = {
+    // conf set BEFORE the cache lookup: the schema cache is keyed by dir, but
+    // the conf is per-SparkSession — a second session in the same JVM hitting
+    // a cached dir must still be configured, or a TIMESTAMP(NANOS) file would
+    // fail at ITS scan time even though the probe succeeded elsewhere
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    eventsSchemas.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/events.parquet").schema)
+  }
 
   /** Stored type of `events.ts` (see [[eventsFileSchema]]). */
   def eventsTsType(spark: SparkSession, sfDir: String): DataType =

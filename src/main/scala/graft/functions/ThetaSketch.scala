@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -51,13 +52,16 @@ object ThetaSketch {
   def thetaUnionState(state: Column, lgK: Int = DefaultLgK): Column =
     col(ThetaMergeAgg(expr(state), lgK).toAggregateExpression())
 
-  /** Scalar set ops over two serialized states (each → a new state). */
-  def thetaUnion(a: Column, b: Column): Column =
-    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.UnionOp))
-  def thetaIntersect(a: Column, b: Column): Column =
-    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.IntersectOp))
-  def thetaAnotB(a: Column, b: Column): Column =
-    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.AnotBOp))
+  /** Scalar set ops over two serialized states (each → a new state). `lgK`
+    * sizes the union's nominal entries — it must match the states' build
+    * lgK, or the union DOWNSAMPLES to the DataSketches default (lgK 12) and
+    * silently widens the result's error bounds. */
+  def thetaUnion(a: Column, b: Column, lgK: Int = DefaultLgK): Column =
+    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.UnionOp, lgK))
+  def thetaIntersect(a: Column, b: Column, lgK: Int = DefaultLgK): Column =
+    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.IntersectOp, lgK))
+  def thetaAnotB(a: Column, b: Column, lgK: Int = DefaultLgK): Column =
+    col(ThetaSetOpExpr(expr(a), expr(b), ThetaSetOpExpr.AnotBOp, lgK))
 
   /** Rounded distinct estimate of a serialized state (`uniqTheta`). */
   def thetaEstimate(state: Column): Column = col(ThetaEstimateExpr(expr(state)))
@@ -85,6 +89,14 @@ case class ThetaStateAgg(child: Expression, lgK: Int,
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+
+  // analysis-time gate for the type dispatch update() performs per row — a
+  // DateType/DecimalType input should fail resolution, not mid-job
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | DoubleType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"thetaState requires a long/int/double/string input, got $other")
+  }
 
   override def createAggregationBuffer(): Union = ThetaSerde.newUnion(lgK)
 
@@ -122,6 +134,12 @@ case class ThetaMergeAgg(child: Expression, lgK: Int,
                          mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"thetaUnionState requires a binary theta-state input, got $other")
+  }
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -157,11 +175,30 @@ object ThetaSetOpExpr {
 }
 
 /** Scalar theta set operation: two serialized states → the serialized
-  * result state (union / intersection / A-not-B). */
-case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExpr.Op)
+  * result state (union / intersection / A-not-B). `lgK` must match the
+  * states' build lgK: the union builder's nominal-entry count caps the
+  * result's retained hashes, so the DataSketches default (lgK 12 = 4096)
+  * would DOWNSAMPLE lgK-14 inputs and silently widen the result's error
+  * bounds. (Intersection and A-not-B results are bounded by their inputs
+  * and take no nominal-entry parameter.)
+  *
+  * CodegenFallback + per-call sketch heapify is deliberate while every
+  * caller evaluates this over metadata-sized frames (one row per week /
+  * segment pair in `theta_weekly_retention` / `seg_theta_algebra`). If
+  * theta states ever move into per-user-row frames, the heapify becomes a
+  * per-row allocation cost — add doGenCode (and a Memory-wrapping
+  * zero-copy read path) then, guarded by a ProfileQueries number. */
+case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExpr.Op,
+                          lgK: Int = ThetaSketch.DefaultLgK)
   extends BinaryExpression with CodegenFallback {
   import ThetaSetOpExpr._
+  require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta set ops require two binary theta states, got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = left.nullable || right.nullable
 
@@ -169,7 +206,7 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExp
     val sa = ThetaSerde.sketch(a.asInstanceOf[Array[Byte]])
     val sb = ThetaSerde.sketch(b.asInstanceOf[Array[Byte]])
     val result: CompactSketch = op match {
-      case UnionOp     => SetOperation.builder().buildUnion().union(sa, sb)
+      case UnionOp     => SetOperation.builder().setLogNominalEntries(lgK).buildUnion().union(sa, sb)
       case IntersectOp => SetOperation.builder().buildIntersection().intersect(sa, sb)
       case AnotBOp     => SetOperation.builder().buildANotB().aNotB(sa, sb)
     }
@@ -182,6 +219,10 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExp
 /** Scalar: rounded distinct estimate of a serialized theta state. */
 case class ThetaEstimateExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"thetaEstimate requires a binary theta state, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(input: Any): Any =
@@ -194,6 +235,14 @@ case class ThetaEstimateExpr(child: Expression)
 case class ThetaBoundsExpr(left: Expression, right: Expression, numStdDev: Int)
   extends BinaryExpression with CodegenFallback {
   require(numStdDev >= 1 && numStdDev <= 3, s"numStdDev must be 1..3: $numStdDev")
+  // LongType exact operand enforced at ANALYSIS time — eval casts blindly,
+  // so an IntegerType column via the SQL-registered graft_theta_bounds_ok
+  // would otherwise surface as a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"thetaBoundsContain requires (binary state, bigint exact), got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = left.nullable || right.nullable
   override def nullSafeEval(state: Any, exact: Any): Any = {

@@ -770,7 +770,8 @@ object Dedup {
                                 corpusSigs: Option[DataFrame] = None,
                                 skewSalt: Int = 8, skewCap: Long = 2048L,
                                 corpusHot: Option[DataFrame] = None,
-                                maxSigBroadcastBytes: Long = 64L << 20): DataFrame = {
+                                maxSigBroadcastBytes: Long = 64L << 20,
+                                maxIndexBroadcastBytes: Long = 32L << 20): DataFrame = {
     // the batch's signatures are computed ONCE and feed both the banding
     // pass and the estimate prune (previously two separate minhash passes
     // over the batch text)
@@ -782,32 +783,52 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
       .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
-    // candidates vs the historical index + within the new batch itself;
-    // both joins go through the hot-bucket salt guard: on a template-heavy
-    // corpus one bucket can hold much of the batch, and an unsalted shuffle
-    // join would push its whole pair grid through a single reducer.
+    // Candidates vs the historical index + within the new batch itself.
+    // The vs-corpus join is the scale pivot: the historical index is the
+    // HUGE side (O(corpus × bands) rows), the batch index the small one, so
+    // while the batch's 24-byte rows fit the broadcast budget the probe is
+    // a BROADCAST hash join — the corpus index is never shuffled, never
+    // salted (no reducer exists to skew; each scan task streams its index
+    // partition against the batch hash map), and the probe's only exchange
+    // is the candidate-pair dedup. Past the budget (a very large batch) it
+    // falls back to the salted shuffle join, where the hot-bucket guard is
+    // load-bearing: one template bucket would otherwise push its whole pair
+    // grid through a single reducer.
     // Orientation (new vs old) is KEPT through the prune so each side's
     // signature comes from the right table; the (id_a ≤ id_b) contract is
     // restored after the prune.
-    val hot = hotBuckets(a, skewCap)
-    val vsCorpus = saltedBandJoin(a, corpusIndex
-        .select(col("band"), col("bucket"), col(idCol).as("id_old")), "id_new",
+    // hot-bucket detection costs an aggregate over the batch index — only
+    // the salted fallback lanes need it, so it is computed lazily
+    lazy val hot = hotBuckets(a, skewCap)
+    val nNewIndexRows = newIndex.count()
+    val batchIdxSmall = nNewIndexRows * 28L <= maxIndexBroadcastBytes
+    val corpusIdx = corpusIndex
+      .select(col("band"), col("bucket"), col(idCol).as("id_old"))
+    val candRaw =
+      if (batchIdxSmall) corpusIdx.join(broadcast(a), Seq("band", "bucket"))
+      else saltedBandJoin(a, corpusIdx, "id_new",
         skewSalt, skewCap, Some(hot), rightIdCol = Some("id_old"),
         rightHotOpt = corpusHot)
+    val vsCorpus = candRaw
       .filter(col("id_new") =!= col("id_old"))
       .dropDuplicates("id_new", "id_old")
       .localCheckpoint(true) // consumed twice: old-id set + the prune join
     val b = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_b2"))
-    val vsSelf = saltedBandJoin(a, b, "id_new", skewSalt, skewCap, Some(hot))
+    val vsSelf = (if (batchIdxSmall) a.join(broadcast(b), Seq("band", "bucket"))
+                  else saltedBandJoin(a, b, "id_new", skewSalt, skewCap, Some(hot)))
       .filter(col("id_new") < col("id_b2"))
       .dropDuplicates("id_new", "id_b2")
     // Estimate prune. The new-batch sig table is batch-sized (1 KB/doc), so
-    // under the byte budget it BROADCASTS: the within-batch pairs prune with
-    // zero shuffle, and the vs-corpus pairs pay exactly ONE shuffle join —
-    // against the persisted corpus sigs (the production shape; recomputed
-    // for candidate docs only when the caller has no sig table), filtered to
-    // candidate old-ids first so corpus-sig bytes shipped are O(candidates),
-    // never O(corpus). Above the budget every join falls back to shuffle.
+    // under the byte budget it BROADCASTS and the within-batch pairs prune
+    // with zero shuffle. For the vs-corpus pairs the CANDIDATE LIST itself
+    // is the small side (16 bytes/pair, checkpointed so its count is free):
+    // under the budget it broadcasts into a map-side join against the
+    // PERSISTED corpus-sig artifact — corpus sigs are never shuffled, never
+    // semi-join-prefiltered, and the whole prune plans zero exchanges. Past
+    // the budget (or with no sig table, where candidate sigs must be
+    // recomputed from text) it falls back to the distinct-old-ids semi join
+    // + one shuffle join, which ships O(candidates) sig bytes, never
+    // O(corpus).
     val nNew = newSigs.count()
     val bcastNew = nNew * (numHashes * 8L + 32L) <= maxSigBroadcastBytes
     def newSide(as1: String, as2: String): DataFrame = {
@@ -815,19 +836,26 @@ object Dedup {
       if (bcastNew) broadcast(f) else f
     }
     val est = graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
-    val oldIds = vsCorpus.select(col("id_old").as(idCol)).distinct()
-    val oldSigs = (corpusSigs match {
-      case Some(cs) => cs.select(col(idCol), col("sig"))
-          .join(oldIds, Seq(idCol), "left_semi")
-      case None => corpus.join(oldIds, Seq(idCol), "left_semi")
-          .select(col(idCol),
-            graft.functions.NativeExprs.minhashSig(
-              graft.functions.TextAnalysis.normalized(col(textCol)),
-              shingleK, numHashes, seed).as("sig"))
-    }).select(col(idCol).as("id_old"), col("sig").as("sig_b"))
-    val corpusPruned = vsCorpus
+    val candSmall = vsCorpus.count() * 16L <= maxIndexBroadcastBytes
+    val candWithSigB = (corpusSigs, candSmall) match {
+      case (Some(cs), true) =>
+        cs.select(col(idCol).as("id_old"), col("sig").as("sig_b"))
+          .join(broadcast(vsCorpus), Seq("id_old"))
+      case _ =>
+        val oldIds = vsCorpus.select(col("id_old").as(idCol)).distinct()
+        val oldSigs = (corpusSigs match {
+          case Some(cs) => cs.select(col(idCol), col("sig"))
+              .join(oldIds, Seq(idCol), "left_semi")
+          case None => corpus.join(oldIds, Seq(idCol), "left_semi")
+              .select(col(idCol),
+                graft.functions.NativeExprs.minhashSig(
+                  graft.functions.TextAnalysis.normalized(col(textCol)),
+                  shingleK, numHashes, seed).as("sig"))
+        }).select(col(idCol).as("id_old"), col("sig").as("sig_b"))
+        vsCorpus.join(oldSigs, Seq("id_old"))
+    }
+    val corpusPruned = candWithSigB
       .join(newSide("id_new", "sig_a"), Seq("id_new"))
-      .join(oldSigs, Seq("id_old"))
       .filter(est >= threshold - estMargin)
       .select(least(col("id_new"), col("id_old")).as("id_a"),
               greatest(col("id_new"), col("id_old")).as("id_b"))
@@ -836,19 +864,34 @@ object Dedup {
       .join(newSide("id_b2", "sig_b"), Seq("id_b2"))
       .filter(est >= threshold - estMargin)
       .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
-    val pruned = corpusPruned.unionByName(selfPruned)
+    // the pair list is pair-count-sized and feeds THREE consumers (the
+    // survivor-id set and both shingle joins) — materialize once
+    val pruned = corpusPruned.unionByName(selfPruned).localCheckpoint(true)
     val survivorIds = pruned.select(col("id_a").as(idCol))
       .union(pruned.select(col("id_b").as(idCol))).distinct()
-    // sorted shingle sets -> linear-merge exact verify (see the batch
-    // pipeline above for the rationale); the 12 KB shingle arrays ship for
-    // the tiny survivor set only, never for the raw LSH candidate flood
+    // Sorted shingle sets -> linear-merge exact verify (see the batch
+    // pipeline above for the rationale); the shingle arrays are computed for
+    // the tiny survivor-doc set only, never for the raw LSH candidate flood,
+    // and the frame is CHECKPOINTED — it feeds both pair joins, which would
+    // otherwise each re-run the text scan + shingle pass. When the pair list
+    // and the measured shingle bytes (one metadata agg over the checkpoint)
+    // fit the broadcast budgets, the verify plans ZERO exchanges: the
+    // shingle frame is scanned once against the broadcast pair list, then
+    // the b-side shingles join as a second broadcast. Past either budget it
+    // degrades to shuffle joins that still ship survivor rows only.
+    val prunedSmall = pruned.count() * 16L <= maxIndexBroadcastBytes
+    def pairSide(f: DataFrame): DataFrame = if (prunedSmall) broadcast(f) else f
     val sh = corpus.unionByName(newDocs)
-      .join(survivorIds, Seq(idCol), "left_semi")
+      .join(pairSide(survivorIds), Seq(idCol), "left_semi")
       .select(col(idCol),
         sort_array(graft.functions.NativeExprs.shingleSet(col(textCol), shingleK)).as("sh"))
-    pruned
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .localCheckpoint(true)
+    val shBytes = sh.agg(coalesce(sum(size(col("sh"))), lit(0L)).cast("long"))
+      .head().getLong(0) * 8L
+    val shB = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+      .join(pairSide(pruned), Seq("id_a"))
+      .join(if (shBytes <= maxSigBroadcastBytes) broadcast(shB) else shB, Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.NativeExprs.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

@@ -16,7 +16,8 @@ class PlanLintSpec extends SparkSpec {
   // eagerly-executing streaming queries: plans are exercised (and bounded) by
   // their own specs; building them here would run full streaming lifecycles
   private val streaming = Set("seg_stream_equiv", "seg_stream_native",
-    "seg_stream_stateful", "seg_retention_stream", "seg_stream_enrich")
+    "seg_stream_stateful", "seg_retention_stream", "seg_stream_enrich",
+    "sessions_stream_closed")
 
   // scalar/global outputs: the FINAL one-row aggregate is the result itself,
   // upstream partial aggregation still runs distributed

@@ -46,19 +46,19 @@ object ProfileIncremental {
         .localCheckpoint(true)
     }
     val a = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_new"))
-    val vsCorpus = time("probe: vs-corpus bucket join + dedup") {
-      val v = a.join(index
-          .select(col("band"), col("bucket"), col("doc_id").as("id_old")),
-          Seq("band", "bucket"))
+    val vsCorpus = time("probe: vs-corpus BROADCAST bucket join + dedup") {
+      val v = index
+          .select(col("band"), col("bucket"), col("doc_id").as("id_old"))
+        .join(broadcast(a), Seq("band", "bucket"))
         .filter(col("id_new") =!= col("id_old"))
         .dropDuplicates("id_new", "id_old")
         .localCheckpoint(true)
       println(s"[profile]   vs-corpus candidates: ${v.count()}")
       v
     }
-    val vsSelf = time("probe: within-batch bucket join + dedup") {
+    val vsSelf = time("probe: within-batch BROADCAST bucket join + dedup") {
       val b = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_b2"))
-      val v = a.join(b, Seq("band", "bucket"))
+      val v = a.join(broadcast(b), Seq("band", "bucket"))
         .filter(col("id_new") < col("id_b2"))
         .dropDuplicates("id_new", "id_b2")
         .localCheckpoint(true)
@@ -66,13 +66,12 @@ object ProfileIncremental {
       v
     }
     val est = graft.functions.NativeExprs.sigMatchFraction(col("sig_a"), col("sig_b"))
-    val pruned = time("probe: estimate prune (bcast new sigs, 1 corpus-sig join)") {
+    val pruned = time("probe: estimate prune (bcast candidates, zero-exchange)") {
       val sigA = broadcast(newSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_a")))
       val sigB2 = broadcast(newSigs.select(col("doc_id").as("id_b2"), col("sig").as("sig_b")))
-      val oldIds = vsCorpus.select(col("id_old").as("doc_id")).distinct()
-      val oldSigs = corpusSigs.join(oldIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id").as("id_old"), col("sig").as("sig_b"))
-      val cp = vsCorpus.join(sigA, Seq("id_new")).join(oldSigs, Seq("id_old"))
+      val cp = corpusSigs.select(col("doc_id").as("id_old"), col("sig").as("sig_b"))
+        .join(broadcast(vsCorpus), Seq("id_old"))
+        .join(sigA, Seq("id_new"))
         .filter(est >= 0.3)
         .select(least(col("id_new"), col("id_old")).as("id_a"),
                 greatest(col("id_new"), col("id_old")).as("id_b"))
@@ -83,14 +82,14 @@ object ProfileIncremental {
       println(s"[profile]   pruned survivors: ${p.count()}")
       p
     }
-    time("probe: shingle verify of survivors") {
+    time("probe: shingle verify of survivors (bcast pair list)") {
       val survivorIds = pruned.select(col("id_a").as("doc_id"))
         .union(pruned.select(col("id_b").as("doc_id"))).distinct()
-      val sh = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+      val sh = docs.join(broadcast(survivorIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           graft.functions.NativeExprs.shingleSet(col("text"), 5).as("sh"))
-      val n = pruned
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      val n = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .join(broadcast(pruned), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .withColumn("jaccard",
           graft.functions.NativeExprs.jaccard(col("sh_a"), col("sh_b")))
