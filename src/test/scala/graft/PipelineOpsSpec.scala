@@ -244,10 +244,13 @@ class PipelineOpsSpec extends SparkSpec {
       "right-hot salted join must preserve the exact pair multiset")
   }
 
-  test("template-flood probe: salted incremental near-dup equals brute force on new docs") {
+  test("template-flood probe: both probe lanes equal brute force on new docs") {
     // adversarial single-template corpus: 100 identical docs (every band
-    // bucket is hot) + distinct tails; cap forced to 8 so salting engages
-    // on BOTH the vs-corpus and the vs-self join
+    // bucket is hot) + distinct tails. The default budgets take the
+    // BROADCAST lane (batch index broadcast, no salt machinery); a zero
+    // index-broadcast budget forces the salted shuffle fallback (cap 8 so
+    // salting engages on BOTH the vs-corpus and the vs-self join) AND the
+    // semi-join prune fallback. Both lanes must equal brute force.
     val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = ((0L until 100L).map(i => (i, template)) ++
       Seq((200L, "one fully distinct document body with its own words"),
@@ -256,14 +259,20 @@ class PipelineOpsSpec extends SparkSpec {
     val newDocs = docs.filter($"doc_id" % 5 === 0)
     val corpus = docs.filter($"doc_id" % 5 =!= 0)
     val index = Dedup.lshIndex(corpus)
-    val got = Dedup.incrementalNearDuplicates(newDocs, corpus, index,
+    val bcastLane = Dedup.incrementalNearDuplicates(newDocs, corpus, index,
         threshold = 0.5, skewSalt = 4, skewCap = 8L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val saltedLane = Dedup.incrementalNearDuplicates(newDocs, corpus, index,
+        threshold = 0.5, skewSalt = 4, skewCap = 8L,
+        maxIndexBroadcastBytes = 0L)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val brute = Dedup.bruteForceJaccardPairs(docs, threshold = 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
-    assert(got == brute,
-      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(bcastLane == brute,
+      s"broadcast lane: missing=${brute -- bcastLane} extra=${bcastLane -- brute}")
+    assert(saltedLane == brute,
+      s"salted fallback lane: missing=${brute -- saltedLane} extra=${saltedLane -- brute}")
   }
 
   test("ngram direct branch: over-budget broadcast falls back to posting plan, same result") {
