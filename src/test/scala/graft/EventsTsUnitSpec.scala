@@ -61,6 +61,44 @@ class EventsTsUnitSpec extends SparkSpec {
     assert(epochs(streamedEvents(usDir)) === epochsUs)
   }
 
+  test("streaming sessionization closes identical sessions from a nanos and a micros file") {
+    // one user, four events: +0s, +600s (same session), +7200s (new session),
+    // +14400s (new session, stays OPEN) — the inline-close emission set must
+    // be identical from either stored unit, pinning the sessions_stream_closed
+    // contract's read path the same way the epoch tests pin the scans
+    val t0 = 1686832496789012L
+    def writeSessFixture(unit: String): String = {
+      val dir = tmpDir(s"events_sess_$unit")
+      val base = Seq(0L, 600L, 7200L, 14400L).zipWithIndex
+        .map { case (s, i) => (i.toLong, t0 + s * 1000000L, 1L, "click", 1.0, "{}") }
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      val withTs = unit match {
+        case "ns" => base.withColumn("ts", col("us") * 1000L)
+        case "us" => base.withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      }
+      withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    def closedSessions(dir: String): Seq[(String, Long, Long, Long)] = {
+      val raw = spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
+        .parquet(s"$dir/events.parquet")
+      val norm = Tables.normalizeEventsTs(raw, Tables.eventsTsType(spark, dir))
+      val name = s"events_sess_${System.nanoTime()}"
+      val q = graft.streaming.StatefulOps.statefulSessionize(norm, gapSeconds = 3600)
+        .toDF().writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    }
+    val t0s = t0 / 1000000L
+    val expected = Seq(("1", t0s, t0s + 600L, 2L), ("1", t0s + 7200L, t0s + 7200L, 1L))
+    assert(closedSessions(writeSessFixture("ns")) === expected)
+    assert(closedSessions(writeSessFixture("us")) === expected)
+  }
+
   test("real testdata: streamed ts range and count equal the batch read") {
     val dir = "/root/testdata/sf0.001"
     val batch = Tables.events(spark, dir)
