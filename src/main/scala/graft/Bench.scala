@@ -120,6 +120,7 @@ object Bench {
       "q1_pricing", "q3_revenue", "q6_revenue", "seg_naive", "seg_eventtime",
       "seg_latest_event", "seg_microbatch_equiv", "seg_stream_equiv",
       "seg_stream_native", "seg_stream_stateful", "seg_stream_attribution",
+      "sessions_stream_closed",
       "dedup_clusters", "minhash_neardup", "simhash_neardup",
       "ngram_jaccard_neardup", "incremental_neardup", "incremental_clusters",
       "contamination_bloom", "bpe_tokens", "dup_ngram_frac",
