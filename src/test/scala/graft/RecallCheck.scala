@@ -132,6 +132,101 @@ object RecallCheck {
       s"missed=${(enBrute -- en).size} extra=${(en -- enBrute).size} " +
       f"recall=$enRecall%.4f")
 
+    // ---- directed containment join vs all-pairs brute force (its DuckDB
+    // oracle times out at this scale like the other pair joins) ----
+    val grams3 = docs.repartition(32).select(col("doc_id").as("id"),
+        split(graft.functions.TextAnalysis.normalized(col("text")), " ").as("w"))
+      .select(col("id"), when(size(col("w")) >= 3, array_distinct(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")))
+        .otherwise(expr("cast(array() as array<string>)")).as("g"))
+      .filter(size(col("g")) > 0).localCheckpoint(true)
+    val ctBrute = pairSet(grams3.select(col("id").as("id_a"), col("g").as("ga"))
+      .crossJoin(broadcast(grams3.select(col("id").as("id_b"), col("g").as("gb"))))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double")
+                / size(col("ga")) >= 0.8))
+    val ct = pairSet(graft.operators.Dedup.containmentPairs(docs, threshold = 0.8, n = 3))
+    println(s"[recall] containment pairs: ${ct.size} vs brute ${ctBrute.size}; " +
+      s"missed=${(ctBrute -- ct).size} extra=${(ct -- ctBrute).size}")
+
+    // ---- cluster-consumer family: clustering / incremental fold / keep-best
+    // / leakage split must all agree with a DRIVER-SIDE union-find over the
+    // brute-verified pair set (independent implementation) ----
+    val parent = new java.util.HashMap[Long, Long]()
+    def findRoot(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+      }
+      r
+    }
+    brute.foreach { case (a, b) =>
+      val (ra, rb) = (findRoot(a), findRoot(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val pairIds = brute.flatMap(p => Seq(p._1, p._2))
+    val expComp: Map[Long, Long] = pairIds.map(id => id -> findRoot(id)).toMap
+    val lshPairsDf = graft.operators.Dedup.minhashNearDuplicates(docs, threshold = 0.5)
+      .localCheckpoint(true)
+    val clustersDf = graft.operators.Dedup.clusterNearDuplicates(lshPairsDf)
+      .localCheckpoint(true)
+    val gotComp = clustersDf.select(col("id").cast("long"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val okClu = gotComp == expComp
+    println(s"[recall] clusters: ${gotComp.size} assignments vs union-find ${expComp.size}; " +
+      s"equal=$okClu")
+
+    // incremental fold: persisted hist assignments + probe pairs == scratch
+    // clustering of the full graph (hist-internal ∪ pairs-touching-new = all)
+    val histPairs = lshPairsDf.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val histAssign = graft.operators.Dedup.clusterNearDuplicates(histPairs)
+    val incPairsDf = lshPairsDf.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    val foldComp = graft.operators.Dedup.updateClusters(histAssign, incPairsDf)
+      .select(col("id").cast("long"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val okFold = foldComp == expComp
+    println(s"[recall] incremental fold: ${foldComp.size} assignments; equal=$okFold")
+
+    // keep-best representative: per cluster (singletons = own cluster), the
+    // member with max n_chars, ties to the lowest id
+    val nchars = docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expRep = nchars.keys.groupBy(id => expComp.getOrElse(id, id)).map {
+      case (cid, members) =>
+        val rep = members.minBy(id => (-nchars(id), id))
+        cid -> (members.size.toLong, rep, nchars(rep))
+    }
+    val docsNc = docs.select(col("doc_id"), col("n_chars"))
+    val gotRep = docsNc.join(clustersDf, docsNc("doc_id") === clustersDf("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+              coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("rep"),
+           max(col("n_chars")).as("rep_nc"))
+      .select(col("cluster_id").cast("long"), col("n_members").cast("long"),
+              col("rep").cast("long"), col("rep_nc").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val okRep = gotRep == expRep
+    println(s"[recall] keep-best: ${gotRep.size} clusters; equal=$okRep")
+
+    // leakage split: every doc's split must be the Knuth hash of its
+    // CLUSTER id (members move together)
+    val expSplit = nchars.keys.map { id =>
+      val cid = expComp.getOrElse(id, id)
+      val m = ((cid * graft.operators.Sampling.Knuth) % 100L + 100L) % 100L
+      id -> (if (m < 10L) "test" else "train")
+    }.toMap
+    val gotSplit = graft.operators.Dedup.leakageFreeSplit(docs, lshPairsDf, testPct = 10)
+      .select(col("doc_id").cast("long"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val okSplit = gotSplit == expSplit
+    println(s"[recall] leakage split: ${gotSplit.size} docs; equal=$okSplit")
+
+    val okCt = ct == ctBrute
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
     val okEd = ed == edBruteSet
@@ -145,10 +240,16 @@ object RecallCheck {
       s"ngram=${if (okNg) "EXACT" else "MISMATCH"} " +
       s"phash=${if (okPh) "EXACT" else "MISMATCH"} " +
       s"semantic=${if (okSem) "EXACT" else "MISMATCH"} " +
+      s"containment=${if (okCt) "EXACT" else "MISMATCH"} " +
+      s"clusters=${if (okClu) "EXACT" else "MISMATCH"} " +
+      s"fold=${if (okFold) "EXACT" else "MISMATCH"} " +
+      s"keepbest=${if (okRep) "EXACT" else "MISMATCH"} " +
+      s"split=${if (okSplit) "EXACT" else "MISMATCH"} " +
       s"embedding=${if (en == enBrute) "EXACT"
                     else if (okEn) f"OK(recall=$enRecall%.4f, 0 extras)"
                     else "MISMATCH"}")
     spark.stop()
-    if (!okLsh || !okInc || !okEd || !okNg || !okPh || !okSem || !okEn) sys.exit(1)
+    if (!okLsh || !okInc || !okEd || !okNg || !okPh || !okSem || !okEn ||
+        !okCt || !okClu || !okFold || !okRep || !okSplit) sys.exit(1)
   }
 }
