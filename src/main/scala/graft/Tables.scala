@@ -18,7 +18,31 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else normalizeWidths(spark.read.parquet(s"$sfDir/$name.parquet"), name)
+
+  /** Defensive integral/float-width normalization for the generator-owned
+    * tables, same risk class as the events `ts` unit flip that broke r06:
+    * a regenerated file shipping `doc_id` as int32 (or `label` as int64,
+    * or `embedding` as array<double>) would otherwise fail every consumer
+    * that encodes/joins on the today-observed type. Identity casts are
+    * erased by SimplifyCasts, so the normalization is free while the
+    * schema matches — and when it doesn't, correctness survives at the
+    * cost of pushdown on the (expression-filtered anyway) key columns. */
+  private val canonicalWidths: Map[String, Map[String, DataType]] = Map(
+    "documents"  -> Map("doc_id" -> LongType, "n_chars" -> LongType),
+    "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType,
+                        "embedding" -> ArrayType(FloatType)),
+    "events"     -> Map("event_id" -> LongType, "user_id" -> LongType,
+                        "value" -> DoubleType))
+
+  private def normalizeWidths(df: DataFrame, name: String): DataFrame =
+    canonicalWidths.get(name).fold(df) { want =>
+      want.foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c) && d.schema(c).dataType != t)
+          d.withColumn(c, col(c).cast(t))
+        else d
+      }
+    }
 
   private val eventsSchemas =
     scala.collection.concurrent.TrieMap.empty[String, StructType]
@@ -79,7 +103,8 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = eventsTsType(spark, sfDir) // also sets nanosAsLong for the lazy scan
-    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"), raw)
+    normalizeWidths(
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"), raw), "events")
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
