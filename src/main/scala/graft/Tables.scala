@@ -33,7 +33,23 @@ object Tables {
     "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType,
                         "embedding" -> ArrayType(FloatType)),
     "events"     -> Map("event_id" -> LongType, "user_id" -> LongType,
-                        "value" -> DoubleType))
+                        "value" -> DoubleType),
+    // TPC-H join keys + measures: a width flip on either join side would
+    // break joins/encoders; measures pin the decimal-sum oracle contracts
+    "lineitem"   -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+                        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+                        "l_discount" -> DoubleType, "l_tax" -> DoubleType),
+    "orders"     -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                        "o_totalprice" -> DoubleType),
+    "customer"   -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+                        "c_acctbal" -> DoubleType),
+    "supplier"   -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+                        "s_acctbal" -> DoubleType),
+    "part"       -> Map("p_partkey" -> LongType, "p_size" -> IntegerType,
+                        "p_retailprice" -> DoubleType),
+    "nation"     -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
+    "region"     -> Map("r_regionkey" -> IntegerType))
 
   private def normalizeWidths(df: DataFrame, name: String): DataFrame =
     canonicalWidths.get(name).fold(df) { want =>
