@@ -39,9 +39,14 @@ object Tables {
     "lineitem"   -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
                         "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
                         "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
-                        "l_discount" -> DoubleType, "l_tax" -> DoubleType),
+                        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+                        // a DATE-typed regen casts to midnight instants —
+                        // exactly how DuckDB promotes dates in timestamp
+                        // comparisons, so both engines shift identically
+                        "l_shipdate" -> TimestampType),
     "orders"     -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
-                        "o_totalprice" -> DoubleType),
+                        "o_totalprice" -> DoubleType,
+                        "o_orderdate" -> TimestampType),
     "customer"   -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
                         "c_acctbal" -> DoubleType),
     "supplier"   -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
