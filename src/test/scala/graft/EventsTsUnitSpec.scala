@@ -55,6 +55,17 @@ class EventsTsUnitSpec extends SparkSpec {
     assert(epochs(Tables.events(spark, usDir)) === epochsUs)
   }
 
+  test("a second session reading a schema-cached nanos dir is still configured") {
+    // the schema cache is keyed by dir but the nanosAsLong conf is
+    // per-session: after session A probes (and caches) a nanos dir, a fresh
+    // session B hitting the cache must STILL get the conf set, or its scan
+    // fails at execution time (the ADVICE r07 second-session trap)
+    val nsDir = writeFixture("ns")
+    assert(epochs(Tables.events(spark, nsDir)) === epochsUs) // primes the cache
+    val s2 = spark.newSession()
+    assert(epochs(Tables.events(s2, nsDir)) === epochsUs)
+  }
+
   test("streaming read decodes identical epochs from a nanos and a micros file") {
     val (nsDir, usDir) = (writeFixture("ns"), writeFixture("us"))
     assert(epochs(streamedEvents(nsDir)) === epochsUs)
