@@ -900,6 +900,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < 200, s"sample size ${a.size}")
   }
 
+  test("incremental probe: empty batch and empty corpus yield empty results, no crash") {
+    // a daily ingest CAN be empty, and the first-ever batch sees an empty
+    // corpus — every lane's metadata aggregates (counts, shingle-byte agg)
+    // must tolerate zero rows
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
+                   (2L, "totally different words in this one body"))
+      .toDF("doc_id", "text")
+    val empty = docs.filter($"doc_id" < 0)
+    val idx = Dedup.lshIndex(docs)
+    assert(Dedup.incrementalNearDuplicates(empty, docs, idx, threshold = 0.5).count() === 0L)
+    val emptyIdx = Dedup.lshIndex(empty)
+    assert(Dedup.incrementalNearDuplicates(docs, empty, emptyIdx, threshold = 0.5).count() === 0L)
+    assert(Dedup.incrementalNearDuplicates(empty, empty, emptyIdx, threshold = 0.5).count() === 0L)
+  }
+
   test("incremental near-dup == full brute force restricted to new docs") {
     val all = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
