@@ -1011,9 +1011,20 @@ object SparkEntry {
   private def eventsStream(s: SparkSession, dir: String,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     var reader = s.readStream.schema(Tables.eventsRawSchema(s, dir))
-      .option("pathGlobFilter", "events.parquet")
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n.toString))
-    Tables.normalizeEventsTs(reader.parquet(dir), Tables.eventsTsType(s, dir))
+    // Layout-probed source path: testdata ships events.parquet as a single
+    // FILE (streamed as $dir + a name glob — the file source's basePath must
+    // be a directory, so the file cannot be the path itself), but a regen
+    // via df.write.parquet would ship a DIRECTORY of part files, which the
+    // name glob would silently match NOTHING for (zero rows, no error) —
+    // that layout streams the directory directly. Both lanes are spec-pinned
+    // in EventsTsUnitSpec.
+    val path = s"$dir/events.parquet"
+    val src =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEventsTs(src, Tables.eventsTsType(s, dir))
   }
 
   /** Scopes a streaming contract query: sets the nanos-as-long legacy conf

@@ -110,6 +110,16 @@ class EventsTsUnitSpec extends SparkSpec {
     assert(closedSessions(writeSessFixture("us")) === expected)
   }
 
+  test("directory-layout events.parquet streams through a contract query") {
+    // testdata ships events.parquet as a single FILE today; df.write.parquet
+    // produces a DIRECTORY of part files. The contract stream source must
+    // read both layouts (a name-glob over $dir silently matched nothing for
+    // the directory layout — zero rows, no error)
+    val dir = writeFixture("us") // writeFixture writes a directory layout
+    val out = SparkEntry.queries("seg_stream_native")(spark, dir)
+    assert(out.count() > 0, "directory-layout stream read zero rows")
+  }
+
   test("real testdata: streamed ts range and count equal the batch read") {
     val dir = "/root/testdata/sf0.001"
     val batch = Tables.events(spark, dir)
