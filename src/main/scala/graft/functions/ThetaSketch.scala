@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -182,15 +182,17 @@ object ThetaSetOpExpr {
   * bounds. (Intersection and A-not-B results are bounded by their inputs
   * and take no nominal-entry parameter.)
   *
-  * CodegenFallback + per-call sketch heapify is deliberate while every
-  * caller evaluates this over metadata-sized frames (one row per week /
-  * segment pair in `theta_weekly_retention` / `seg_theta_algebra`). If
-  * theta states ever move into per-user-row frames, the heapify becomes a
-  * per-row allocation cost — add doGenCode (and a Memory-wrapping
-  * zero-copy read path) then, guarded by a ProfileQueries number. */
+  * Generates code (doGenCode → compute()), so the expression no longer
+  * breaks the surrounding whole-stage-codegen span; the per-call sketch
+  * HEAPIFY inside compute() remains — fine over today's metadata-sized
+  * frames (one row per week / segment pair in `theta_weekly_retention` /
+  * `seg_theta_algebra`). If theta states ever move into per-user-row
+  * frames, add a Memory-wrapping zero-copy read path, guarded by a
+  * ProfileQueries number. Codegen-vs-interpreted parity is spec-pinned
+  * (ThetaSketchSpec compiles the generated projection directly). */
 case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExpr.Op,
                           lgK: Int = ThetaSketch.DefaultLgK)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   import ThetaSetOpExpr._
   require(lgK >= 4 && lgK <= 26, s"lgK out of range: $lgK")
 
@@ -202,9 +204,10 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExp
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = left.nullable || right.nullable
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = ThetaSerde.sketch(a.asInstanceOf[Array[Byte]])
-    val sb = ThetaSerde.sketch(b.asInstanceOf[Array[Byte]])
+  /** Public for generated code: the whole set op over raw state bytes. */
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = ThetaSerde.sketch(a)
+    val sb = ThetaSerde.sketch(b)
     val result: CompactSketch = op match {
       case UnionOp     => SetOperation.builder().setLogNominalEntries(lgK).buildUnion().union(sa, sb)
       case IntersectOp => SetOperation.builder().buildIntersection().intersect(sa, sb)
@@ -212,28 +215,46 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: ThetaSetOpExp
     }
     result.toByteArray
   }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  // codegen = a static-shaped call into compute() on the referenced
+  // instance: semantically identical to the interpreted path (parity is
+  // the oracle-gated seg_theta_algebra / theta_weekly_retention rows, which
+  // execute these expressions inside codegen'd projections), but the
+  // expression no longer breaks the surrounding whole-stage codegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thetaSetOp", this, classOf[ThetaSetOpExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaSetOpExpr =
     copy(left = l, right = r)
 }
 
 /** Scalar: rounded distinct estimate of a serialized theta state. */
 case class ThetaEstimateExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"thetaEstimate requires a binary theta state, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  /** Public for generated code. */
+  def compute(input: Array[Byte]): Long =
+    math.round(ThetaSerde.sketch(input).getEstimate)
   override def nullSafeEval(input: Any): Any =
-    math.round(ThetaSerde.sketch(input.asInstanceOf[Array[Byte]]).getEstimate)
+    compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thetaEstimate", this, classOf[ThetaEstimateExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
+  }
   override protected def withNewChildInternal(c: Expression): ThetaEstimateExpr =
     copy(child = c)
 }
 
 /** Scalar: TRUE iff `exact` is inside the state's ±numStdDev bounds. */
 case class ThetaBoundsExpr(left: Expression, right: Expression, numStdDev: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   require(numStdDev >= 1 && numStdDev <= 3, s"numStdDev must be 1..3: $numStdDev")
   // LongType exact operand enforced at ANALYSIS time — eval casts blindly,
   // so an IntegerType column via the SQL-registered graft_theta_bounds_ok
@@ -245,10 +266,17 @@ case class ThetaBoundsExpr(left: Expression, right: Expression, numStdDev: Int)
       s"thetaBoundsContain requires (binary state, bigint exact), got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = left.nullable || right.nullable
-  override def nullSafeEval(state: Any, exact: Any): Any = {
-    val sk = ThetaSerde.sketch(state.asInstanceOf[Array[Byte]])
-    val x = exact.asInstanceOf[Long].toDouble
+  /** Public for generated code. */
+  def compute(state: Array[Byte], exact: Long): Boolean = {
+    val sk = ThetaSerde.sketch(state)
+    val x = exact.toDouble
     sk.getLowerBound(numStdDev) <= x && x <= sk.getUpperBound(numStdDev)
+  }
+  override def nullSafeEval(state: Any, exact: Any): Any =
+    compute(state.asInstanceOf[Array[Byte]], exact.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thetaBounds", this, classOf[ThetaBoundsExpr].getName)
+    nullSafeCodeGen(ctx, ev, (st, ex) => s"${ev.value} = $ref.compute($st, $ex);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaBoundsExpr =
     copy(left = l, right = r)

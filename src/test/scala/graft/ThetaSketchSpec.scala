@@ -67,4 +67,35 @@ class ThetaSketchSpec extends SparkSpec {
       .agg(ThetaSketch.thetaState($"v").as("st")).head.getAs[Array[Byte]]("st")
     assert(est(st) === 3L)
   }
+
+  test("scalar theta exprs: generated code equals interpreted compute") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.{ThetaBoundsExpr, ThetaEstimateExpr, ThetaSetOpExpr}
+    // states over {1..800} and {401..1200}: |A∪B|=1200, |A∩B|=400, |A\B|=400
+    def state(lo: Int, hi: Int): Array[Byte] =
+      (lo to hi).map(_.toLong).toDF("v")
+        .agg(graft.functions.ThetaSketch.thetaState($"v").as("st"))
+        .head.getAs[Array[Byte]]("st")
+    val (a, b) = (state(1, 800), state(401, 1200))
+    val (la, lb) = (Literal(a, BinaryType), Literal(b, BinaryType))
+    val union = ThetaSetOpExpr(la, lb, ThetaSetOpExpr.UnionOp)
+    val inter = ThetaSetOpExpr(la, lb, ThetaSetOpExpr.IntersectOp)
+    val anotb = ThetaSetOpExpr(la, lb, ThetaSetOpExpr.AnotBOp)
+    val exprs = Seq(
+      union, inter, anotb,
+      ThetaEstimateExpr(ThetaSetOpExpr(la, lb, ThetaSetOpExpr.UnionOp)),
+      ThetaBoundsExpr(ThetaSetOpExpr(la, lb, ThetaSetOpExpr.IntersectOp),
+                      Literal(400L), 3))
+    // GenerateMutableProjection COMPILES doGenCode — a malformed template
+    // throws here instead of silently falling back to interpreted eval
+    val row = GenerateMutableProjection.generate(exprs)(InternalRow.empty)
+    assert(row.getBinary(0).toSeq === union.compute(a, b).toSeq)
+    assert(row.getBinary(1).toSeq === inter.compute(a, b).toSeq)
+    assert(row.getBinary(2).toSeq === anotb.compute(a, b).toSeq)
+    assert(row.getLong(3) === 1200L)
+    assert(row.getBoolean(4))
+  }
 }
