@@ -1710,9 +1710,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // embedding dimensionality, probed from the data once per (session, dir)
+  // — the generator owns the corpus, so a regen at a different dim must not
+  // leave SRP hyperplanes / int8 scales spanning the wrong width. The SRP
+  // oracle SQL is generated from the same cached value (the data-dependent
+  // oracle pattern: Verify runs every query before dumping oracle_sql.json).
+  private val embDimCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+  @volatile private var lastEmbDim: Option[Int] = None
+
+  private def embDim(s: SparkSession, dir: String): Int = {
+    val d = embDimCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => Int.box(t(s, dir, "embeddings")
+        .select(size(col("embedding")).as("d")).head.getInt(0)))
+    lastEmbDim = Some(d)
+    d
+  }
+
   private def annTopKSrp(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.srpBucketedTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, dim = 64)
+    Similarity.srpBucketedTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        dim = embDim(s, dir))
       .orderBy("query_id", "rank")
   }
 
@@ -1726,7 +1744,7 @@ object SparkEntry {
 
   private def quantScalesFor(s: SparkSession, dir: String): Array[Double] = {
     val sc = quantScaleCache.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => Similarity.quantScales(t(s, dir, "embeddings"), dim = 64))
+      _ => Similarity.quantScales(t(s, dir, "embeddings"), dim = embDim(s, dir)))
     lastQuantScales = Some(sc)
     sc
   }
@@ -1913,7 +1931,7 @@ object SparkEntry {
               transform(col("embedding"),
                         (x, i) => when(i === 0, x * lit(1.25)).otherwise(x)).as("embedding"))
     Similarity.embeddingNearDuplicates(base.unionByName(planted),
-                                       threshold = 0.95, dim = 64)
+                                       threshold = 0.95, dim = embDim(s, dir))
       .orderBy("id_a", "id_b")
   }
 
@@ -2652,7 +2670,10 @@ object SparkEntry {
     * → identical sign bits → identical buckets → identical candidate set;
     * the re-rank then matches exactly as `ann_topk_brute`'s does. */
   private def srpOracleSql: String = {
-    val nBits = 4; val tables = 8; val dim = 64; val seed = 42L
+    // dim comes from the same per-(session,dir) probe the query used —
+    // oracleSql is a def re-evaluated at dump time, AFTER Verify ran the
+    // query (the lastBpeMerges/lastQuantScales pattern)
+    val nBits = 4; val tables = 8; val dim = lastEmbDim.getOrElse(64); val seed = 42L
     def bucketCol(t: Int): String = {
       // same gaussian stream as SrpSigsExpr / Similarity.hyperplanes
       val rnd = new scala.util.Random(seed + t * 7919L)
