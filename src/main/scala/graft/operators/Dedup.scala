@@ -794,6 +794,17 @@ object Dedup {
     // falls back to the salted shuffle join, where the hot-bucket guard is
     // load-bearing: one template bucket would otherwise push its whole pair
     // grid through a single reducer.
+    //
+    // Why the over-budget lane is a salted SHUFFLE join and not a join
+    // against a (band, bucket)-bucketed persisted index (sources/Bucketing,
+    // which would exchange only the batch side): bucketed reads pin each
+    // (band, bucket) key to one task with no exchange for AQE to split, and
+    // the salt guard cannot re-key a bucketed layout — so on the
+    // template-heavy corpora this operator exists for, the bucketed lane
+    // reintroduces exactly the single-reducer pair-grid hotspot the guard
+    // removes. The index shuffle is the price of skew immunity, and it is
+    // paid only by batches too large to broadcast (at which point the batch
+    // is a constant fraction of the corpus and the shuffle amortizes).
     // Orientation (new vs old) is KEPT through the prune so each side's
     // signature comes from the right table; the (id_a ≤ id_b) contract is
     // restored after the prune.
