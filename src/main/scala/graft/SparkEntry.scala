@@ -2680,7 +2680,7 @@ object SparkEntry {
       val planes = Array.fill(nBits * dim)(rnd.nextGaussian())
       (0 until nBits).map { j =>
         val chain = (0 until dim).map { i =>
-          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${planes(j * dim + i)}"
+          s"CAST(CAST(embedding[${i + 1}] AS FLOAT) AS DOUBLE) * ${planes(j * dim + i)}"
         }.mkString(" + ")
         s"(CASE WHEN ($chain) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
@@ -2697,8 +2697,8 @@ object SparkEntry {
           WHERE cb.vec_id <> qb.vec_id),
         s AS (
           SELECT cand.query_id, cand.neighbor_id,
-                 list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-                                        CAST(ce.embedding AS DOUBLE[])) AS sim
+                 list_cosine_similarity(CAST(CAST(qe.embedding AS FLOAT[]) AS DOUBLE[]),
+                                        CAST(CAST(ce.embedding AS FLOAT[]) AS DOUBLE[])) AS sim
           FROM cand
           JOIN embeddings qe ON qe.vec_id = cand.query_id
           JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
@@ -2719,7 +2719,7 @@ object SparkEntry {
     * candidate cut, and the exact re-rank all replay bit-for-bit. */
   private def quantOracleSql(scales: Array[Double]): String = {
     val qvList = scales.indices.map { d =>
-      s"CAST(LEAST(127.0, GREATEST(-127.0, FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * ${scales(d)} + 0.5))) AS INT)"
+      s"CAST(LEAST(127.0, GREATEST(-127.0, FLOOR(CAST(CAST(embedding[${d + 1}] AS FLOAT) AS DOUBLE) * ${scales(d)} + 0.5))) AS INT)"
     }.mkString("[", ", ", "]")
     s"""WITH b AS (SELECT vec_id, $qvList AS qv FROM embeddings),
         qb AS (SELECT * FROM b WHERE vec_id < $AnnQueries),
@@ -2733,8 +2733,8 @@ object SparkEntry {
                                              ORDER BY score DESC, neighbor_id) AS prn
                    FROM sc) WHERE prn <= $AnnQuantCandK),
         s AS (SELECT cand.query_id, cand.neighbor_id,
-                     list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-                                            CAST(ce.embedding AS DOUBLE[])) AS sim
+                     list_cosine_similarity(CAST(CAST(qe.embedding AS FLOAT[]) AS DOUBLE[]),
+                                            CAST(CAST(ce.embedding AS FLOAT[]) AS DOUBLE[])) AS sim
               FROM cand
               JOIN embeddings qe ON qe.vec_id = cand.query_id
               JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
@@ -2815,10 +2815,10 @@ object SparkEntry {
     * and ann_topk_ivf_disk (cell-partitioned layout + pruned probe scan) —
     * same quantizer, probe ranking and candidate sets by construction. */
   private def ivfOracleSql: String =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    s"""WITH e AS (SELECT vec_id, label, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v
                    FROM embeddings),
           f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-                       unnest(embedding) AS x
+                       unnest(CAST(embedding AS FLOAT[])) AS x
                 FROM embeddings),
           cent AS (
             SELECT label, pos,
@@ -3774,7 +3774,7 @@ object SparkEntry {
     // Planted pairs sit at cosine ≈ 0.999 vs a 0.51 natural maximum, so the
     // 0.95 gate has enormous float headroom on both engines.
     "semantic_dedup" ->
-      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      """WITH base AS (SELECT vec_id, label, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v
                        FROM embeddings),
          p AS (SELECT vec_id + 1000000 AS vec_id, label,
                       list_concat([v[1] * 1.25], v[2:]) AS v
@@ -4069,7 +4069,7 @@ object SparkEntry {
     "embedding_centroids" ->
       """WITH f AS (
            SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-                  unnest(embedding) AS e
+                  unnest(CAST(embedding AS FLOAT[])) AS e
            FROM embeddings)
          SELECT label, pos,
                 CAST(sum(CAST(CAST(e AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
@@ -4126,10 +4126,10 @@ object SparkEntry {
     "ann_topk_srp" -> srpOracleSql,
 
     "ann_topk_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS qv
                      FROM embeddings WHERE vec_id < $AnnQueries),
           s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+                       list_cosine_similarity(q.qv, CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) AS sim
                 FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
           r AS (SELECT query_id, neighbor_id, sim,
                        row_number() OVER (PARTITION BY query_id
@@ -4600,7 +4600,7 @@ object SparkEntry {
     // Brute-force rendition of the planted-near-dup query (see the Spark
     // side): perturbed copies of every 25th vector, all-pairs exact cosine.
     "embedding_neardup" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
           p AS (SELECT vec_id + 1000000 AS vec_id,
                        list_concat([v[1] * 1.25], v[2:]) AS v
                 FROM base WHERE vec_id % 25 = 0),

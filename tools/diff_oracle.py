@@ -6,7 +6,7 @@ they hash-match — and if not, the first differing rows.
 
 Usage: python3 tools/diff_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb, pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -19,7 +19,12 @@ if not names:
 con = duckdb.connect()
 for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
+    # a regenerated table may arrive as a DIRECTORY of part files (the engine
+    # reads both layouts); point DuckDB at the matching glob
+    path = f"{sf_dir}/{tbl}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')")
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
