@@ -1024,7 +1024,7 @@ object SparkEntry {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
         reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    Tables.normalizeEventsTs(src, Tables.eventsTsType(s, dir))
+    Tables.normalizeEventsTs(s, dir, src) // type + long-unit from batch probes
   }
 
   /** Scopes a streaming contract query: sets the nanos-as-long legacy conf

@@ -56,12 +56,49 @@ object Tables {
     "nation"     -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
     "region"     -> Map("r_regionkey" -> IntegerType))
 
+  /** Epoch-unit inference for a LONG-typed instant column: a value's
+    * magnitude identifies its unit with three decades of slack per band
+    * (any instant between 1971 and ~2940 lands in exactly one band —
+    * seconds ~1e9, millis ~1e12, micros ~1e15, nanos ~1e18). Needed because
+    * a plain INT64 epoch column is schema-indistinguishable from
+    * TIMESTAMP(NANOS) read under `nanosAsLong`: the footer probe alone
+    * cannot pick the divisor, and assuming nanos over a micros-long file
+    * silently compresses time 1000× (the r06 trap class). Returns one of
+    * "ns" | "us" | "ms" | "s"; an all-null/empty column defaults to "us"
+    * (no row exists for the choice to misread). */
+  private[graft] def inferLongEpochUnit(maxValue: Option[Long]): String =
+    maxValue match {
+      case Some(v) if v >= 30000000000000000L => "ns" // ≥ ~1970+11mo in ns
+      case Some(v) if v >= 30000000000000L    => "us"
+      case Some(v) if v >= 30000000000L       => "ms"
+      case Some(_)                            => "s"
+      case None                               => "us"
+    }
+
+  /** `timestamp_micros` conversion for a long epoch column in `unit`.
+    * Nanos truncate with integer DIV (exact above 2^53); coarser units
+    * multiply exactly. */
+  private[graft] def longEpochToTs(c: String, unit: String) = unit match {
+    case "ns" => expr(s"timestamp_micros($c DIV 1000)")
+    case "us" => expr(s"timestamp_micros($c)")
+    case "ms" => expr(s"timestamp_micros($c * 1000)")
+    case "s"  => expr(s"timestamp_micros($c * 1000000)")
+    case other => throw new IllegalStateException(s"unknown epoch unit: $other")
+  }
+
   private def normalizeWidths(df: DataFrame, name: String): DataFrame =
     canonicalWidths.get(name).fold(df) { want =>
       want.foldLeft(df) { case (d, (c, t)) =>
-        if (d.columns.contains(c) && d.schema(c).dataType != t)
-          d.withColumn(c, col(c).cast(t))
-        else d
+        if (!d.columns.contains(c) || d.schema(c).dataType == t) d
+        else if (t == TimestampType && d.schema(c).dataType == LongType) {
+          // a TIMESTAMP(NANOS)-or-plain-long regen of a date column: a bare
+          // cast would read the long as SECONDS; infer the unit from the
+          // data instead (one max() scan, paid only when the schema drifted)
+          val unit = inferLongEpochUnit(
+            Option(d.agg(org.apache.spark.sql.functions.max(col(c))).head().get(0))
+              .map(_.asInstanceOf[Long]))
+          d.withColumn(c, longEpochToTs(c, unit))
+        } else d.withColumn(c, col(c).cast(t))
       }
     }
 
@@ -95,6 +132,25 @@ object Tables {
   def eventsTsType(spark: SparkSession, sfDir: String): DataType =
     eventsFileSchema(spark, sfDir)("ts").dataType
 
+  private val eventsLongUnits =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Epoch unit of a LONG-typed `events.ts`, inferred once per directory by
+    * magnitude ([[inferLongEpochUnit]]) from one `max(ts)` scan of the ts
+    * column. A TIMESTAMP(NANOS) file and a plain INT64-micros file present
+    * the IDENTICAL footer schema under `nanosAsLong`, so the unit must come
+    * from the data; the probe is batch-side and cached, which is what lets
+    * the STREAMING read path (which cannot aggregate its own frame) share
+    * the same inference. Only consulted when [[eventsTsType]] is LongType. */
+  def eventsTsLongUnit(spark: SparkSession, sfDir: String): String =
+    eventsLongUnits.getOrElseUpdate(sfDir, {
+      eventsFileSchema(spark, sfDir) // ensures nanosAsLong is set for the scan
+      inferLongEpochUnit(
+        Option(spark.read.parquet(s"$sfDir/events.parquet")
+          .agg(org.apache.spark.sql.functions.max(col("ts"))).head().get(0))
+          .map(_.asInstanceOf[Long]))
+    })
+
   /** Normalize a raw events frame's `ts` (typed as [[eventsTsType]] reports)
     * to session-zone `TimestampType` at micros precision, whatever unit the
     * file stored:
@@ -106,12 +162,31 @@ object Tables {
     *     UTC session zone, i.e. the exact epoch DuckDB computes.
     *   - micros instant: already the target type.
     */
-  def normalizeEventsTs(df: DataFrame, raw: DataType): DataFrame = raw match {
-    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-    case TimestampType    => df
-    case other =>
-      throw new IllegalStateException(s"unsupported events.ts parquet type: $other")
+  def normalizeEventsTs(df: DataFrame, raw: DataType): DataFrame =
+    normalizeEventsTs(df, raw, "ns")
+
+  /** As [[normalizeEventsTs]], but with the LONG-column epoch unit made
+    * explicit (see [[eventsTsLongUnit]] — "ns" preserves the historical
+    * nanos-as-long reading; the engine's own read paths pass the inferred
+    * unit so a plain-int64 regen in any unit normalizes correctly). */
+  def normalizeEventsTs(df: DataFrame, raw: DataType, longUnit: String): DataFrame =
+    raw match {
+      case LongType         => df.withColumn("ts", longEpochToTs("ts", longUnit))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts parquet type: $other")
+    }
+
+  /** One-call normalization for a frame read with [[eventsRawSchema]]:
+    * resolves the stored `ts` type AND (for long columns) the inferred
+    * epoch unit from the batch-side probes, both cached per directory.
+    * Safe for streaming frames — the probes never touch `df` itself. */
+  def normalizeEventsTs(spark: SparkSession, sfDir: String,
+                        df: DataFrame): DataFrame = {
+    val raw = eventsTsType(spark, sfDir)
+    val unit = if (raw == LongType) eventsTsLongUnit(spark, sfDir) else "us"
+    normalizeEventsTs(df, raw, unit)
   }
 
   /** Schema for a file-STREAM read of `events.parquet` — the batch-probed
@@ -123,9 +198,10 @@ object Tables {
     eventsFileSchema(spark, sfDir)
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = eventsTsType(spark, sfDir) // also sets nanosAsLong for the lazy scan
+    eventsTsType(spark, sfDir) // sets nanosAsLong for the lazy scan
     normalizeWidths(
-      normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"), raw), "events")
+      normalizeEventsTs(spark, sfDir,
+        spark.read.parquet(s"$sfDir/events.parquet")), "events")
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")

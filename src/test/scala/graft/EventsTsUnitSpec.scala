@@ -38,7 +38,7 @@ class EventsTsUnitSpec extends SparkSpec {
   private def streamedEvents(dir: String): DataFrame = {
     val raw = spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
       .parquet(s"$dir/events.parquet")
-    val norm = Tables.normalizeEventsTs(raw, Tables.eventsTsType(spark, dir))
+    val norm = Tables.normalizeEventsTs(spark, dir, raw)
     val name = s"events_ts_unit_${System.nanoTime()}"
     val q = norm.writeStream.format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
@@ -53,6 +53,30 @@ class EventsTsUnitSpec extends SparkSpec {
     val (nsDir, usDir) = (writeFixture("ns"), writeFixture("us"))
     assert(epochs(Tables.events(spark, nsDir)) === epochsUs)
     assert(epochs(Tables.events(spark, usDir)) === epochsUs)
+  }
+
+  test("plain-int64 ts in any epoch unit is magnitude-inferred, batch and stream") {
+    // A plain INT64 epoch column presents the SAME footer schema as
+    // TIMESTAMP(NANOS) under nanosAsLong — the unit is only recoverable
+    // from value magnitude (Tables.inferLongEpochUnit). A micros-long regen
+    // read as nanos would compress time 1000×; every unit band must decode
+    // the same instants. Whole-second epochs so the seconds fixture is exact.
+    val us = Seq(1686832496000000L, 1686918896000000L)
+    def writeLong(unit: String, f: Long => Long): String = {
+      val dir = tmpDir(s"events_long_$unit")
+      us.zipWithIndex
+        .map { case (u, i) => (i.toLong, f(u), i.toLong, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val dirs = Seq(
+      writeLong("ns", _ * 1000L), writeLong("us", identity),
+      writeLong("ms", _ / 1000L), writeLong("s", _ / 1000000L))
+    for (d <- dirs) {
+      assert(epochs(Tables.events(spark, d)) === us, s"batch $d")
+      assert(epochs(streamedEvents(d)) === us, s"stream $d")
+    }
   }
 
   test("a second session reading a schema-cached nanos dir is still configured") {
@@ -94,7 +118,7 @@ class EventsTsUnitSpec extends SparkSpec {
     def closedSessions(dir: String): Seq[(String, Long, Long, Long)] = {
       val raw = spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
         .parquet(s"$dir/events.parquet")
-      val norm = Tables.normalizeEventsTs(raw, Tables.eventsTsType(spark, dir))
+      val norm = Tables.normalizeEventsTs(spark, dir, raw)
       val name = s"events_sess_${System.nanoTime()}"
       val q = graft.streaming.StatefulOps.statefulSessionize(norm, gapSeconds = 3600)
         .toDF().writeStream.format("memory").queryName(name)
@@ -130,7 +154,7 @@ class EventsTsUnitSpec extends SparkSpec {
     val raw = spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val norm = Tables.normalizeEventsTs(raw, Tables.eventsTsType(spark, dir))
+    val norm = Tables.normalizeEventsTs(spark, dir, raw)
     val name = s"events_real_${System.nanoTime()}"
     val q = norm.writeStream.format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()

@@ -66,4 +66,33 @@ class WidthNormalizationSpec extends SparkSpec {
     assert(ev.select($"event_id", $"user_id", $"value").as[(Long, Long, Double)].head()
       === ((5L, 9L, 1.5)))
   }
+
+  test("date columns regenerated as DATE or long epochs normalize to timestamps") {
+    // o_orderdate/l_shipdate ship as TIMESTAMP(MICROS) today; a regen could
+    // plausibly ship DATE (covered by a plain cast) or a long epoch column
+    // (where a plain cast would read SECONDS — the value must go through
+    // magnitude inference instead). 2023-06-15T00:00:00Z = 1686787200 s.
+    val us = 1686787200000000L
+    def check(dir: String): Unit = {
+      val od = Tables.orders(spark, dir)
+      assert(od.schema("o_orderdate").dataType === TimestampType)
+      assert(od.select(unix_micros($"o_orderdate")).as[Long].head() === us)
+    }
+    val dDate = tmpDir("regen_date")
+    Seq((1L, 2L, "O", 10.0, "2023-06-15", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "ds", "o_orderpriority")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+              col("ds").cast("date").as("o_orderdate"), $"o_orderpriority")
+      .write.parquet(s"$dDate/orders.parquet")
+    check(dDate)
+    for ((unit, v) <- Seq("ms" -> us / 1000L, "s" -> us / 1000000L,
+                          "usl" -> us, "nsl" -> us * 1000L)) {
+      val d = tmpDir(s"regen_epoch_$unit")
+      Seq((1L, 2L, "O", 10.0, v, "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority")
+        .write.parquet(s"$d/orders.parquet")
+      check(d)
+    }
+  }
 }
