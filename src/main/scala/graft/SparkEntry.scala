@@ -2851,16 +2851,16 @@ object SparkEntry {
     // Q14 ratio: identical decimal conditional sums, identical final ops.
     "q14_promo" ->
       """WITH j AS (
-           SELECT p_type, l_extendedprice * (1.0 - l_discount) AS disc
+           SELECT p_type, CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS disc
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1996-02-01'),
          a AS (
            SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                                THEN CAST(disc AS DECIMAL(27,6))
-                                ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                                THEN CAST(CAST(disc AS VARCHAR) AS DECIMAL(27,6))
+                                ELSE CAST(CAST(0 AS VARCHAR) AS DECIMAL(27,6)) END) AS DOUBLE)
                     AS promo_revenue,
-                  CAST(sum(CAST(disc AS DECIMAL(27,6))) AS DOUBLE)
+                  CAST(sum(CAST(CAST(disc AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE)
                     AS total_revenue,
                   count(*) AS n_items
            FROM j)
@@ -2874,26 +2874,25 @@ object SparkEntry {
     "q17_small_qty" ->
       """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
          th AS (SELECT l_partkey,
-                       (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,6)))
+                       (CAST(CAST(sum(CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6)))
                                   AS VARCHAR) AS DOUBLE)
                         / CAST(count(*) AS DOUBLE)) * 0.2 AS qty_thresh
                 FROM lineitem JOIN bp ON l_partkey = p_partkey
                 GROUP BY l_partkey)
-         SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+         SELECT CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE)
                   / 7.0 AS avg_yearly,
                 count(*) AS n_rows
          FROM lineitem l JOIN th ON l.l_partkey = th.l_partkey
-         WHERE l.l_quantity < th.qty_thresh""",
+         WHERE CAST(l.l_quantity AS DOUBLE) < th.qty_thresh""",
 
     "q19_disjunctive" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                              AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-                AND l_quantity BETWEEN 1 AND 20)
+                AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
-                AND l_quantity BETWEEN 10 AND 40)""",
+                AND CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 40)""",
 
     // Greedy non-overlapping automaton replayed with a recursive CTE over
     // the same µs-total event order (the packed_chunks recurrence-replay
@@ -2928,8 +2927,7 @@ object SparkEntry {
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                 CAST(year(l_shipdate) AS INT) AS l_year,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                              AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -2945,8 +2943,7 @@ object SparkEntry {
     // break on custkey identically in both engines.
     "q10_returned_top20" ->
       """SELECT c_custkey, c_name,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                              AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -3190,9 +3187,9 @@ object SparkEntry {
 
     "ntile_orders" ->
       """SELECT quartile, count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
-         FROM (SELECT o_totalprice,
-                      ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+                CAST(sum(CAST(CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+         FROM (SELECT CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                      ntile(4) OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS quartile
                FROM orders)
          GROUP BY quartile ORDER BY quartile""",
 
@@ -3299,14 +3296,14 @@ object SparkEntry {
          FROM s ORDER BY event_type""",
 
     "hist_value" ->
-      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+      """WITH b AS (SELECT event_type, min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
                     FROM events GROUP BY 1)
          SELECT e.event_type,
                 CASE WHEN b.hi = b.lo THEN 0
-                     ELSE least(CAST(floor((e.value - b.lo) * 10.0 / (b.hi - b.lo))
+                     ELSE least(CAST(floor((CAST(e.value AS DOUBLE) - b.lo) * 10.0 / (b.hi - b.lo))
                                      AS BIGINT), 9) END AS bin,
                 count(*) AS n, min(b.lo) AS lo, min(b.hi) AS hi,
-                CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+                CAST(sum(CAST(CAST(CAST(e.value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
          FROM events e JOIN b USING (event_type)
          GROUP BY 1, 2 ORDER BY event_type, bin""",
 
@@ -3434,7 +3431,7 @@ object SparkEntry {
           ORDER BY p.event_id""",
 
     "range_join_orders" ->
-      """WITH b AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+      """WITH b AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority,
                            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day,
                            year(CAST(o_orderdate AS DATE)) AS yr
                     FROM orders),
@@ -3443,7 +3440,7 @@ object SparkEntry {
                  FROM b GROUP BY 1)
           SELECT iv.interval_id, iv.lo, iv.hi,
                  count(*) AS n_orders,
-                 CAST(sum(CAST(b.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+                 CAST(sum(CAST(CAST(CAST(b.o_totalprice AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS total_price
           FROM iv JOIN b ON b.o_day BETWEEN iv.lo AND iv.hi
           GROUP BY 1, 2, 3 ORDER BY interval_id""",
 
@@ -3525,16 +3522,16 @@ object SparkEntry {
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
     "q3_revenue" ->
       """SELECT c_mktsegment,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                 count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -3543,7 +3540,7 @@ object SparkEntry {
 
     "q5_revenue" ->
       """SELECT r_name, n_name,
-                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -3574,15 +3571,15 @@ object SparkEntry {
 
     "agg_event_stats" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-                CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
-                min(value) AS min_value, max(value) AS max_value,
-                CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_value
+                CAST(sum(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+                min(CAST(value AS DOUBLE)) AS min_value, max(CAST(value AS DOUBLE)) AS max_value,
+                CAST(sum(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                 count(DISTINCT user_id) AS n_users,
-                CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+                CAST(sum(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "events_daily_filled" ->
@@ -3625,13 +3622,13 @@ object SparkEntry {
     // Linear interpolation: same bracketing carries, same IEEE sequence
     // (vp + (vn−vp) · (Δd / Δspan)), exact integer day deltas.
     "events_interp" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, CAST(value AS DOUBLE) AS value
                      FROM events),
-         ranked AS (SELECT user_id, day, value,
+         ranked AS (SELECT user_id, day, CAST(value AS DOUBLE) AS value,
                            row_number() OVER (PARTITION BY user_id, day
                                               ORDER BY ts DESC, event_id DESC) AS rn
                     FROM ev),
-         daily AS (SELECT user_id, day, value AS v FROM ranked WHERE rn = 1),
+         daily AS (SELECT user_id, day, CAST(value AS DOUBLE) AS v FROM ranked WHERE rn = 1),
          sp AS (SELECT user_id, min(day) AS fday, max(day) AS lday
                 FROM daily GROUP BY 1),
          spine AS (SELECT sp.user_id,
@@ -3667,8 +3664,7 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey,
-                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                AS DECIMAL(27,6))) AS DOUBLE) AS total_rev
+                  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS total_rev
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -3709,7 +3705,7 @@ object SparkEntry {
     // pinned subtraction + division; NULL rate for zero spans on both sides.
     "events_bounding_ratio" ->
       """WITH o AS (
-           SELECT user_id, value, ts, event_id,
+           SELECT user_id, CAST(value AS DOUBLE) AS value, ts, event_id,
                   row_number() OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS rn,
                   row_number() OVER (PARTITION BY user_id
@@ -3717,8 +3713,8 @@ object SparkEntry {
            FROM events),
          a AS (
            SELECT user_id,
-                  min(CASE WHEN rn = 1 THEN value END) AS first_value,
-                  min(CASE WHEN rrn = 1 THEN value END) AS last_value,
+                  min(CASE WHEN rn = 1 THEN CAST(value AS DOUBLE) END) AS first_value,
+                  min(CASE WHEN rrn = 1 THEN CAST(value AS DOUBLE) END) AS last_value,
                   CAST(floor(epoch(max(ts))) AS BIGINT)
                     - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
                   count(*) AS n_events
@@ -3765,7 +3761,7 @@ object SparkEntry {
       """SELECT coalesce(c.c_mktsegment, '<none>') AS segment,
                 count(*) AS n_events,
                 count(DISTINCT e.user_id) AS n_users,
-                CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+                CAST(sum(CAST(CAST(CAST(e.value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
 
@@ -3908,11 +3904,11 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q6_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(sum(CAST(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                 count(*) AS n
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10""",
+           AND CAST(l_discount AS DOUBLE) BETWEEN 0.02 AND 0.06 AND CAST(l_quantity AS DOUBLE) < 10""",
 
     "q4_late_shipments" ->
       """SELECT o_orderpriority, count(*) AS n_orders
@@ -3960,7 +3956,7 @@ object SparkEntry {
 
     "top10_customers" ->
       """SELECT c_custkey, c_name,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                CAST(sum(CAST(CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey, c_name
          ORDER BY revenue DESC, c_custkey LIMIT 10""",
@@ -3968,8 +3964,8 @@ object SparkEntry {
     "agg_value_stats_ext" ->
       """WITH s AS (
            SELECT event_type, count(*) AS n,
-                  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
-                  CAST(sum(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2
+                  CAST(sum(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS s2
            FROM events GROUP BY event_type)
          SELECT event_type, n, s1 / n AS mean_value,
                 sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value
@@ -4002,8 +3998,8 @@ object SparkEntry {
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "pct_value_by_type" ->
-      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
-                quantile_cont(value, 0.9) AS p90
+      """SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
+                quantile_cont(CAST(value AS DOUBLE), 0.9) AS p90
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     // Discrete-rank winsorization replayed with the same under-ceil guard
