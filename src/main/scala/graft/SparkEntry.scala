@@ -3018,7 +3018,7 @@ object SparkEntry {
     // total order; per-key outputs are tie-order invariant by construction.
     "interval_union_days" ->
       """WITH iv AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
-                            CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e,
+                            CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS DOUBLE) AS INT) AS e,
                             l_orderkey, l_linenumber
                      FROM lineitem),
          pm AS (SELECT *, max(e) OVER (PARTITION BY l_suppkey
@@ -3093,22 +3093,22 @@ object SparkEntry {
             SELECT user_id, CAST(ts AS DATE) AS assigned_at, count(*) >= $DailySeg AS value
             FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2),
           r AS (
-            SELECT user_id, value,
+            SELECT user_id, CAST(value AS DOUBLE) AS value,
                    row_number() OVER (PARTITION BY user_id ORDER BY assigned_at DESC) AS rn
             FROM a)
           SELECT user_id FROM r WHERE rn = 1 AND value ORDER BY user_id""",
 
     "seg_latest_event" ->
-      """SELECT user_id, event_type AS latest_type, value AS latest_value
-         FROM (SELECT user_id, event_type, value,
+      """SELECT user_id, event_type AS latest_type, CAST(value AS DOUBLE) AS latest_value
+         FROM (SELECT user_id, event_type, CAST(value AS DOUBLE) AS value,
                       row_number() OVER (PARTITION BY user_id
                                          ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id""",
 
     "seg_first_event" ->
-      """SELECT user_id, event_type AS first_type, value AS first_value
-         FROM (SELECT user_id, event_type, value,
+      """SELECT user_id, event_type AS first_type, CAST(value AS DOUBLE) AS first_value
+         FROM (SELECT user_id, event_type, CAST(value AS DOUBLE) AS value,
                       row_number() OVER (PARTITION BY user_id
                                          ORDER BY ts ASC, event_id ASC) AS rn
                FROM events)
@@ -3258,7 +3258,7 @@ object SparkEntry {
     // double→decimal rounding near grid midpoints diverges across engines
     "agg_moments" ->
       """WITH dv AS (
-           SELECT event_type, CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)) AS d
+           SELECT event_type, CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d
            FROM events),
          s AS (
            SELECT event_type, count(*) AS n,
@@ -3278,7 +3278,7 @@ object SparkEntry {
 
     "corr_value_hour" ->
       """WITH dv AS (
-           SELECT event_type, CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)) AS x,
+           SELECT event_type, CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS x,
                   CAST(hour(ts) AS BIGINT) AS y
            FROM events),
          s AS (
@@ -3512,12 +3512,12 @@ object SparkEntry {
           GROUP BY user_id ORDER BY user_id""",
 
     "q2_min_cost_supplier" ->
-      """WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+      """WITH m AS (SELECT l_partkey, min(CAST(l_extendedprice AS DOUBLE)) AS min_price
                     FROM lineitem GROUP BY l_partkey)
          SELECT l.l_partkey, min(l.l_suppkey) AS cheapest_suppkey,
                 min(m.min_price) AS min_price
          FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey
-                              AND l.l_extendedprice = m.min_price
+                              AND CAST(l.l_extendedprice AS DOUBLE) = m.min_price
          GROUP BY l.l_partkey ORDER BY l.l_partkey""",
 
     "q1_pricing" ->
@@ -3552,20 +3552,20 @@ object SparkEntry {
     "semi_customers" ->
       s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
           WHERE EXISTS (SELECT 1 FROM orders
-                        WHERE o_custkey = c_custkey AND o_totalprice > $PriceFloor)
+                        WHERE o_custkey = c_custkey AND CAST(o_totalprice AS DOUBLE) > $PriceFloor)
           ORDER BY c_custkey""",
 
     "anti_customers" ->
       s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
           WHERE NOT EXISTS (SELECT 1 FROM orders
-                            WHERE o_custkey = c_custkey AND o_totalprice > $PriceFloor)
+                            WHERE o_custkey = c_custkey AND CAST(o_totalprice AS DOUBLE) > $PriceFloor)
           ORDER BY c_custkey""",
 
     "window_top2_orders" ->
-      """SELECT o_custkey, rnk, o_orderkey, o_totalprice
-         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      """SELECT o_custkey, rnk, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
                       row_number() OVER (PARTITION BY o_custkey
-                                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                                         ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
 
@@ -3598,13 +3598,13 @@ object SparkEntry {
     // (ts, event_id) struct), same dense spine, same windowed forward fill.
     // The double value is never touched by arithmetic on either side.
     "events_locf" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, CAST(value AS DOUBLE) AS value
                      FROM events),
-         ranked AS (SELECT user_id, day, value,
+         ranked AS (SELECT user_id, day, CAST(value AS DOUBLE) AS value,
                            row_number() OVER (PARTITION BY user_id, day
                                               ORDER BY ts DESC, event_id DESC) AS rn
                     FROM ev),
-         daily AS (SELECT user_id, day, value AS v FROM ranked WHERE rn = 1),
+         daily AS (SELECT user_id, day, CAST(value AS DOUBLE) AS v FROM ranked WHERE rn = 1),
          fd AS (SELECT user_id, min(day) AS fday FROM daily GROUP BY 1),
          spine AS (SELECT fd.user_id,
                           unnest(generate_series(fd.fday,
@@ -3677,13 +3677,13 @@ object SparkEntry {
     "q18_large_orders" ->
       """WITH big AS (
            SELECT l_orderkey,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+                  CAST(sum(CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
            FROM lineitem GROUP BY 1 HAVING sum_qty > 200.0)
-         SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+         SELECT c_custkey, c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
          FROM orders
          JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+         ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey LIMIT 100""",
 
     // Running distinct users via the first-seen rewrite (identical fold).
     "events_running_users" ->
@@ -3729,8 +3729,8 @@ object SparkEntry {
     "events_delta_sum" ->
       """WITH d AS (
            SELECT user_id,
-                  CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2))
-                  - lag(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)))
+                  CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2))
+                  - lag(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)))
                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
            FROM events)
          SELECT user_id,
@@ -3744,9 +3744,9 @@ object SparkEntry {
     // Trailing 7-event moving average: identical frame, exact decimal frame
     // sums via the string route on both sides, one IEEE divide.
     "events_moving_avg" ->
-      """SELECT event_id, user_id, value,
+      """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
                 count(*) OVER w AS n_window,
-                CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)))
+                CAST(CAST(sum(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)))
                             OVER w AS VARCHAR) AS DOUBLE)
                   / CAST(count(*) OVER w AS DOUBLE) AS mavg
          FROM events
@@ -3842,10 +3842,10 @@ object SparkEntry {
     // reaching-the-target result is invariant to intra-tie order (see
     // RobustStats.weightedQuantile).
     "weighted_median_price" ->
-      """WITH clean AS (SELECT l_returnflag, l_extendedprice AS v,
-                               CAST(l_quantity AS BIGINT) AS wt
+      """WITH clean AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+                               CAST(CAST(l_quantity AS DOUBLE) AS BIGINT) AS wt
                         FROM lineitem
-                        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+                        WHERE CAST(l_extendedprice AS DOUBLE) IS NOT NULL AND CAST(l_quantity AS DOUBLE) > 0),
          r AS (SELECT l_returnflag, v,
                       sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
                                     ROWS BETWEEN UNBOUNDED PRECEDING
@@ -3871,7 +3871,7 @@ object SparkEntry {
                                                   ORDER BY ts, event_id)))
                        AS BIGINT)
                   - CAST(floor(epoch(ts)) AS BIGINT) AS dt,
-                  CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)) AS dv
+                  CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS dv
            FROM events)
          SELECT user_id, count(*) AS n_intervals,
                 CAST(sum(dt) AS BIGINT) AS total_seconds,
@@ -3920,7 +3920,7 @@ object SparkEntry {
 
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
                 count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -4006,24 +4006,22 @@ object SparkEntry {
     // (0.05*n in doubles can overshoot the rational product); bounds are
     // data values, so the sum stays on the exact decimal path.
     "winsorized_stats" ->
-      """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-          s AS (SELECT event_type, value,
-                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value FROM events WHERE CAST(value AS DOUBLE) IS NOT NULL),
+          s AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rn,
                        count(*) OVER (PARTITION BY event_type) AS n
                 FROM v),
           b AS (SELECT event_type, max(n) AS n,
                        min(CASE WHEN rn = CAST(ceil(0.05 * n - 1e-9) AS BIGINT)
-                                THEN value END) AS lo,
+                                THEN CAST(value AS DOUBLE) END) AS lo,
                        min(CASE WHEN rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT)
-                                THEN value END) AS hi
+                                THEN CAST(value AS DOUBLE) END) AS hi
                 FROM s GROUP BY 1)
           SELECT v.event_type, b.n, b.lo, b.hi,
-                 CAST(sum(CAST(v.value < b.lo OR v.value > b.hi AS INT)) AS BIGINT)
+                 CAST(sum(CAST(CAST(v.value AS DOUBLE) < b.lo OR CAST(v.value AS DOUBLE) > b.hi AS INT)) AS BIGINT)
                    AS n_clipped,
-                 CAST(sum(CAST(least(greatest(v.value, b.lo), b.hi)
-                               AS DECIMAL(27,6))) AS DOUBLE) AS wins_sum,
-                 CAST(sum(CAST(least(greatest(v.value, b.lo), b.hi)
-                               AS DECIMAL(27,6))) AS DOUBLE) / b.n AS wins_mean
+                 CAST(sum(CAST(CAST(least(greatest(CAST(v.value AS DOUBLE), b.lo), b.hi) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS wins_sum,
+                 CAST(sum(CAST(CAST(least(greatest(CAST(v.value AS DOUBLE), b.lo), b.hi) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) / b.n AS wins_mean
           FROM v JOIN b USING (event_type)
           GROUP BY 1, 2, 3, 4 ORDER BY event_type""",
 
