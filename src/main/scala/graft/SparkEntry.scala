@@ -3093,7 +3093,7 @@ object SparkEntry {
             SELECT user_id, CAST(ts AS DATE) AS assigned_at, count(*) >= $DailySeg AS value
             FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2),
           r AS (
-            SELECT user_id, CAST(value AS DOUBLE) AS value,
+            SELECT user_id, value,
                    row_number() OVER (PARTITION BY user_id ORDER BY assigned_at DESC) AS rn
             FROM a)
           SELECT user_id FROM r WHERE rn = 1 AND value ORDER BY user_id""",

@@ -18,7 +18,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else normalizeWidths(spark.read.parquet(s"$sfDir/$name.parquet"), name)
+    else normalizeWidths(spark.read.parquet(s"$sfDir/$name.parquet"), name, sfDir)
 
   /** Defensive integral/float-width normalization for the generator-owned
     * tables, same risk class as the events `ts` unit flip that broke r06:
@@ -86,17 +86,25 @@ object Tables {
     case other => throw new IllegalStateException(s"unknown epoch unit: $other")
   }
 
-  private def normalizeWidths(df: DataFrame, name: String): DataFrame =
+  // Inferred epoch unit per (sfDir, table, column): the probe is one full-
+  // column max() ACTION, and normalizeWidths runs at every frame construction
+  // — on a long-epoch date regen an uncached probe would re-scan lineitem/
+  // orders once per query built, not once per run. Mirrors eventsLongUnits.
+  private val longDateUnits =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  private def normalizeWidths(df: DataFrame, name: String, sfDir: String): DataFrame =
     canonicalWidths.get(name).fold(df) { want =>
       want.foldLeft(df) { case (d, (c, t)) =>
         if (!d.columns.contains(c) || d.schema(c).dataType == t) d
         else if (t == TimestampType && d.schema(c).dataType == LongType) {
           // a TIMESTAMP(NANOS)-or-plain-long regen of a date column: a bare
           // cast would read the long as SECONDS; infer the unit from the
-          // data instead (one max() scan, paid only when the schema drifted)
-          val unit = inferLongEpochUnit(
-            Option(d.agg(org.apache.spark.sql.functions.max(col(c))).head().get(0))
-              .map(_.asInstanceOf[Long]))
+          // data instead (one max() scan, paid once per (dir, table, column))
+          val unit = longDateUnits.getOrElseUpdate((sfDir, name, c),
+            inferLongEpochUnit(
+              Option(d.agg(org.apache.spark.sql.functions.max(col(c))).head().get(0))
+                .map(_.asInstanceOf[Long])))
           d.withColumn(c, longEpochToTs(c, unit))
         } else d.withColumn(c, col(c).cast(t))
       }
@@ -162,14 +170,12 @@ object Tables {
     *     UTC session zone, i.e. the exact epoch DuckDB computes.
     *   - micros instant: already the target type.
     */
-  def normalizeEventsTs(df: DataFrame, raw: DataType): DataFrame =
-    normalizeEventsTs(df, raw, "ns")
-
-  /** As [[normalizeEventsTs]], but with the LONG-column epoch unit made
-    * explicit (see [[eventsTsLongUnit]] — "ns" preserves the historical
-    * nanos-as-long reading; the engine's own read paths pass the inferred
-    * unit so a plain-int64 regen in any unit normalizes correctly). */
-  def normalizeEventsTs(df: DataFrame, raw: DataType, longUnit: String): DataFrame =
+  // NOTE: there is deliberately NO (df, raw) overload defaulting the long
+  // unit — a caller that skipped the probe would silently reintroduce the
+  // 1000× time-compression trap on a micros-long file. All entry points go
+  // through the probe-backed (spark, sfDir, df) form below.
+  private[graft] def normalizeEventsTs(df: DataFrame, raw: DataType,
+                                       longUnit: String): DataFrame =
     raw match {
       case LongType         => df.withColumn("ts", longEpochToTs("ts", longUnit))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
@@ -201,7 +207,7 @@ object Tables {
     eventsTsType(spark, sfDir) // sets nanosAsLong for the lazy scan
     normalizeWidths(
       normalizeEventsTs(spark, sfDir,
-        spark.read.parquet(s"$sfDir/events.parquet")), "events")
+        spark.read.parquet(s"$sfDir/events.parquet")), "events", sfDir)
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")

@@ -23,7 +23,8 @@ for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
     # reads both layouts); point DuckDB at the matching glob
     path = f"{sf_dir}/{tbl}.parquet"
     if os.path.isdir(path):
-        path = f"{path}/*.parquet"
+        # recursive: part files may be nested (e.g. partition subdirectories)
+        path = f"{path}/**/*.parquet"
     con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')")
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
