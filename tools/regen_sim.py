@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Regen-simulation writer: emits a TRANSFORMED copy of a scale-factor dir to
+exercise the engine against physical-schema shapes the driver's generator
+could plausibly emit on a regen (the only failure class that has ever
+produced a red round — see SURVEY.md §8 "regen-simulation hardening").
+
+Usage: python3 tools/regen_sim.py <sim> <srcSfDir> <dstDir>
+
+Sims (each rewrites only what it names; all other tables copy through):
+  widths    int32/int64 flips on id columns, DATE-typed TPC-H date columns,
+            float64 embeddings
+  nanosdir  TIMESTAMP(NANOS) events written as a DIRECTORY of part files
+            (the r01-r05 historical shape)
+  f32meas   every double measure column written as float32
+  millis    TIMESTAMP(MILLIS) events + large_string text/props + int32 doc_id
+  decimal   the money/measure family written as DECIMAL(12,2) and events
+            `value` as DECIMAL(18,6) — the one physical type with no prior sim
+
+After writing, run the FULL gate against the copy (CLAUDE.md discipline —
+unit specs cannot see oracle-vs-engine width disagreements):
+  sbt -batch "runMain graft.Verify <dstDir> /tmp/sim_out"
+  python3 tools/diff_oracle.py <dstDir> /tmp/sim_out
+"""
+import os, shutil, sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# the double measure family (CLAUDE.md: canonical width DOUBLE engine-side)
+MEASURES = {
+    "events":   ["value"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders":   ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part":     ["p_retailprice"],
+}
+
+
+def cast_cols(t: pa.Table, casts: dict) -> pa.Table:
+    for name, typ in casts.items():
+        if name in t.column_names:
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, name, pc.cast(t.column(name), typ))
+    return t
+
+
+def sim_decimal(name: str, t: pa.Table) -> pa.Table:
+    # money family at DECIMAL(12,2); events.value keeps 6 digits of scale so
+    # the DECIMAL(27,6)-sum oracles still exercise non-trivial fractions
+    casts = {}
+    for c in MEASURES.get(name, []):
+        casts[c] = pa.decimal128(18, 6) if c == "value" else pa.decimal128(12, 2)
+    return cast_cols(t, casts)
+
+
+def sim_f32meas(name: str, t: pa.Table) -> pa.Table:
+    return cast_cols(t, {c: pa.float32() for c in MEASURES.get(name, [])})
+
+
+def sim_widths(name: str, t: pa.Table) -> pa.Table:
+    casts = {
+        "documents":  {"doc_id": pa.int32(), "n_chars": pa.int32()},
+        "embeddings": {"vec_id": pa.int32(), "label": pa.int64(),
+                       "embedding": pa.list_(pa.float64())},
+        "events":     {"event_id": pa.int32(), "user_id": pa.int32()},
+        "lineitem":   {"l_orderkey": pa.int32(), "l_partkey": pa.int32(),
+                       "l_suppkey": pa.int32(), "l_linenumber": pa.int64(),
+                       "l_shipdate": pa.date32()},
+        "orders":     {"o_orderkey": pa.int32(), "o_custkey": pa.int32(),
+                       "o_orderdate": pa.date32()},
+        "customer":   {"c_custkey": pa.int32(), "c_nationkey": pa.int64()},
+        "supplier":   {"s_suppkey": pa.int32(), "s_nationkey": pa.int64()},
+        "part":       {"p_partkey": pa.int32(), "p_size": pa.int64()},
+        "nation":     {"n_nationkey": pa.int64(), "n_regionkey": pa.int64()},
+        "region":     {"r_regionkey": pa.int64()},
+    }.get(name, {})
+    return cast_cols(t, casts)
+
+
+def sim_millis(name: str, t: pa.Table) -> pa.Table:
+    if name == "events":
+        t = cast_cols(t, {"ts": pa.timestamp("ms"),
+                          "event_type": pa.large_string(),
+                          "props": pa.large_string()})
+    if name == "documents":
+        t = cast_cols(t, {"doc_id": pa.int32(), "text": pa.large_string()})
+    return t
+
+
+def sim_nanosdir(name: str, t: pa.Table) -> pa.Table:
+    if name == "events":
+        t = cast_cols(t, {"ts": pa.timestamp("ns")})
+    return t
+
+
+SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
+        "millis": sim_millis, "nanosdir": sim_nanosdir}
+
+
+def main():
+    sim, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    fn = SIMS[sim]
+    os.makedirs(dst, exist_ok=True)
+    for tbl in TABLES:
+        src_path = f"{src}/{tbl}.parquet"
+        out = fn(tbl, pq.read_table(src_path))
+        dst_path = f"{dst}/{tbl}.parquet"
+        if sim == "nanosdir" and tbl == "events":
+            # directory-of-parts layout (r01-r05 shape): two part files
+            shutil.rmtree(dst_path, ignore_errors=True)
+            os.makedirs(dst_path)
+            n = out.num_rows // 2
+            pq.write_table(out.slice(0, n), f"{dst_path}/part-000.parquet")
+            pq.write_table(out.slice(n), f"{dst_path}/part-001.parquet")
+        else:
+            pq.write_table(out, dst_path)
+        print(f"[sim:{sim}] {tbl}: {out.schema}".replace("\n", " | ")[:200])
+
+
+if __name__ == "__main__":
+    main()
