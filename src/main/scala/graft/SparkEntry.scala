@@ -1870,7 +1870,7 @@ object SparkEntry {
     // of the skew guard without a corpus-sized scan in the timed probe
     val hot = materialized(s, dir, "lsh_index_hist_hot") { Dedup.hotBuckets(index) }
     Dedup.incrementalNearDuplicates(newDocs, corpus, index, threshold = 0.5,
-        corpusSigs = Some(sigs), corpusHot = Some(hot))
+        corpusSigs = Some(sigs), corpusHot = Some(hot), allDocs = Some(docs))
       .orderBy("id_a", "id_b")
   }
 

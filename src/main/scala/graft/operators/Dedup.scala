@@ -771,17 +771,21 @@ object Dedup {
                                 skewSalt: Int = 8, skewCap: Long = 2048L,
                                 corpusHot: Option[DataFrame] = None,
                                 maxSigBroadcastBytes: Long = 64L << 20,
-                                maxIndexBroadcastBytes: Long = 32L << 20): DataFrame = {
+                                maxIndexBroadcastBytes: Long = 32L << 20,
+                                allDocs: Option[DataFrame] = None): DataFrame = {
     // the batch's signatures are computed ONCE and feed both the banding
     // pass and the estimate prune (previously two separate minhash passes
     // over the batch text)
     val newSigs = lshSignatures(newDocs, textCol, idCol, shingleK, numHashes, seed)
       .localCheckpoint(true)
+    val nNew = newSigs.count() // cached-scan count; sizes BOTH byte budgets
+    // the banding explode is a cheap projection off the materialized sigs —
+    // NOT checkpointed: each consumer re-derives it from the sig cache, which
+    // costs less than a third materialization pass + its scheduling point
     val newIndex = newSigs
       .select(col(idCol),
               explode(lshBands(col("sig"), bands, numHashes / bands)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-      .localCheckpoint(true)
     val a = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_new"))
     // Candidates vs the historical index + within the new batch itself.
     // The vs-corpus join is the scale pivot: the historical index is the
@@ -811,7 +815,9 @@ object Dedup {
     // hot-bucket detection costs an aggregate over the batch index — only
     // the salted fallback lanes need it, so it is computed lazily
     lazy val hot = hotBuckets(a, skewCap)
-    val nNewIndexRows = newIndex.count()
+    // exactly `bands` index rows per signed doc, so the index-side budget
+    // needs no extra count action
+    val nNewIndexRows = nNew * bands
     val batchIdxSmall = nNewIndexRows * 28L <= maxIndexBroadcastBytes
     val corpusIdx = corpusIndex
       .select(col("band"), col("bucket"), col(idCol).as("id_old"))
@@ -820,15 +826,22 @@ object Dedup {
       else saltedBandJoin(a, corpusIdx, "id_new",
         skewSalt, skewCap, Some(hot), rightIdCol = Some("id_old"),
         rightHotOpt = corpusHot)
+    // Candidates keep their per-band MULTIPLICITY here: deduping (id_new,
+    // id_old) now would cost a candidate-sized exchange, while the estimate
+    // prune downstream is a map-side broadcast join whose per-row cost is
+    // one native sig-compare — duplicates pass or fail it IDENTICALLY (the
+    // prune is per-pair deterministic), so the dedup folds into the much
+    // smaller post-prune pair list instead (one exchange over survivors,
+    // ~band-multiplicity× fewer rows than the raw candidate flood).
     val vsCorpus = candRaw
       .filter(col("id_new") =!= col("id_old"))
-      .dropDuplicates("id_new", "id_old")
-      .localCheckpoint(true) // consumed twice: old-id set + the prune join
+      .select(col("id_new"), col("id_old"))
+      .localCheckpoint(true) // consumed twice: byte-budget count + prune join
     val b = newIndex.select(col("band"), col("bucket"), col(idCol).as("id_b2"))
     val vsSelf = (if (batchIdxSmall) a.join(broadcast(b), Seq("band", "bucket"))
                   else saltedBandJoin(a, b, "id_new", skewSalt, skewCap, Some(hot)))
       .filter(col("id_new") < col("id_b2"))
-      .dropDuplicates("id_new", "id_b2")
+      .select(col("id_new"), col("id_b2"))
     // Estimate prune. The new-batch sig table is batch-sized (1 KB/doc), so
     // under the byte budget it BROADCASTS and the within-batch pairs prune
     // with zero shuffle. For the vs-corpus pairs the CANDIDATE LIST itself
@@ -840,7 +853,6 @@ object Dedup {
     // recomputed from text) it falls back to the distinct-old-ids semi join
     // + one shuffle join, which ships O(candidates) sig bytes, never
     // O(corpus).
-    val nNew = newSigs.count()
     val bcastNew = nNew * (numHashes * 8L + 32L) <= maxSigBroadcastBytes
     def newSide(as1: String, as2: String): DataFrame = {
       val f = newSigs.select(col(idCol).as(as1), col("sig").as(as2))
@@ -876,8 +888,12 @@ object Dedup {
       .filter(est >= threshold - estMargin)
       .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
     // the pair list is pair-count-sized and feeds THREE consumers (the
-    // survivor-id set and both shingle joins) — materialize once
-    val pruned = corpusPruned.unionByName(selfPruned).localCheckpoint(true)
+    // survivor-id set and both shingle joins) — materialize once. This is
+    // also where the deferred candidate dedup lands: one exchange over the
+    // estimate-prune SURVIVORS collapses the per-band multiplicity kept
+    // through the bucket joins and the prune.
+    val pruned = corpusPruned.unionByName(selfPruned)
+      .dropDuplicates("id_a", "id_b").localCheckpoint(true)
     val survivorIds = pruned.select(col("id_a").as(idCol))
       .union(pruned.select(col("id_b").as(idCol))).distinct()
     // Sorted shingle sets -> linear-merge exact verify (see the batch
@@ -892,7 +908,11 @@ object Dedup {
     // degrades to shuffle joins that still ship survivor rows only.
     val prunedSmall = pruned.count() * 16L <= maxIndexBroadcastBytes
     def pairSide(f: DataFrame): DataFrame = if (prunedSmall) broadcast(f) else f
-    val sh = corpus.unionByName(newDocs)
+    // `allDocs`, when the caller already holds the corpus∪batch frame (the
+    // ingest-sharded table both slices were filtered from), spares a second
+    // full text scan here — the union of two filters of the same cached
+    // frame otherwise decompresses every text block twice
+    val sh = allDocs.getOrElse(corpus.unionByName(newDocs))
       .join(pairSide(survivorIds), Seq(idCol), "left_semi")
       .select(col(idCol),
         sort_array(graft.functions.NativeExprs.shingleSet(col(textCol), shingleK)).as("sh"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Per-JOB timing of one contract query: every action (checkpoint
+  * materialization, count, broadcast-relation build that surfaces as a job,
+  * final collect) prints its wall-clock, so the serial job chain inside a
+  * fused operator is visible. Run:
+  *   `Test/runMain graft.ProfileJobs <queryName> [repeats]` */
+object ProfileJobs {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("incremental_neardup")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteLatestWinsWindow
+    Seq("lineitem", "events", "documents", "embeddings", "orders", "customer")
+      .foreach(t => try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () })
+    try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
+
+    val starts = TrieMap.empty[Int, (Long, String)]
+    @volatile var record = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val stages = js.stageInfos.map(si => s"${si.stageId}:${si.name.takeWhile(_ != '\n').take(60)}(${si.numTasks})").mkString(" | ")
+        starts.put(js.jobId, (System.nanoTime(), stages))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (t0, desc) =>
+          if (record)
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $desc")
+        }
+    })
+
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm pass, unrecorded
+    (1 to reps).foreach { i =>
+      println(s"=== run $i ===")
+      record = true
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      println(f"[total] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      record = false
+      Thread.sleep(200)
+    }
+    spark.stop()
+  }
+}
