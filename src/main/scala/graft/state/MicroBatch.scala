@@ -102,13 +102,26 @@ class MicroBatchPipeline(
       spark.sessionState.conf.numShufflePartitions.toLong,
       partials.count() / 500000L + 1)).toInt
     val sized = partials.coalesce(outParts)
-    sized.write.mode("append").partitionBy("computed_date").parquet(paths.states)
-
+    // the state append and the change-log co-write are independent reads of
+    // the same cached block (the MV trigger fires on the INSERTED block, not
+    // on the committed table), so they run CONCURRENTLY — the merge pass
+    // below is the only consumer that needs either on disk, and it awaits
+    // both. Halves the serial write latency of every micro-batch.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stateWrite = Future {
+      sized.write.mode("append").partitionBy("computed_date").parquet(paths.states)
+    }
     // --- the "materialized view": co-write the same inserted block's keys to
     //     the change log (3-microBatch.test.ts:50-56 — ClickHouse MVs trigger
     //     on the inserted block, so we project from `partials`, not a rescan)
-    sized.select(col(userCol), col("computed_at"), col("computed_date"))
-      .write.mode("append").partitionBy("computed_date").parquet(paths.changeLog)
+    val changeLogWrite = Future {
+      sized.select(col(userCol), col("computed_at"), col("computed_date"))
+        .write.mode("append").partitionBy("computed_date").parquet(paths.changeLog)
+    }
+    Await.result(stateWrite, Duration.Inf)
+    Await.result(changeLogWrite, Duration.Inf)
     partials.unpersist()
 
     // --- segment merge restricted to this batch's users
