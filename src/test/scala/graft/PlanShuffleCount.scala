@@ -2,15 +2,42 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Prints the shuffle-exchange count of each non-streaming contract query's
-  * physical plan (AQE off, sf0.001) — the measurement behind PlanLintSpec's
-  * pinned exchange-count test. Run: `Test/runMain graft.PlanShuffleCount`. */
+/** Measures the shuffle-exchange count of each non-streaming contract query's
+  * physical plan (AQE off, sf0.001) and REGENERATES the golden ledger
+  * PlanLintSpec pins against (`src/test/resources/shuffle_golden.txt`),
+  * printing a diff of every changed entry first — a legitimate plan change is
+  * re-pinned by running this tool and committing the ledger diff it shows,
+  * never by hand-editing numbers. Run: `Test/runMain graft.PlanShuffleCount`. */
 object PlanShuffleCount {
   // shuffle exchanges only: hash/range/single-partition repartitions; a
   // BroadcastExchange is a different (cheap, build-side) animal
   private val ShuffleRe = "Exchange (hash|range|Single)".r
 
   def count(plan: String): Int = ShuffleRe.findAllIn(plan).length
+
+  val goldenPath = "src/test/resources/shuffle_golden.txt"
+
+  /** The pinned ledger: `name count` lines, sorted by name. Read from the
+    * source tree when present (so a just-regenerated file is seen without a
+    * recompile), falling back to the test classpath copy. */
+  def loadGolden(): Map[String, Int] = {
+    val src = new java.io.File(goldenPath)
+    val lines: Iterator[String] =
+      if (src.isFile) scala.io.Source.fromFile(src, "UTF-8").getLines()
+      else Option(getClass.getResourceAsStream("/shuffle_golden.txt")) match {
+        case Some(in) => scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        case None => Iterator.empty
+      }
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val Array(n, c) = l.split("\\s+", 2)
+        n -> c.trim.toInt
+      }.toMap
+  }
+
+  val streamingQueries = Set("seg_stream_equiv", "seg_stream_native",
+    "seg_stream_stateful", "seg_retention_stream", "seg_stream_enrich",
+    "seg_stream_attribution", "sessions_stream_closed")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -19,15 +46,43 @@ object PlanShuffleCount {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val streaming = Set("seg_stream_equiv", "seg_stream_native",
-      "seg_stream_stateful", "seg_retention_stream", "seg_stream_enrich",
-      "seg_stream_attribution", "sessions_stream_closed")
-    for ((name, fn) <- SparkEntry.queries.toSeq if !streaming(name)) {
+    val prev = loadGolden()
+    val measured = (for ((name, fn) <- SparkEntry.queries.toSeq
+                         if !streamingQueries(name)) yield {
       val n = try count(fn(spark, "/root/testdata/sf0.001")
                           .queryExecution.executedPlan.toString)
-              catch { case e: Throwable => -1 }
-      println(s"""[shufflecount] "$name" -> $n,""")
-    }
+              catch { case _: Throwable => -1 }
+      name -> n
+    }).toMap
     spark.stop()
+
+    var changed = 0
+    (prev.keySet ++ measured.keySet).toSeq.sorted.foreach { name =>
+      (prev.get(name), measured.get(name)) match {
+        case (Some(p), Some(m)) if p != m && m >= 0 =>
+          println(s"[shufflecount] CHANGED $name: $p -> $m"); changed += 1
+        case (None, Some(m)) =>
+          println(s"[shufflecount] NEW     $name: $m"); changed += 1
+        case (Some(p), None) =>
+          println(s"[shufflecount] REMOVED $name (was $p)"); changed += 1
+        case (Some(p), Some(m)) if m < 0 =>
+          println(s"[shufflecount] ERROR   $name: measurement failed, keeping pin $p")
+        case _ => ()
+      }
+    }
+    // measurement failures keep their previous pin rather than poisoning the
+    // ledger with -1
+    val out = measured.map { case (n, c) =>
+      n -> (if (c < 0) prev.getOrElse(n, c) else c)
+    }
+    val body = ("# Pinned shuffle-exchange counts per contract query " +
+      "(hash/range/single-partition; broadcasts excluded).\n" +
+      "# Regenerate with: Test/runMain graft.PlanShuffleCount — commit the " +
+      "diff it prints, never hand-edit.\n") +
+      out.toSeq.sorted.map { case (n, c) => s"$n $c" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(goldenPath),
+      body.getBytes("UTF-8"))
+    println(s"[shufflecount] wrote ${out.size} entries to $goldenPath " +
+      s"($changed changed)")
   }
 }
