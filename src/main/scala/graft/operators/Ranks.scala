@@ -34,6 +34,17 @@ object Ranks {
     // partitioning for both passes — the DataFrame analog of the shuffle
     // reuse RDD.zipWithIndex gets for free within one lineage.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // The per-partition offset map below is embedded in the PLAN as a
+    // typedLit, so it scales with the PARTITION count, not the data: fine at
+    // any realistic shuffle-partition setting (32 partitions ≈ a few hundred
+    // plan bytes; 10k ≈ ~200 KB), but a 100k-partition job would inflate
+    // every task's serialized plan by megabytes. Fail loudly at the ceiling
+    // rather than degrade silently — past it, rank via a join against the
+    // (pid → offset) frame instead of a literal map.
+    require(nPart <= 10000,
+      s"globalRowNumber embeds a $nPart-entry partition-offset literal in the " +
+      "plan; above 10k partitions, replace the typedLit with a broadcast join " +
+      "against the offsets frame")
     val ranged = df.repartitionByRange(nPart, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
