@@ -618,6 +618,72 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": the multi
+    * EXISTS / NOT-EXISTS SELF-JOIN family (reference capability J1
+    * generalized to correlated self-subqueries). The testdata has no
+    * l_receiptdate/l_commitdate, so `l_returnflag = 'R'` plays the "late
+    * line" role: for finished orders, a supplier is solely to blame when
+    * its line is flagged, ANOTHER supplier's line exists in the order
+    * (EXISTS → left-semi self-join with an inequality conjunct on the
+    * orderkey hash join), and NO other supplier's line is flagged
+    * (NOT EXISTS → left-anti self-join, same shape). Both correlated
+    * subqueries become hash joins on `l_orderkey` with the suppkey
+    * inequality as a post-probe conjunct — no nested-loop anywhere; the
+    * classic aggregate rewrite (per-order distinct-supplier counts) trades
+    * one lineitem shuffle for this plan's two and loses the shape this
+    * query exists to exercise. Top-k via TakeOrdered on a total order. */
+  private def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+                       col("l_suppkey").as("l2_suppkey"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+              col("l_suppkey").as("l3_suppkey"))
+    l1.join(l2, col("l_orderkey") === col("l2_orderkey") &&
+                col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+                col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .join(broadcast(t(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape — "global sales opportunity": NOT EXISTS + scalar
+    * subquery. `c_nationkey` stands in for the phone country code (the
+    * testdata has no c_phone): among customers of seven nations, those with
+    * above-average positive balance (the scalar AVG bound — computed as a
+    * 1-row sum/count frame cross-joined back, the q15 bound-seeding shape,
+    * with the division done identically in both engines) who have never
+    * placed an URGENT-priority order (left-anti against the filtered orders
+    * keys — broadcast at contract scale, a shuffled anti join at 100 TB,
+    * same plan shape either way). */
+  private def q22SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val cset = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val stats = cset.filter(col("c_acctbal") > 0.0)
+      .agg(dsum(col("c_acctbal")).as("s"), count(lit(1)).as("n"))
+    cset
+      .crossJoin(broadcast(stats))
+      .filter(col("c_acctbal") > col("s") / col("n"))
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntry")
+  }
+
   private def q6Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2655,6 +2721,8 @@ object SparkEntry {
     "pipeline_clean_stats" -> (pipelineCleanStats _),
     "multimodal_decode"    -> (multimodalDecode _),
     "sessions_stream_closed" -> (sessionsStreamClosed _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
   )
 
   // ----------------------------------------------------------------------
@@ -4735,5 +4803,45 @@ object SparkEntry {
                            CAST(NULL AS BIGINT) AS neighbor_id,
                            CAST(NULL AS DOUBLE) AS cosine
                     WHERE 1 = 0"""),
+
+    // Q21 shape: both correlated self-subqueries expressed as EXISTS /
+    // NOT EXISTS; numwait ties at the LIMIT boundary break on s_name, so
+    // the top-100 cut is a total order in both engines.
+    "q21_waiting_supplier" ->
+      """WITH l1 AS (
+           SELECT l.l_orderkey, l.l_suppkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F')
+         SELECT s.s_name, count(*) AS numwait
+         FROM l1
+         JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+
+    // Q22 shape: scalar AVG bound kept as sum/count so the double division
+    // is the identical IEEE operation in both engines; c_acctbal viewed at
+    // the engine's canonical DOUBLE width, sums through the digit string.
+    "q22_sales_opportunity" ->
+      """WITH cset AS (
+           SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS bal
+           FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+         stats AS (
+           SELECT CAST(sum(CAST(CAST(bal AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS s,
+                  count(*) AS n
+           FROM cset WHERE bal > 0)
+         SELECT c_nationkey AS cntry, count(*) AS numcust,
+                CAST(sum(CAST(CAST(bal AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+         FROM cset c, stats
+         WHERE c.bal > stats.s / stats.n
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     "q17_small_qty",       // single avg-yearly row
     "q19_disjunctive",     // single disjunctive-revenue row
     "q15_top_supplier",    // 1-row max-revenue bound joins back
-    "q18_large_orders")    // global TakeOrdered boundary (as top10_customers)
+    "q18_large_orders",    // global TakeOrdered boundary (as top10_customers)
+    "q21_waiting_supplier", // global TakeOrdered boundary (top-100 numwait)
+    "q22_sales_opportunity") // 1-row avg-balance bound seeds the filter
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct
