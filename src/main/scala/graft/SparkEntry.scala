@@ -684,6 +684,109 @@ object SparkEntry {
       .orderBy("cntry")
   }
 
+  /** TPC-H Q8 shape — national market share: the 8-table star join (fact ⋈
+    * part ⋈ orders ⋈ customer ⋈ nation ⋈ REGION ⋈ supplier ⋈ nation again)
+    * with a conditional-numerator share aggregate per order year. All dims
+    * broadcast; lineitem reshuffles once for the year aggregate. Share =
+    * decimal-exact numerator / decimal-exact denominator, divided in
+    * double — the identical IEEE operation the oracle performs. */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val nations = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val custAsia = t(s, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(nations.select(col("n_nationkey"),
+                                     col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+                                       col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_5", volume).otherwise(lit(0.0)))
+              / dsum(volume)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: the LEFT OUTER
+    * join with a join-side predicate (so zero-order customers survive with
+    * count 0) under a two-level aggregate. The outer join shuffles once on
+    * custkey; the second aggregate runs over the #distinct-counts-sized
+    * frame. o_orderpriority plays the q13 comment-filter role. */
+  private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q16 shape — supplier count by part attributes with a NOT-IN
+    * exclusion: lineitem's (partkey, suppkey) pairs stand in for partsupp;
+    * suppliers with negative balance are excluded via an anti join (the
+    * NOT IN keys are non-null, so anti-join semantics coincide), then
+    * count(DISTINCT suppkey) per (brand, type, size) bucket. */
+  private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(t(s, dir, "part")
+              .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+                      col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+              .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+              .select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** TPC-H Q20 shape — the nested IN chain: suppliers who DOMINATE a
+    * STANDARD part's shipments (pair quantity > 2.5× the part's mean
+    * per-supplier quantity — the scale-invariant rendition of q20's
+    * half-of-availqty test, since share thresholds dilute as supplier
+    * count grows) feed an IN-subquery semi join against the supplier dim.
+    * Both aggregates group the same shuffle key (partkey[, suppkey]), so
+    * the pair and total frames share one exchange lineage; the dominant
+    * supplier-id set is distinct-small and broadcasts into the semi join. */
+  private def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val pair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("pair_qty"))
+    val tot = li.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("tot_qty"),
+           count_distinct(col("l_suppkey")).as("ns"))
+    val dominant = pair.join(tot, Seq("l_partkey"))
+      .filter(col("pair_qty") * col("ns") > lit(2.5) * col("tot_qty"))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
   private def q6Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2723,6 +2826,10 @@ object SparkEntry {
     "sessions_stream_closed" -> (sessionsStreamClosed _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
+    "q8_market_share"      -> (q8MarketShare _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q16_supplier_cnt"     -> (q16SupplierCnt _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
   )
 
   // ----------------------------------------------------------------------
@@ -4843,5 +4950,74 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY 1""",
+
+    // Q8 shape: both share legs are decimal-exact sums cast to double, so
+    // the division is the identical IEEE operation in both engines.
+    "q8_market_share" ->
+      """WITH vol AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                  CAST(CAST(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS VARCHAR) AS DECIMAL(27,6)) AS volume,
+                  sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN part     ON l_partkey = p_partkey
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region r  ON cn.n_regionkey = r.r_regionkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+           WHERE r.r_name = 'ASIA' AND p_type = 'ECONOMY')
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         FROM vol GROUP BY 1 ORDER BY 1""",
+
+    // Q13 shape: the join-side predicate keeps zero-order customers in the
+    // outer join; all quantities integral.
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+           SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    // Q16 shape: lineitem (partkey, suppkey) pairs play partsupp; the
+    // NOT IN keys are non-null so anti-join semantics coincide.
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE CAST(s_acctbal AS DOUBLE) < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // Q20 shape: the dominance test multiplies decimal-exact-sum doubles
+    // the same way on both sides, so the strict > boundary is bit-stable.
+    "q20_dominant_supplier" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6)) AS qty
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')),
+         pair AS (
+           SELECT l_partkey, l_suppkey, CAST(sum(qty) AS DOUBLE) AS pair_qty
+           FROM li GROUP BY 1, 2),
+         tot AS (
+           SELECT l_partkey, CAST(sum(qty) AS DOUBLE) AS tot_qty,
+                  count(DISTINCT l_suppkey) AS ns
+           FROM li GROUP BY 1),
+         dominant AS (
+           SELECT DISTINCT pair.l_suppkey
+           FROM pair JOIN tot ON pair.l_partkey = tot.l_partkey
+           WHERE pair.pair_qty * tot.ns > 2.5 * tot.tot_qty)
+         SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+         ORDER BY s_suppkey""",
   )
 }

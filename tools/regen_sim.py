@@ -45,7 +45,10 @@ def cast_cols(t: pa.Table, casts: dict) -> pa.Table:
     for name, typ in casts.items():
         if name in t.column_names:
             i = t.schema.get_field_index(name)
-            t = t.set_column(i, name, pc.cast(t.column(name), typ))
+            # allow_truncate: a millis regen of a micros file IS a truncation
+            # (that is the shape being simulated)
+            t = t.set_column(i, name,
+                             pc.cast(t.column(name), typ, safe=False))
     return t
 
 
