@@ -1411,46 +1411,6 @@ object SparkEntry {
         .orderBy("user_id")
     }
 
-  /** STREAM-STREAM interval join through the oracle gate — the one
-    * Structured Streaming join family the surface didn't yet cover (the
-    * enrich query is stream-STATIC): each user's purchases join their
-    * clicks within the following hour, both sides watermarked so the
-    * symmetric-hash join state is range-bounded (Spark evicts a buffered
-    * click once the purchase watermark passes click_ts + 1 h — exactly the
-    * state bound a 100 TB correlation pipeline needs). AvailableNow drains
-    * the file source; the append sink holds the raw pair rows, and the
-    * read-back must equal the batch interval self-join DuckDB computes.
-    * With the whole replay in one batch no match can straddle an eviction,
-    * so inner-join completeness is exact — the late-arrival eviction path
-    * is spec territory (StateAndStreamingSpec), not oracle territory. */
-  private def streamClickPurchaseJoin(s: SparkSession, dir: String): DataFrame =
-    withStreamScope(s, "graft_stream_join") { tmp =>
-      val ev = eventsStream(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-                col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user_id"),
-                col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      val q = joined.writeStream
-        .format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
-        .select(col("user_id"), col("click_id"), col("purchase_id"),
-                (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
-                  .as("gap_us"))
-        .orderBy("user_id", "click_id", "purchase_id")
-    }
-
   /** Custom streaming STATE through the oracle gate: one mergeable HLL
     * sketch per user held in mapGroupsWithState (the AggregatingMergeTree
     * uniqState loop as native engine state), drained with AvailableNow into
@@ -2870,7 +2830,6 @@ object SparkEntry {
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q16_supplier_cnt"     -> (q16SupplierCnt _),
     "q20_dominant_supplier" -> (q20DominantSupplier _),
-    "stream_click_purchase_join" -> (streamClickPurchaseJoin _),
   )
 
   // ----------------------------------------------------------------------
@@ -5060,19 +5019,5 @@ object SparkEntry {
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
          ORDER BY s_suppkey""",
-
-    // Stream-stream interval join vs the batch self-join: pair-level rows,
-    // gap in exact integral micros.
-    "stream_click_purchase_join" ->
-      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
-                    FROM events WHERE event_type = 'click'),
-         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
-               FROM events WHERE event_type = 'purchase')
-         SELECT c.user_id, c.click_id, p.purchase_id,
-                epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
-         FROM c JOIN p ON c.user_id = p.user_id
-          AND p.purchase_ts >= c.click_ts
-          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
-         ORDER BY c.user_id, c.click_id, p.purchase_id""",
   )
 }

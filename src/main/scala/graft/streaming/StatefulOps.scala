@@ -121,10 +121,17 @@ object StatefulOps {
     * dropped from state; purchases likewise), which is what lets two
     * unbounded streams join with finite memory — the streaming twin of
     * [[graft.operators.AsOf]]'s batch point-in-time join. */
+  /** `joinType` "inner" emits matched pairs only; "left_outer" additionally
+    * emits each UNATTRIBUTED purchase once — with null click columns — when
+    * the watermark passes its join horizon and the engine can prove no
+    * matching click can still arrive (the null-side close-out path of the
+    * symmetric hash join; an orphan purchase emits on a LATER batch, never
+    * inline). */
   def streamStreamAttribution(clicks: DataFrame, purchases: DataFrame,
                               attributionWindow: String = "1 hour",
                               watermarkDelay: String = "10 minutes",
-                              userCol: String = "user_id"): DataFrame = {
+                              userCol: String = "user_id",
+                              joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col(userCol).cast("string").as("user_id"),
               col("ts").as("click_ts"), col("event_id").as("click_id"))
@@ -136,7 +143,8 @@ object StatefulOps {
     p.join(c,
       expr(s"""p_user_id = user_id AND
                click_ts <= purchase_ts AND
-               click_ts >= purchase_ts - INTERVAL $attributionWindow"""))
+               click_ts >= purchase_ts - INTERVAL $attributionWindow"""),
+      joinType)
       .select(col("purchase_id"), col("p_user_id").as("user_id"),
               col("purchase_ts"), col("click_id"), col("click_ts"))
   }

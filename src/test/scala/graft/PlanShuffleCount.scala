@@ -37,8 +37,7 @@ object PlanShuffleCount {
 
   val streamingQueries = Set("seg_stream_equiv", "seg_stream_native",
     "seg_stream_stateful", "seg_retention_stream", "seg_stream_enrich",
-    "seg_stream_attribution", "sessions_stream_closed",
-    "stream_click_purchase_join")
+    "seg_stream_attribution", "sessions_stream_closed")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -30,16 +30,31 @@ object ProfileJobs {
     try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
 
     val starts = TrieMap.empty[Int, (Long, String)]
+    val taskTimes = TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val stages = js.stageInfos.map(si => s"${si.stageId}:${si.name.takeWhile(_ != '\n').take(60)}(${si.numTasks})").mkString(" | ")
         starts.put(js.jobId, (System.nanoTime(), stages))
       }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (record)
+          taskTimes.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, desc) =>
-          if (record)
-            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $desc")
+          if (record) {
+            val wall = (System.nanoTime() - t0) / 1e9
+            // per-job task skew: median vs max task millis of its slowest stage
+            val skew = taskTimes.toSeq.flatMap(_._2) match {
+              case ts if wall > 0.5 && ts.nonEmpty =>
+                val sorted = ts.sorted
+                f"  [tasks n=${ts.size} med=${sorted(ts.size / 2)}ms max=${sorted.last}ms]"
+              case _ => ""
+            }
+            taskTimes.clear()
+            println(f"[job] ${je.jobId}%4d $wall%6.3f s  $desc$skew")
+          }
         }
     })
 

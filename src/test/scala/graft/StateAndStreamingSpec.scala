@@ -381,6 +381,45 @@ class StateAndStreamingSpec extends SparkSpec {
       "another user's click must not attribute")
   }
 
+  test("LEFT OUTER stream-stream join: orphan purchase emits null click after watermark close-out") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = graft.streaming.StatefulOps.streamStreamAttribution(
+      clicks.toDF(), purchases.toDF(),
+      attributionWindow = "1 hour", watermarkDelay = "0 seconds",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+    clicks.addData(Ev("u1", "click", ts("2023-01-01 09:30:00"), "c1"))
+    purchases.addData(
+      Ev("u1", "purchase", ts("2023-01-01 10:00:00"), "p1"),  // matches c1
+      Ev("u2", "purchase", ts("2023-01-01 10:00:00"), "p2"))  // no click ever
+    q.processAllAvailable()
+    def rows() = spark.table("attribution_outer")
+      .select($"purchase_id", $"click_id").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // the orphan must NOT have emitted yet: its null-side row is provable
+    // only once the watermark passes purchase_ts (+ window slack) — emitting
+    // inline would be wrong (a matching click could still arrive)
+    assert(!rows().exists(_._1 == "p2"),
+      s"orphan purchase emitted before watermark close-out: ${rows()}")
+    // advance both watermarks far past p2's horizon; the close-out scan on
+    // the following batch emits the orphan with a null click
+    clicks.addData(Ev("u9", "click", ts("2023-01-02 23:00:00"), "c9"))
+    purchases.addData(Ev("u9", "purchase", ts("2023-01-02 23:30:00"), "p9"))
+    q.processAllAvailable()
+    // one more batch so the eviction-driven emission lands in the sink
+    clicks.addData(Ev("u9", "click", ts("2023-01-03 23:00:00"), "c10"))
+    purchases.addData(Ev("u9", "purchase", ts("2023-01-03 23:30:00"), "p10"))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows()
+    assert(got.contains(("p1", Some("c1"))), s"matched pair must emit: $got")
+    assert(got.contains(("p2", None)),
+      s"orphan purchase must emit with null click after close-out: $got")
+  }
+
   test("mapGroupsWithState holds a mergeable HLL sketch per user (uniqState twin)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Ev]
