@@ -44,4 +44,36 @@ class EntrySmokeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"oracles reading `embedding` without FLOAT canonicalization: $offenders")
   }
+
+  test("oracle SQL views file measure columns at the engine's DOUBLE width") {
+    // Tables.load pins the double measure family to DOUBLE whatever width
+    // the file ships (the float32-measures regen is the r08 trap class:
+    // DuckDB keeps FLOAT arithmetic single-precision unless widened), so
+    // every oracle occurrence of a measure column must be wrapped in
+    // CAST(<col> AS DOUBLE) at first touch. `value` is deliberately NOT
+    // linted: the token is reused by computed BOOLEAN aliases (the W4 /
+    // assignment columns), which the width rewrite explicitly excludes —
+    // that trap is documented in CLAUDE.md instead.
+    // An occurrence is canonical when it is (a) CAST(<col> AS DOUBLE) —
+    // optionally table-qualified — or (b) an alias DEFINITION (`AS <col>`),
+    // whose value the surrounding expression already canonicalized and
+    // whose later references are references to the double-typed alias.
+    // The E2E f32meas sim remains the ground truth; this lint is the
+    // tripwire for the common miss (a bare measure inside an expression).
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "o_totalprice", "c_acctbal", "s_acctbal", "p_retailprice")
+    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      measures.flatMap { m =>
+        val all = raw"\b$m\b".r.findAllIn(sql).size
+        val cast = raw"CAST\(\s*(\w+\.)?$m\s+AS\s+DOUBLE\s*\)".r.findAllIn(sql).size
+        val aliasDef = raw"\bAS\s+$m\b".r.findAllIn(sql).size
+        if (all != cast + aliasDef)
+          Some(s"$name: $m (${cast + aliasDef}/$all occurrences canonicalized)")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"oracles reading measure columns without DOUBLE canonicalization:\n  " +
+        offenders.mkString("\n  "))
+  }
 }

@@ -15,6 +15,8 @@ Sims (each rewrites only what it names; all other tables copy through):
   millis    TIMESTAMP(MILLIS) events + large_string text/props + int32 doc_id
   decimal   the money/measure family written as DECIMAL(12,2) and events
             `value` as DECIMAL(18,6) — the one physical type with no prior sim
+  dirall    every table written as a DIRECTORY of two part files (types
+            unchanged) — the df.write.parquet layout a regen would produce
 
 After writing, run the FULL gate against the copy (CLAUDE.md discipline —
 unit specs cannot see oracle-vs-engine width disagreements):
@@ -102,7 +104,8 @@ def sim_nanosdir(name: str, t: pa.Table) -> pa.Table:
 
 
 SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
-        "millis": sim_millis, "nanosdir": sim_nanosdir}
+        "millis": sim_millis, "nanosdir": sim_nanosdir,
+        "dirall": lambda name, t: t}
 
 
 def main():
@@ -113,6 +116,15 @@ def main():
         src_path = f"{src}/{tbl}.parquet"
         out = fn(tbl, pq.read_table(src_path))
         dst_path = f"{dst}/{tbl}.parquet"
+        if sim == "dirall":
+            shutil.rmtree(dst_path, ignore_errors=True)
+            os.makedirs(dst_path)
+            n = max(1, out.num_rows // 2)
+            pq.write_table(out.slice(0, n), f"{dst_path}/part-000.parquet")
+            if out.num_rows > n:
+                pq.write_table(out.slice(n), f"{dst_path}/part-001.parquet")
+            print(f"[sim:{sim}] {tbl}: directory of parts ({out.num_rows} rows)")
+            continue
         if sim == "nanosdir" and tbl == "events":
             # directory-of-parts layout (r01-r05 shape): two part files
             shutil.rmtree(dst_path, ignore_errors=True)
