@@ -1788,6 +1788,36 @@ object SparkEntry {
     ()
   }
 
+  /** One throwaway AvailableNow drain over a 2-row scratch source: loads and
+    * JITs the streaming runtime (MicroBatchExecution, checkpoint file
+    * manager, offset/commit logs, the parquet file-stream source) once,
+    * untimed. On a real cluster these framework classes load once per
+    * executor lifetime; without this, the FIRST measured streaming query
+    * absorbs ~0.5-1 s of one-time class-loading that is not its cost. */
+  def warmStreamingRuntime(s: SparkSession): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_warm").toString
+    try {
+      // 2-row scratch source in the events shape, so the drain below runs
+      // the REAL pipeline plans (sketch partial/merge codegen, partitioned
+      // state writes, the latest-wins readback window) — the streaming twin
+      // of the warmup's throwaway shuffle-join plan
+      s.range(2).selectExpr("id AS user_id", "'click' AS event_type",
+          "id AS event_id", "timestamp'2030-01-01 00:00:00' AS ts")
+        .write.mode("overwrite").parquet(s"$tmp/src")
+      val schema = s.read.parquet(s"$tmp/src").schema
+      val pipe = new graft.state.MicroBatchPipeline(
+        s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
+      val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
+          s.readStream.schema(schema).parquet(s"$tmp/src"), pipe,
+          epochToTs = _ => java.sql.Timestamp.valueOf("2030-01-01 00:00:01"),
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      pipe.members().count()
+    } finally deleteTree(tmp)
+  }
+
   /** Near-dup connected components over the MinHash pair list (canonical-doc
     * assignment). Iterative — rows-only, validated against union-find in
     * tests. */
