@@ -1795,8 +1795,10 @@ object SparkEntry {
     * executor lifetime; without this, the FIRST measured streaming query
     * absorbs ~0.5-1 s of one-time class-loading that is not its cost. */
   def warmStreamingRuntime(s: SparkSession): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_warm").toString
-    try {
+    // run under the SAME scope as every timed streaming query, so the
+    // classes warmed are the ones those queries load (the FileSystem-based
+    // checkpoint manager + v2 committer, not the default FileContext path)
+    withStreamScope(s, "graft_stream_warm") { tmp =>
       // 2-row scratch source in the events shape, so the drain below runs
       // the REAL pipeline plans (sketch partial/merge codegen, partitioned
       // state writes, the latest-wins readback window) — the streaming twin
@@ -1814,8 +1816,9 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       q.awaitTermination()
-      pipe.members().count()
-    } finally deleteTree(tmp)
+      pipe.members()
+    }
+    ()
   }
 
   /** Near-dup connected components over the MinHash pair list (canonical-doc

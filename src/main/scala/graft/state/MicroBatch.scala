@@ -120,9 +120,17 @@ class MicroBatchPipeline(
       sized.select(col(userCol), col("computed_at"), col("computed_date"))
         .write.mode("append").partitionBy("computed_date").parquet(paths.changeLog)
     }
-    Await.result(stateWrite, Duration.Inf)
-    Await.result(changeLogWrite, Duration.Inf)
-    partials.unpersist()
+    // BOTH writes must be quiesced before this method exits — even on
+    // failure: rethrowing while the sibling write is still appending would
+    // let the engine's batch RETRY race the orphaned in-flight append, and
+    // the cached block would leak. First failure propagates after both end.
+    try {
+      val failures = Seq(stateWrite, changeLogWrite).flatMap { f =>
+        try { Await.result(f, Duration.Inf); None }
+        catch { case e: Throwable => Some(e) }
+      }
+      failures.headOption.foreach(throw _)
+    } finally partials.unpersist()
 
     // --- segment merge restricted to this batch's users
     //     (3-microBatch.test.ts:135-154 / 4-eventTime.test.ts:149-169)

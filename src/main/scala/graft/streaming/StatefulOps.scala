@@ -120,8 +120,9 @@ object StatefulOps {
     * sides bound the join state (clicks older than the window + delay are
     * dropped from state; purchases likewise), which is what lets two
     * unbounded streams join with finite memory — the streaming twin of
-    * [[graft.operators.AsOf]]'s batch point-in-time join. */
-  /** `joinType` "inner" emits matched pairs only; "left_outer" additionally
+    * [[graft.operators.AsOf]]'s batch point-in-time join.
+    *
+    * `joinType` "inner" emits matched pairs only; "left_outer" additionally
     * emits each UNATTRIBUTED purchase once — with null click columns — when
     * the watermark passes its join horizon and the engine can prove no
     * matching click can still arrive (the null-side close-out path of the

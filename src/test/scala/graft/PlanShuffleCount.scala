@@ -21,18 +21,24 @@ object PlanShuffleCount {
     * source tree when present (so a just-regenerated file is seen without a
     * recompile), falling back to the test classpath copy. */
   def loadGolden(): Map[String, Int] = {
-    val src = new java.io.File(goldenPath)
-    val lines: Iterator[String] =
-      if (src.isFile) scala.io.Source.fromFile(src, "UTF-8").getLines()
-      else Option(getClass.getResourceAsStream("/shuffle_golden.txt")) match {
-        case Some(in) => scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        case None => Iterator.empty
-      }
-    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val Array(n, c) = l.split("\\s+", 2)
-        n -> c.trim.toInt
-      }.toMap
+    val file = new java.io.File(goldenPath)
+    val src =
+      if (file.isFile) Some(scala.io.Source.fromFile(file, "UTF-8"))
+      else Option(getClass.getResourceAsStream("/shuffle_golden.txt"))
+        .map(scala.io.Source.fromInputStream(_, "UTF-8"))
+    src.fold(Map.empty[String, Int]) { s =>
+      try s.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split("\\s+") match {
+            case Array(n, c) if c.forall(ch => ch.isDigit || ch == '-') =>
+              n -> c.toInt
+            case _ => throw new IllegalStateException(
+              s"malformed ledger line in $goldenPath: '$l' (expected 'name count')")
+          }
+        }.toMap
+      finally s.close()
+    }
   }
 
   val streamingQueries = Set("seg_stream_equiv", "seg_stream_native",
@@ -59,21 +65,24 @@ object PlanShuffleCount {
     var changed = 0
     (prev.keySet ++ measured.keySet).toSeq.sorted.foreach { name =>
       (prev.get(name), measured.get(name)) match {
-        case (Some(p), Some(m)) if p != m && m >= 0 =>
+        case (Some(p), Some(m)) if m < 0 =>
+          println(s"[shufflecount] ERROR   $name: measurement failed, keeping pin $p")
+        case (None, Some(m)) if m < 0 =>
+          println(s"[shufflecount] ERROR   $name: measurement failed and no " +
+            "previous pin — left OUT of the ledger (PlanLintSpec will demand one)")
+        case (Some(p), Some(m)) if p != m =>
           println(s"[shufflecount] CHANGED $name: $p -> $m"); changed += 1
         case (None, Some(m)) =>
           println(s"[shufflecount] NEW     $name: $m"); changed += 1
         case (Some(p), None) =>
           println(s"[shufflecount] REMOVED $name (was $p)"); changed += 1
-        case (Some(p), Some(m)) if m < 0 =>
-          println(s"[shufflecount] ERROR   $name: measurement failed, keeping pin $p")
         case _ => ()
       }
     }
-    // measurement failures keep their previous pin rather than poisoning the
-    // ledger with -1
-    val out = measured.map { case (n, c) =>
-      n -> (if (c < 0) prev.getOrElse(n, c) else c)
+    // measurement failures keep their previous pin (or stay out of the
+    // ledger entirely when there is none) rather than poisoning it with -1
+    val out = measured.flatMap { case (n, c) =>
+      if (c >= 0) Some(n -> c) else prev.get(n).map(n -> _)
     }
     val body = ("# Pinned shuffle-exchange counts per contract query " +
       "(hash/range/single-partition; broadcasts excluded).\n" +

@@ -7,11 +7,12 @@ import org.apache.spark.sql.streaming.Trigger
 /** Isolates the FIXED cost of one AvailableNow streaming lifecycle — query
   * start (checkpoint dirs, metadata, source listing), per-batch offset/commit
   * log writes and incremental planning, and stop — from the per-batch work
-  * the contract pipelines do. Three shapes, each timed cold+warm:
-  *   - noop: file source -> no-op foreachBatch (pure lifecycle)
-  *   - write: file source -> one parquet append per batch
-  *   - twobatch: same as noop but maxFilesPerTrigger=1 over a 2-file source
-  * Run: `Test/runMain graft.ProfileStreamFloor` */
+  * the contract pipelines do. Timed 3× each: a no-op foreachBatch drain
+  * (pure lifecycle), the same drain counting the batch (adds one data
+  * scan), and the no-op drain under minBatchesToRetain=1 and under the
+  * FileSystem-based checkpoint manager (the two knobs withStreamScope now
+  * sets — this tool measured them in). Run:
+  * `Test/runMain graft.ProfileStreamFloor` */
 object ProfileStreamFloor {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,14 +34,12 @@ object ProfileStreamFloor {
     }
 
     def drain(extraConf: Map[String, String] = Map.empty,
-              maxFiles: Option[Int] = None,
               body: org.apache.spark.sql.DataFrame => Unit = _ => ()): Unit = {
       val prev = extraConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
       val tmp = java.nio.file.Files.createTempDirectory("floor").toString
       try {
-        var reader = spark.readStream.schema(Tables.eventsRawSchema(spark, sfDir))
-        maxFiles.foreach(n => reader = reader.option("maxFilesPerTrigger", n.toString))
+        val reader = spark.readStream.schema(Tables.eventsRawSchema(spark, sfDir))
         val src = reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
