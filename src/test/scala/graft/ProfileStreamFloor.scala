@@ -65,7 +65,7 @@ object ProfileStreamFloor {
       }
     }
     (1 to 3).foreach { i =>
-      time(s"noop unsafe-ckpt #$i") {
+      time(s"noop fs-ckpt-mgr #$i") {
         drain(Map(
           "spark.sql.streaming.checkpointFileManagerClass" ->
             "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
