@@ -761,22 +761,25 @@ object SparkEntry {
     * per-supplier quantity — the scale-invariant rendition of q20's
     * half-of-availqty test, since share thresholds dilute as supplier
     * count grows) feed an IN-subquery semi join against the supplier dim.
-    * Both aggregates group the same shuffle key (partkey[, suppkey]), so
-    * the pair and total frames share one exchange lineage; the dominant
-    * supplier-id set is distinct-small and broadcasts into the semi join. */
+    * lineitem is scanned ONCE: the per-part totals derive from the
+    * per-pair DECIMAL sums (decimal addition is exact, so the two-level
+    * sum equals the direct one the oracle computes, and the pair row
+    * count IS the distinct-supplier count); the tiny per-part frame then
+    * broadcasts back onto the pairs, and the dominant supplier-id set
+    * broadcasts into the semi join. */
   private def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")
               .select(col("p_partkey"))),
             col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    val pair = li.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(dsum(col("l_quantity")).as("pair_qty"))
-    val tot = li.groupBy(col("l_partkey"))
-      .agg(dsum(col("l_quantity")).as("tot_qty"),
-           count_distinct(col("l_suppkey")).as("ns"))
-    val dominant = pair.join(tot, Seq("l_partkey"))
-      .filter(col("pair_qty") * col("ns") > lit(2.5) * col("tot_qty"))
+    val pairDec = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(27,6)")).as("pair_dec"))
+    val tot = pairDec.groupBy(col("l_partkey"))
+      .agg(sum(col("pair_dec")).as("tot_dec"), count(lit(1)).as("ns"))
+    val dominant = pairDec.join(broadcast(tot), Seq("l_partkey"))
+      .filter(col("pair_dec").cast("double") * col("ns") >
+              lit(2.5) * col("tot_dec").cast("double"))
       .select(col("l_suppkey")).distinct()
     t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")
