@@ -30,7 +30,7 @@ object Bench {
           "customer", "part", "supplier", "nation", "region").foreach { t =>
         try {
           val df = Tables.load(spark, sfDir, t)
-          df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).first()
+          df.agg(sum(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))).first()
         } catch { case _: Throwable => () }
       }
       // one throwaway shuffle-join + agg plan: JITs the exchange/hash-join/

@@ -1957,7 +1957,7 @@ object SparkEntry {
   private def embDim(s: SparkSession, dir: String): Int = {
     val d = embDimCache.computeIfAbsent((System.identityHashCode(s), dir),
       _ => Int.box(t(s, dir, "embeddings")
-        .select(size(col("embedding")).as("d")).head.getInt(0)))
+        .select(size(col("embedding")).as("d")).head().getInt(0)))
     lastEmbDim = Some(d)
     d
   }
