@@ -790,6 +790,34 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q9 shape — product-type profit by nation and year: the 6-way
+    * join with a part-NAME pattern filter and a two-measure profit
+    * expression, aggregated over (nation, year). The testdata has no
+    * partsupp, so supply cost proxies as 0.6 × p_retailprice (the plan
+    * shape — fact ⋈ part[LIKE] ⋈ supplier ⋈ orders ⋈ nation with dims
+    * broadcast and one fact shuffle into the small-key aggregate — is what
+    * this query exercises, not the cost constant). The profit expression
+    * evaluates left-associated in double on both engines, then sums
+    * decimal-exact. */
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))
+              .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+                lit(0.6) * col("p_retailprice") * col("l_quantity")).as("profit"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+
   private def q6Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2866,6 +2894,7 @@ object SparkEntry {
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q16_supplier_cnt"     -> (q16SupplierCnt _),
     "q20_dominant_supplier" -> (q20DominantSupplier _),
+    "q9_product_profit"    -> (q9ProductProfit _),
   )
 
   // ----------------------------------------------------------------------
@@ -5055,5 +5084,22 @@ object SparkEntry {
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
          ORDER BY s_suppkey""",
+
+    // Q9 shape: the profit expression evaluates left-associated in double
+    // on both sides, then sums decimal-exact through the digit string.
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(sum(CAST(CAST(
+                  CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))
+                  - 0.6 * CAST(p_retailprice AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS profit,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
   )
 }
