@@ -46,21 +46,23 @@ object ProfileIncremental {
         .localCheckpoint(true)
     }
     val a = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_new"))
-    val vsCorpus = time("probe: vs-corpus BROADCAST bucket join + dedup") {
+    // mirrors the r09 operator: candidates keep their per-band multiplicity
+    // here, and the dedup folds into the post-prune pair list
+    val vsCorpus = time("probe: vs-corpus BROADCAST bucket join (raw, no dedup)") {
       val v = index
           .select(col("band"), col("bucket"), col("doc_id").as("id_old"))
         .join(broadcast(a), Seq("band", "bucket"))
         .filter(col("id_new") =!= col("id_old"))
-        .dropDuplicates("id_new", "id_old")
+        .select(col("id_new"), col("id_old"))
         .localCheckpoint(true)
       println(s"[profile]   vs-corpus candidates: ${v.count()}")
       v
     }
-    val vsSelf = time("probe: within-batch BROADCAST bucket join + dedup") {
+    val vsSelf = time("probe: within-batch BROADCAST bucket join (raw, no dedup)") {
       val b = newIndex.select(col("band"), col("bucket"), col("doc_id").as("id_b2"))
       val v = a.join(broadcast(b), Seq("band", "bucket"))
         .filter(col("id_new") < col("id_b2"))
-        .dropDuplicates("id_new", "id_b2")
+        .select(col("id_new"), col("id_b2"))
         .localCheckpoint(true)
       println(s"[profile]   within-batch candidates: ${v.count()}")
       v
@@ -78,7 +80,7 @@ object ProfileIncremental {
       val sp = vsSelf.join(sigA, Seq("id_new")).join(sigB2, Seq("id_b2"))
         .filter(est >= 0.3)
         .select(col("id_new").as("id_a"), col("id_b2").as("id_b"))
-      val p = cp.unionByName(sp).localCheckpoint(true)
+      val p = cp.unionByName(sp).dropDuplicates("id_a", "id_b").localCheckpoint(true)
       println(s"[profile]   pruned survivors: ${p.count()}")
       p
     }
