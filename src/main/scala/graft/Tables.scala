@@ -86,12 +86,27 @@ object Tables {
     case other => throw new IllegalStateException(s"unknown epoch unit: $other")
   }
 
-  // Inferred epoch unit per (sfDir, table, column): the probe is one full-
-  // column max() ACTION, and normalizeWidths runs at every frame construction
-  // — on a long-epoch date regen an uncached probe would re-scan lineitem/
-  // orders once per query built, not once per run. Mirrors eventsLongUnits.
+  /** Cheap file-identity fingerprint of a table path, folded into every
+    * probe-cache key below: a path REWRITTEN within one JVM's lifetime (e.g.
+    * iterating regen sims into the same /tmp dst, which `tools/regen_sim.py`
+    * encourages) re-probes instead of silently applying a stale schema or
+    * epoch unit. (mtime, length) of the top-level file-or-directory is
+    * enough identity: a single-file rewrite bumps the file's mtime, and a
+    * directory-table overwrite creates fresh uniquely-named part files,
+    * which bumps the directory's own mtime. One local stat per lookup —
+    * noise next to the frame construction it guards. */
+  private def pathFingerprint(path: String): Long = {
+    val f = new java.io.File(path)
+    f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)
+  }
+
+  // Inferred epoch unit per (sfDir, table, column, file fingerprint): the
+  // probe is one full-column max() ACTION, and normalizeWidths runs at every
+  // frame construction — on a long-epoch date regen an uncached probe would
+  // re-scan lineitem/orders once per query built, not once per run. Mirrors
+  // eventsLongUnits.
   private val longDateUnits =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Long), String]
 
   private def normalizeWidths(df: DataFrame, name: String, sfDir: String): DataFrame =
     canonicalWidths.get(name).fold(df) { want =>
@@ -101,7 +116,8 @@ object Tables {
           // a TIMESTAMP(NANOS)-or-plain-long regen of a date column: a bare
           // cast would read the long as SECONDS; infer the unit from the
           // data instead (one max() scan, paid once per (dir, table, column))
-          val unit = longDateUnits.getOrElseUpdate((sfDir, name, c),
+          val unit = longDateUnits.getOrElseUpdate(
+            (sfDir, name, c, pathFingerprint(s"$sfDir/$name.parquet")),
             inferLongEpochUnit(
               Option(d.agg(org.apache.spark.sql.functions.max(col(c))).head().get(0))
                 .map(_.asInstanceOf[Long])))
@@ -110,8 +126,9 @@ object Tables {
       }
     }
 
+  // keyed by (sfDir, file fingerprint) — see pathFingerprint
   private val eventsSchemas =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), StructType]
 
   /** Parquet-footer schema of `events.parquet` under the nanos-as-long
     * conf, probed once per directory (footer-only, no data scan). `ts` comes
@@ -132,7 +149,8 @@ object Tables {
     // a cached dir must still be configured, or a TIMESTAMP(NANOS) file would
     // fail at ITS scan time even though the probe succeeded elsewhere
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    eventsSchemas.getOrElseUpdate(sfDir,
+    eventsSchemas.getOrElseUpdate(
+      (sfDir, pathFingerprint(s"$sfDir/events.parquet")),
       spark.read.parquet(s"$sfDir/events.parquet").schema)
   }
 
@@ -140,8 +158,9 @@ object Tables {
   def eventsTsType(spark: SparkSession, sfDir: String): DataType =
     eventsFileSchema(spark, sfDir)("ts").dataType
 
+  // keyed by (sfDir, file fingerprint) — see pathFingerprint
   private val eventsLongUnits =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
 
   /** Epoch unit of a LONG-typed `events.ts`, inferred once per directory by
     * magnitude ([[inferLongEpochUnit]]) from one `max(ts)` scan of the ts
@@ -151,7 +170,8 @@ object Tables {
     * the STREAMING read path (which cannot aggregate its own frame) share
     * the same inference. Only consulted when [[eventsTsType]] is LongType. */
   def eventsTsLongUnit(spark: SparkSession, sfDir: String): String =
-    eventsLongUnits.getOrElseUpdate(sfDir, {
+    eventsLongUnits.getOrElseUpdate(
+        (sfDir, pathFingerprint(s"$sfDir/events.parquet")), {
       eventsFileSchema(spark, sfDir) // ensures nanosAsLong is set for the scan
       inferLongEpochUnit(
         Option(spark.read.parquet(s"$sfDir/events.parquet")

@@ -549,19 +549,34 @@ object Dedup {
     * Verification is the banded O(k·len) thresholded levenshtein built-in
     * in both plans — both exact, spec-pinned against brute force.
     */
-  def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
-                        keyCol: String = "key", idCol: String = "doc_id",
-                        directJoinFactor: Double = 4.0,
-                        maxDirectKeyBytes: Long = 64L << 20): DataFrame = {
-    require(maxDist >= 0, "maxDist must be >= 0")
-    require(q >= 1, "q must be >= 1")
-    val kq = maxDist * q
-    val keys = fanOutSmallInput(docs)
+  /** The (id, key, len, q-gram set) table [[editDistancePairs]] joins and
+    * verifies against — split out so callers can build it ONCE at ingest
+    * time (it is a corpus artifact exactly like the LSH index: in
+    * production it is persisted beside the corpus and appended per batch,
+    * not rebuilt per query) and pass it back via `precomputedKeys`.
+    * Returned un-materialized; callers that reuse it should
+    * `localCheckpoint` it — [[editDistancePairs]] consumes it 3-4 times. */
+  def editDistanceKeys(docs: DataFrame, q: Int,
+                       keyCol: String = "key",
+                       idCol: String = "doc_id"): DataFrame =
+    fanOutSmallInput(docs)
       .select(col(idCol).as("id"), col(keyCol).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("s"), length(col("s")).as("len"),
         graft.functions.NativeExprs.rawShingleSet(col("s"), q).as("g"))
-      .localCheckpoint(true)
+
+  def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
+                        keyCol: String = "key", idCol: String = "doc_id",
+                        directJoinFactor: Double = 4.0,
+                        maxDirectKeyBytes: Long = 64L << 20,
+                        precomputedKeys: Option[DataFrame] = None): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val kq = maxDist * q
+    // precomputedKeys must be editDistanceKeys(docs, q, keyCol, idCol) (same
+    // q!), already materialized by the caller's ingest-artifact cache
+    val keys = precomputedKeys.getOrElse(
+      editDistanceKeys(docs, q, keyCol, idCol).localCheckpoint(true))
 
     def verified(cand: DataFrame): DataFrame = cand
       .join(keys.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")

@@ -19,12 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Above this partition count the per-partition offsets ride as a
+    * BROADCAST-JOINED frame instead of a plan-embedded literal map (see
+    * [[globalRowNumber]]). 10k literal entries ≈ ~200 KB of plan — fine;
+    * 100k would inflate every task's serialized plan by megabytes. */
+  private[graft] val MaxLiteralOffsetEntries = 10000
+
   /** Global 1-based row number under `order` (which must be a total order —
     * include a unique tie-break column). Returns the ranked frame and the
     * total row count. Two passes over the input (count pass + rank pass),
-    * zero single-task stages. */
+    * zero single-task stages.
+    *
+    * `maxLiteralOffsets` picks the offset-application lane and exists as a
+    * parameter so specs can force the join lane at a tiny partition count;
+    * production callers keep the default. */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
-                      out: String = "rank"): (DataFrame, Long) = {
+                      out: String = "rank",
+                      maxLiteralOffsets: Int = MaxLiteralOffsetEntries): (DataFrame, Long) = {
     // The count pass and the rank pass are SEPARATE queries, and Spark SQL
     // does not reuse shuffle output across queries — each would re-execute
     // the range exchange, whose boundary SAMPLING is seeded by the per-job
@@ -34,17 +45,6 @@ object Ranks {
     // partitioning for both passes — the DataFrame analog of the shuffle
     // reuse RDD.zipWithIndex gets for free within one lineage.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    // The per-partition offset map below is embedded in the PLAN as a
-    // typedLit, so it scales with the PARTITION count, not the data: fine at
-    // any realistic shuffle-partition setting (32 partitions ≈ a few hundred
-    // plan bytes; 10k ≈ ~200 KB), but a 100k-partition job would inflate
-    // every task's serialized plan by megabytes. Fail loudly at the ceiling
-    // rather than degrade silently — past it, rank via a join against the
-    // (pid → offset) frame instead of a literal map.
-    require(nPart <= 10000,
-      s"globalRowNumber embeds a $nPart-entry partition-offset literal in the " +
-      "plan; above 10k partitions, replace the typedLit with a broadcast join " +
-      "against the offsets frame")
     val ranged = df.repartitionByRange(nPart, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
@@ -53,11 +53,28 @@ object Ranks {
     val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, c)) => pid -> (acc + c) }
     val offsetByPid = counts.map(_._1).zip(offsets.map(_._2)).toMap
     val n = counts.map(_._2).sum
-    val offsetMap = typedLit(offsetByPid)
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
-    (local.withColumn(out, col("__lrn") + coalesce(element_at(offsetMap, col("__pid")), lit(0L)))
-       .drop("__pid", "__lrn"), n)
+    // The per-partition offsets scale with the PARTITION count, not the
+    // data. Up to `maxLiteralOffsets` they embed in the plan as a typedLit
+    // map — zero extra operators, codegen-friendly (32 partitions ≈ a few
+    // hundred plan bytes). Past it (a 100k-partition cluster job, where a
+    // literal map would inflate every task's serialized plan by megabytes)
+    // they ride as a BROADCAST hash join on __pid instead: same offsets,
+    // one broadcast of nPart (pid, offset) longs — spec-pinned equal to the
+    // literal lane.
+    val shifted = if (nPart <= maxLiteralOffsets) {
+      val offsetMap = typedLit(offsetByPid)
+      local.withColumn(out,
+        col("__lrn") + coalesce(element_at(offsetMap, col("__pid")), lit(0L)))
+    } else {
+      val sess = df.sparkSession
+      val offFrame = sess.createDataFrame(offsetByPid.toSeq).toDF("__pid", "__off")
+      local.join(broadcast(offFrame), Seq("__pid"), "left")
+        .withColumn(out, col("__lrn") + coalesce(col("__off"), lit(0L)))
+        .drop("__off")
+    }
+    (shifted.drop("__pid", "__lrn"), n)
   }
 
   /** Exact `ntile(k)` over a total order, built on [[globalRowNumber]] —

@@ -123,13 +123,18 @@ class MicroBatchPipeline(
     // BOTH writes must be quiesced before this method exits — even on
     // failure: rethrowing while the sibling write is still appending would
     // let the engine's batch RETRY race the orphaned in-flight append, and
-    // the cached block would leak. First failure propagates after both end.
+    // the cached block would leak. First failure propagates after both end,
+    // carrying any sibling failure as a suppressed exception so a
+    // double-fault keeps both causes visible.
     try {
       val failures = Seq(stateWrite, changeLogWrite).flatMap { f =>
         try { Await.result(f, Duration.Inf); None }
         catch { case e: Throwable => Some(e) }
       }
-      failures.headOption.foreach(throw _)
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed)
+        throw first
+      }
     } finally partials.unpersist()
 
     // --- segment merge restricted to this batch's users

@@ -210,6 +210,23 @@ class InvariantSpec extends SparkSpec {
     assert(ranks.toSeq == (1L to 997L)) // a permutation-free total rank
   }
 
+  test("globalRowNumber broadcast-join offset lane == literal-map lane") {
+    val r = new scala.util.Random(13)
+    val df = (1 to 991).map(i => (i.toLong, r.nextInt(150).toDouble)).toDF("id", "v")
+    val order = Seq($"v".asc, $"id".desc)
+    val (lit, nLit) = operators.Ranks.globalRowNumber(df, order, "r")
+    // maxLiteralOffsets=0 forces the >10k-partition lane (broadcast join on
+    // __pid) at the session's tiny partition count; per-row ranks must be
+    // IDENTICAL to the literal-map lane, not merely a permutation
+    val (join, nJoin) = operators.Ranks.globalRowNumber(df, order, "r",
+      maxLiteralOffsets = 0)
+    assert(nLit == 991L && nJoin == 991L)
+    val a = lit.select($"id", $"r").as[(Long, Long)].collect().toMap
+    val b = join.select($"id", $"r").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(join.columns.toSeq == lit.columns.toSeq) // no lane-only residue columns
+  }
+
   test("windowFunnel state bound: generous cap changes nothing; cap=1 keeps earliest") {
     val steps = Seq("A", "B", "C")
     val w = 100L

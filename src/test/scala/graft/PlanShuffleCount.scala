@@ -17,15 +17,36 @@ object PlanShuffleCount {
 
   val goldenPath = "src/test/resources/shuffle_golden.txt"
 
+  /** `goldenPath` resolved against the repo root — the nearest ancestor of
+    * the process CWD containing `build.sbt` — so a run launched from any
+    * subdirectory still reads/writes the SAME ledger the source tree holds,
+    * instead of silently splitting between a CWD-relative path and the
+    * (possibly stale) classpath copy. Falls back to the CWD-relative path
+    * when no ancestor qualifies (e.g. a packaged run outside the repo). */
+  def goldenFile(): java.io.File = {
+    val start = new java.io.File(sys.props.getOrElse("user.dir", ".")).getAbsoluteFile
+    Iterator.iterate(start)(_.getParentFile)
+      .takeWhile(_ != null)
+      .take(16)
+      .find(d => new java.io.File(d, "build.sbt").isFile)
+      .map(root => new java.io.File(root, goldenPath))
+      .getOrElse(new java.io.File(goldenPath))
+  }
+
   /** The pinned ledger: `name count` lines, sorted by name. Read from the
     * source tree when present (so a just-regenerated file is seen without a
-    * recompile), falling back to the test classpath copy. */
+    * recompile), falling back to the test classpath copy with a loud
+    * warning — the classpath copy is only as fresh as the last compile. */
   def loadGolden(): Map[String, Int] = {
-    val file = new java.io.File(goldenPath)
+    val file = goldenFile()
     val src =
       if (file.isFile) Some(scala.io.Source.fromFile(file, "UTF-8"))
-      else Option(getClass.getResourceAsStream("/shuffle_golden.txt"))
-        .map(scala.io.Source.fromInputStream(_, "UTF-8"))
+      else {
+        System.err.println(s"[shufflecount] WARN: ${file.getPath} not found " +
+          "on disk; pinning against the (possibly stale) classpath copy")
+        Option(getClass.getResourceAsStream("/shuffle_golden.txt"))
+          .map(scala.io.Source.fromInputStream(_, "UTF-8"))
+      }
     src.fold(Map.empty[String, Int]) { s =>
       try s.getLines().map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -89,9 +110,9 @@ object PlanShuffleCount {
       "# Regenerate with: Test/runMain graft.PlanShuffleCount — commit the " +
       "diff it prints, never hand-edit.\n") +
       out.toSeq.sorted.map { case (n, c) => s"$n $c" }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(goldenPath),
-      body.getBytes("UTF-8"))
-    println(s"[shufflecount] wrote ${out.size} entries to $goldenPath " +
+    val dest = goldenFile()
+    java.nio.file.Files.write(dest.toPath, body.getBytes("UTF-8"))
+    println(s"[shufflecount] wrote ${out.size} entries to ${dest.getPath} " +
       s"($changed changed)")
   }
 }

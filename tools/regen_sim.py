@@ -17,6 +17,12 @@ Sims (each rewrites only what it names; all other tables copy through):
             `value` as DECIMAL(18,6) — the one physical type with no prior sim
   dirall    every table written as a DIRECTORY of two part files (types
             unchanged) — the df.write.parquet layout a regen would produce
+  hive      events written as HIVE-PARTITIONED date=YYYY-MM-DD/part-*.parquet
+            directories (partition column ONLY in directory names — the
+            df.write.partitionBy layout), column ORDER reversed inside the
+            events and lineitem files, and one extra unknown generator-
+            metadata column appended to orders (gen_run_id string) and
+            documents (source_shard int32)
 
 After writing, run the FULL gate against the copy (CLAUDE.md discipline —
 unit specs cannot see oracle-vs-engine width disagreements):
@@ -103,9 +109,43 @@ def sim_nanosdir(name: str, t: pa.Table) -> pa.Table:
     return t
 
 
+def reverse_cols(t: pa.Table) -> pa.Table:
+    return t.select(list(reversed(t.column_names)))
+
+
+def sim_hive(name: str, t: pa.Table) -> pa.Table:
+    # column-ORDER permutation on the two widest fact tables: both engines
+    # must read by NAME, never position
+    if name in ("events", "lineitem"):
+        t = reverse_cols(t)
+    # unknown generator-metadata columns a regen could plausibly append;
+    # the engine must ignore what it does not know
+    if name == "orders":
+        t = t.append_column("gen_run_id",
+                            pa.array(["r10-sim"] * t.num_rows, pa.string()))
+    if name == "documents":
+        t = t.append_column(
+            "source_shard",
+            pc.cast(pc.subtract(
+                t.column("doc_id"),
+                pc.multiply(pc.divide(t.column("doc_id"), 7), 7)), pa.int32()))
+    return t
+
+
+def write_hive_events(t: pa.Table, dst_path: str):
+    """date=YYYY-MM-DD/part-*.parquet layout: the partition value lives ONLY
+    in the directory name (write_to_dataset drops the partition column from
+    the files), exactly what df.write.partitionBy('date') produces."""
+    shutil.rmtree(dst_path, ignore_errors=True)
+    day = pc.strftime(pc.cast(t.column("ts"), pa.timestamp("us")), "%Y-%m-%d")
+    t = t.append_column("date", day)
+    pq.write_to_dataset(t, root_path=dst_path, partition_cols=["date"],
+                        basename_template="part-{i}.parquet")
+
+
 SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
         "millis": sim_millis, "nanosdir": sim_nanosdir,
-        "dirall": lambda name, t: t}
+        "dirall": lambda name, t: t, "hive": sim_hive}
 
 
 def main():
@@ -124,6 +164,12 @@ def main():
             if out.num_rows > n:
                 pq.write_table(out.slice(n), f"{dst_path}/part-001.parquet")
             print(f"[sim:{sim}] {tbl}: directory of parts ({out.num_rows} rows)")
+            continue
+        if sim == "hive" and tbl == "events":
+            write_hive_events(out, dst_path)
+            n_dirs = len([d for d in os.listdir(dst_path) if d.startswith("date=")])
+            print(f"[sim:{sim}] {tbl}: hive-partitioned ({n_dirs} date dirs, "
+                  f"{out.num_rows} rows)")
             continue
         if sim == "nanosdir" and tbl == "events":
             # directory-of-parts layout (r01-r05 shape): two part files
