@@ -1843,24 +1843,35 @@ object SparkEntry {
     // classes warmed are the ones those queries load (the FileSystem-based
     // checkpoint manager + v2 committer, not the default FileContext path)
     withStreamScope(s, "graft_stream_warm") { tmp =>
-      // 2-row scratch source in the events shape, so the drain below runs
-      // the REAL pipeline plans (sketch partial/merge codegen, partitioned
-      // state writes, the latest-wins readback window) — the streaming twin
-      // of the warmup's throwaway shuffle-join plan
-      s.range(2).selectExpr("id AS user_id", "'click' AS event_type",
+      // Scratch source in the events shape, laid out to drain the SAME
+      // lifecycle the timed streaming queries pay: TWO source files under
+      // maxFilesPerTrigger=1 (so the AvailableNow loop runs the multi-batch
+      // trigger path, one batch per file — `seg_stream_equiv`'s exact
+      // option), rows spanning TWO distinct dates (so the partitioned state
+      // write exercises the multi-partition dynamic-append path), and an
+      // ordered member read-back (the TakeOrdered/sort plan the query
+      // surfaces through). All the REAL pipeline plans run: sketch
+      // partial/merge codegen, partitioned state writes, change-log
+      // co-write, the latest-wins readback window.
+      s.range(0, 2, 1, 1).selectExpr("id AS user_id", "'click' AS event_type",
           "id AS event_id", "timestamp'2030-01-01 00:00:00' AS ts")
         .write.mode("overwrite").parquet(s"$tmp/src")
+      s.range(2, 4, 1, 1).selectExpr("id AS user_id", "'click' AS event_type",
+          "id AS event_id", "timestamp'2030-01-02 00:00:00' AS ts")
+        .write.mode("append").parquet(s"$tmp/src")
       val schema = s.read.parquet(s"$tmp/src").schema
       val pipe = new graft.state.MicroBatchPipeline(
         s, ClickSeg, graft.state.StateStorePaths(s"$tmp/state"), procTimeCol = "ts")
       val q = graft.streaming.StreamingSegments.foreachBatchPipeline(
-          s.readStream.schema(schema).parquet(s"$tmp/src"), pipe,
-          epochToTs = _ => java.sql.Timestamp.valueOf("2030-01-01 00:00:01"),
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$tmp/src"), pipe,
+          epochToTs = id => java.sql.Timestamp.valueOf(
+            s"2030-01-0${id % 2 + 1} 00:00:01"),
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       q.awaitTermination()
-      pipe.members()
+      pipe.members().orderBy("user_id")
     }
     ()
   }
