@@ -2751,6 +2751,21 @@ object SparkEntry {
     Dedup.removeDuplicatedSpans(t(s, dir, "documents"), DupN)
       .orderBy("doc_id")
 
+  private val SubstrL = 30
+
+  /** CHARACTER-granular exact substring duplication
+    * ([[graft.operators.Dedup.exactSubstringSpans]] — Lee et al.'s
+    * ExactSubstr, the sub-n-gram-granularity complement of `dedup_spans`'s
+    * word-8-gram span remover): per doc, the maximal ≥30-codepoint spans
+    * whose text occurs at least twice anywhere in the corpus, with exact
+    * 1-based boundaries pinned through `span_digest`. The oracle replays
+    * the definition directly on substrings (no hashes), which exactly
+    * matches because the engine's hash stage is candidate-only and
+    * verified on the text itself. */
+  private def exactSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(t(s, dir, "documents"), SubstrL)
+      .orderBy("doc_id")
+
   /** Perceptual (average-hash) media near-dup pairs
     * ([[graft.operators.Multimodal.phashNearDuplicates]]): pigeonhole chunk
     * join on the Spark side, brute-force XOR-popcount replay in the oracle
@@ -2935,6 +2950,7 @@ object SparkEntry {
     "q16_supplier_cnt"     -> (q16SupplierCnt _),
     "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q9_product_profit"    -> (q9ProductProfit _),
+    "exact_substring_spans" -> (exactSubstrSpans _),
   )
 
   // ----------------------------------------------------------------------
@@ -5141,5 +5157,41 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE p_name LIKE '%red%'
          GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    // ExactSubstr replayed definitionally on the substrings themselves (no
+    // hashes — the engine's hash stage is a candidate prefilter verified on
+    // the text, so both sides compute the identical position set): every
+    // L-codepoint window occurring >= 2 times anywhere marks its start
+    // position; consecutive marked starts merge to maximal spans via
+    // gaps-and-islands; per-doc aggregate left-joins back so clean docs
+    // assert their zeros. Positions are 1-based codepoints in BOTH engines
+    // (DuckDB length/substr and Spark char_length/substring both count code
+    // points).
+    "exact_substring_spans" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+          p AS (SELECT doc_id, unnest(generate_series(1, length(s) - ${SubstrL - 1})) AS pos, s
+                FROM d),
+          win AS (SELECT doc_id, pos, substr(s, CAST(pos AS INT), $SubstrL) AS w FROM p),
+          dw AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+          v AS (SELECT win.doc_id, win.pos FROM win JOIN dw USING (w)),
+          isl AS (SELECT doc_id, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                  FROM v),
+          sp AS (SELECT doc_id, min(pos) AS sp, max(pos) + ${SubstrL - 1} AS ep
+                 FROM isl GROUP BY doc_id, g),
+          agg AS (SELECT doc_id, count(*) AS n_dup_spans,
+                         sum(ep - sp + 1) AS dup_chars,
+                         md5(string_agg(sp || ':' || ep, ',' ORDER BY sp)) AS span_digest
+                  FROM sp GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(length(d.s) AS BIGINT) AS n_chars,
+                 CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                 CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+                 CASE WHEN length(d.s) = 0 THEN 0.0
+                      ELSE CAST(coalesce(a.dup_chars, 0) AS DOUBLE) / length(d.s)
+                 END AS dup_frac,
+                 coalesce(a.span_digest, md5('')) AS span_digest
+          FROM d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id""",
   )
 }

@@ -81,6 +81,22 @@ object NativeExprs {
     * RE2 `\s` semantics (no VT), see [[graft.functions.TextAnalysis.WsClass]]. */
   def normalizeText(text: Column): Column = col(NormalizeTextExpr(expr(text)))
 
+  /** xxhash64 (seed 42, Spark's own) of EVERY k-codepoint window of `text`,
+    * in position order — `windowHashes(s, k)[i] == xxhash64(substring(s,
+    * i+1, k))` for 0-based i (parity-pinned). One byte pass builds the
+    * codepoint-offset table, so cost is O(bytes + windows·k) even on
+    * non-ASCII text — the HOF form's `substr(i, k)` re-scans from byte 0
+    * per window (the O(position) quadratic trap). */
+  def windowHashes(text: Column, k: Int): Column =
+    col(WindowHashesExpr(expr(text), k))
+
+  /** The k-codepoint substring of `text` at each 1-based codepoint position
+    * in `positions` — `substringsAt(s, ps, k)[i] == substring(s, ps[i], k)`
+    * (parity-pinned). Same single offset-table pass as [[windowHashes]]:
+    * extraction is O(bytes + Σ window bytes), not O(Σ position). */
+  def substringsAt(text: Column, positions: Column, k: Int): Column =
+    col(SubstringsAtExpr(expr(text), expr(positions), k))
+
   /** Exact Jaccard of two distinct-element long arrays; matches
     * `Dedup.jaccardOfArrays`. */
   def jaccard(a: Column, b: Column): Column = col(JaccardExpr(expr(a), expr(b)))
@@ -598,6 +614,113 @@ case class ShingleSetExpr(child: Expression, k: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Shared one-pass codepoint-offset table for the window expressions below:
+  * `offsets(i)` = byte offset where codepoint i starts, `offsets(nc)` =
+  * total bytes — built by scanning for non-continuation bytes
+  * ((b & 0xC0) != 0x80), so any window's byte range is O(1) thereafter. */
+private[functions] object CodepointOffsets {
+  def of(t: UTF8String): Array[Int] = {
+    val nb = t.numBytes()
+    val bytes = t.getBytes // materializes at most once per ROW, not per window
+    val offs = new Array[Int](t.numChars() + 1)
+    var i = 0; var c = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(c) = nb
+    offs
+  }
+}
+
+/** xxhash64 (seed 42) of every k-codepoint window, position-ordered — the
+  * seed stage of exact substring deduplication (Lee et al. ExactSubstr,
+  * character-granular). Parity: `transform(sequence(1, char_length(s)-k+1),
+  * i -> xxhash64(substr(s, i, k)))`. Empty array when the text holds fewer
+  * than k codepoints. */
+case class WindowHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "window length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val nc = t.numChars()
+    val n = nc - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val nb = t.numBytes()
+    val out = new Array[Long](n)
+    if (nb == nc) { // ASCII fast path: window i is bytes [i, i+k)
+      var i = 0
+      while (i < n) {
+        out(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset + i, k, 42L)
+        i += 1
+      }
+    } else {
+      val offs = CodepointOffsets.of(t)
+      val bytes = t.getBytes
+      var i = 0
+      while (i < n) {
+        out(i) = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+          offs(i + k) - offs(i), 42L)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** k-codepoint substrings at the given 1-based codepoint positions — the
+  * verify-stage extractor paired with [[WindowHashesExpr]] (candidates only,
+  * so the L× byte blow-up never touches non-duplicated text). Positions past
+  * the end yield '' like SQL `substr`; positions < 1 clamp to 1 (callers
+  * only ever pass in-range window starts — parity is pinned for p ≥ 1). */
+case class SubstringsAtExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(k >= 1, "window length must be >= 1")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val t = a.asInstanceOf[UTF8String]
+    val ps = b.asInstanceOf[ArrayData]
+    val n = ps.numElements()
+    val out = new Array[AnyRef](n)
+    // returned strings must OWN their bytes — a view into `t`'s buffer
+    // (often a reused UnsafeRow page) would silently mutate after the row
+    // advances — so each window is an explicit copyOfRange
+    val bytes = t.getBytes
+    def slice(s: Int, e: Int): AnyRef =
+      if (s >= e) UTF8String.EMPTY_UTF8
+      else UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, s, e))
+    if (t.numBytes() == t.numChars()) { // ASCII: byte == codepoint
+      val nb = t.numBytes()
+      var i = 0
+      while (i < n) {
+        val p = ps.getInt(i) - 1
+        out(i) = slice(math.max(p, 0), math.min(math.max(p, 0) + k, nb))
+        i += 1
+      }
+    } else {
+      val offs = CodepointOffsets.of(t)
+      val nc = t.numChars()
+      var i = 0
+      while (i < n) {
+        val p = math.max(ps.getInt(i) - 1, 0)
+        val e = math.min(p + k, nc)
+        out(i) = if (p >= e) UTF8String.EMPTY_UTF8
+                 else slice(offs(p), offs(e))
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** Jaccard over two SORTED long arrays by linear merge — no hash sets, no

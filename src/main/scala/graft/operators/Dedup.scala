@@ -1108,6 +1108,93 @@ object Dedup {
               .cast("binary")).as("cleaned_md5"))
   }
 
+  /** CHARACTER-granular exact substring duplication profile — the
+    * suffix-array-class ExactSubstr of Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better" §4.1), re-expressed as a distributed
+    * fingerprint pipeline (their single-machine suffix array memory-maps the
+    * whole corpus; the scale-out literature replaces it with rolling-window
+    * fingerprints, which Spark's shuffle executes natively). Finds, for each
+    * document, the MAXIMAL codepoint spans of length ≥ `minLen` whose text
+    * occurs at least twice anywhere in the corpus (another document OR
+    * another position of the same document — self-repeats count, per the
+    * paper), with EXACT character boundaries — the sub-n-gram granularity
+    * [[removeDuplicatedSpans]]'s word-8-gram quantization cannot express.
+    *
+    * Mechanics: a duplicated span of length m ≥ L contains exactly its
+    * m−L+1 length-L windows, each itself duplicated; conversely every
+    * duplicated window lies in some duplicated span. So: (1) hash EVERY
+    * L-window per doc in one native pass ([[graft.functions.NativeExprs
+    * .windowHashes]] — xxhash64 seeds, 8 B/position, text never shuffled);
+    * (2) keep hashes occurring ≥ 2 times (map-side-combined count agg);
+    * (3) EXACT verify: re-extract the window text for candidate positions
+    * only ([[graft.functions.NativeExprs.substringsAt]]) and re-count on
+    * the text itself — a 64-bit collision can only ADD a candidate and is
+    * discarded here, so the result is hash-free exact; (4) merge verified
+    * positions into maximal spans per doc with gaps-and-islands
+    * (pos − row_number per doc — a per-doc window, never a global one).
+    *
+    * Scale shape: two shuffles of fixed-width (hash, id, pos) rows — ~20 B
+    * per corpus CHARACTER, the honest cost of character-granular exactness
+    * (cf. the suffix array's 8 B/char plus sort) — then candidate-only
+    * text extraction (the L× byte blow-up touches only duplicated regions),
+    * and a per-doc-bounded island merge. Per-doc candidate lists ride a
+    * `collect_list` bounded by document length, the standard per-doc bound.
+    *
+    * Output (one row per input doc, zeros when clean): `n_chars`,
+    * `n_dup_spans`, `dup_chars`, `dup_frac`, and `span_digest` — md5 of the
+    * sorted "start:end" (1-based, inclusive) span list, the column the
+    * cross-engine oracle pins boundaries with. */
+  def exactSubstringSpans(docs: DataFrame, minLen: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val base = fanOutSmallInput(docs)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("s"))
+    val wins = base.select(col(idCol),
+        posexplode(graft.functions.NativeExprs.windowHashes(col("s"), minLen))
+          .as(Seq("pos0", "h")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("h"))
+    val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val cand = wins.join(dupHashes, Seq("h"), "left_semi")
+    // exact verify on candidate positions only: extract each candidate's
+    // window text in one per-doc pass and re-count on the TEXT — sorted
+    // positions keep the extractor's access pattern forward-only
+    val candText = cand.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .join(base, Seq(idCol))
+      .select(col(idCol), explode(arrays_zip(col("ps"),
+        graft.functions.NativeExprs.substringsAt(col("s"), col("ps"), minLen)
+          .as("ws"))).as("z"))
+      .select(col(idCol), col("z.ps").as("pos"), col("z.ws").as("w"))
+    val dupWindows = candText.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("w"))
+    val verified = candText.join(dupWindows, Seq("w"), "left_semi")
+      .select(col(idCol), col("pos"))
+    // gaps-and-islands: consecutive duplicated window starts share one span
+    val spans = verified
+      .withColumn("g", col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .groupBy(col(idCol), col("g"))
+      .agg(min(col("pos")).as("sp"), (max(col("pos")) + minLen - 1).as("ep"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(col("ep") - col("sp") + 1).as("dup_chars"),
+           md5(array_join(transform(
+             array_sort(collect_list(struct(col("sp"), col("ep")))),
+             x => concat_ws(":", x("sp").cast("string"), x("ep").cast("string"))),
+             ",").cast("binary")).as("span_digest"))
+    base.select(col(idCol), char_length(col("s")).cast("long").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        coalesce(col("dup_chars").cast("double") / nullif(col("n_chars"), lit(0L)),
+                 lit(0.0)).as("dup_frac"),
+        coalesce(col("span_digest"), md5(lit("").cast("binary"))).as("span_digest"))
+  }
+
   /** Distributed Bloom build over a distinct-gram frame via Spark's native
     * `BloomFilterAggregate`: per-partition partial filters OR-merged at the
     * reducer — no driver-side insertion loop (`df.stat.bloomFilter` collects

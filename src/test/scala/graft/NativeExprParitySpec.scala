@@ -315,4 +315,42 @@ class NativeExprParitySpec extends SparkSpec {
              hof.collect().map(_.toSeq).toSeq)
     }
   }
+
+  test("windowHashes native == transform(sequence, xxhash64(substr)) HOF") {
+    // non-ASCII rows exercise the codepoint-offset table lane (multi-byte
+    // UTF-8 means byte index != codepoint index)
+    val weird = Seq("", "ab", "abcdef", "ααββγγδδ", "Ünïcødé wörds hére tøø",
+                    "aaaaaaaaaa", "日本語のテキストです").toDF("text")
+    for ((frame, k) <- Seq((docs.select($"text"), 12), (weird, 4))) {
+      // substring's Scala (col, int, int) overload can't take a Column
+      // position — the HOF reference form goes through SQL expr(). The
+      // short-text guard must be a CASE, not greatest(): Spark's
+      // sequence(1, 0) DESCENDS ([1, 0]), it doesn't produce empty.
+      val diff = frame.select(
+          NativeExprs.windowHashes($"text", k).as("a"),
+          expr(s"CASE WHEN char_length(text) >= $k THEN " +
+               s"transform(sequence(1, char_length(text) - ${k - 1}), " +
+               s"i -> xxhash64(substring(text, i, $k))) " +
+               "ELSE CAST(array() AS array<bigint>) END").as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(diff == 0)
+    }
+  }
+
+  test("substringsAt native == transform(ps, substring) HOF, incl. non-ASCII") {
+    val weird = Seq("", "abc", "abcdefghij", "ααββγγδδεε", "Ünïcødé wörds",
+                    "日本語のテキストです").toDF("text")
+    for ((frame, k) <- Seq((docs.select($"text"), 10), (weird, 3))) {
+      // positions 1..len-k+1 plus a past-the-end probe (must yield the same
+      // clamped tail/'' as SQL substring)
+      val withPs = frame.withColumn("ps",
+        expr(s"transform(sequence(1, greatest(char_length(text) - ${k - 1}, 0) + 2), " +
+             "i -> CAST(i AS INT))"))
+      val diff = withPs.select(
+          NativeExprs.substringsAt($"text", $"ps", k).as("a"),
+          expr(s"transform(ps, p -> substring(text, p, $k))").as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(diff == 0)
+    }
+  }
 }

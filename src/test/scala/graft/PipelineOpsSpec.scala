@@ -767,6 +767,65 @@ class PipelineOpsSpec extends SparkSpec {
            out(5L).getString(4) == md5Of("x y"))
   }
 
+  test("exactSubstringSpans equals character brute force: boundaries, self-repeats, unicode, nulls") {
+    val L = 5
+    // BMP-only strings so the brute force's UTF-16 String indexing equals
+    // the engine's codepoint indexing (the operator itself is codepoint-
+    // based; surrogate-pair parity is covered by the substringsAt parity
+    // spec's offset-table lane)
+    val corpus = Seq(
+      (1L, "xxSHAREDBITzz0123456"),    // "SHAREDBIT" (9 chars) also in doc 2
+      (2L, "qrstSHAREDBITklmnopw"),    //   → one span of 9 in each, exact bounds
+      (3L, "totally unique prose"),    // clean → zeros
+      (4L, "abcd"),                    // shorter than L → zeros
+      (5L, null.asInstanceOf[String]), // null → empty doc, zeros
+      (6L, "aaaaaaaaaa"),             // periodic self-repeat: every window dup
+      (7L, "μμνναβγδεζηвизнз"),       // unicode pair with 8: "αβγδεζη"+ shared?
+      (8L, "ppαβγδεζηqq"),            // shares "αβγδεζη" (7 ≥ L) with 7
+      (9L, "abXYZVWabXYZVWtail")      // within-doc repeat "abXYZVW" ×2
+    ).toDF("doc_id", "text")
+
+    // character-granular brute force, straight from the definition
+    val texts = corpus.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val wins = texts.toSeq.flatMap { case (id, s) =>
+      (0 to s.length - L).map(i => (s.substring(i, i + L), id, i + 1)) }
+    val freq = wins.groupBy(_._1).map { case (w, xs) => w -> xs.size }
+    val dupPos = wins.filter(t => freq(t._1) >= 2)
+      .groupBy(_._2).map { case (id, xs) => id -> xs.map(_._3).sorted }
+    def islands(ps: Seq[Int]): Seq[(Int, Int)] =
+      ps.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
+        if (acc.nonEmpty && acc.last._2 == p - 1) acc.init :+ (acc.last._1, p)
+        else acc :+ (p, p)
+      }.map { case (s, e) => (s, e + L - 1) }
+    def md5Of(sq: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = texts.map { case (id, s) =>
+      val sp = islands(dupPos.getOrElse(id, Seq.empty))
+      id -> ((s.length.toLong, sp.size.toLong, sp.map(x => x._2 - x._1 + 1L).sum,
+              md5Of(sp.map(x => s"${x._1}:${x._2}").mkString(","))))
+    }
+
+    val out = Dedup.exactSubstringSpans(corpus, L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5), r.getDouble(4)))).toMap
+    assert(out.keySet == texts.keySet)
+    for ((id, (nc, ns, dc, dig)) <- want) {
+      val (gnc, gns, gdc, gdig, gfrac) = out(id)
+      assert(gnc == nc, s"doc $id n_chars")
+      assert(gns == ns, s"doc $id n_dup_spans")
+      assert(gdc == dc, s"doc $id dup_chars")
+      assert(gdig == dig, s"doc $id span_digest")
+      assert(gfrac == (if (nc == 0) 0.0 else dc.toDouble / nc), s"doc $id dup_frac")
+    }
+    // structural sanity of the fixture itself: the shared 9-char block and
+    // the within-doc repeat produced real multi-char spans, and the
+    // periodic run is one full-doc span
+    assert(want(1L)._3 == 9L && want(2L)._3 == 9L)
+    assert(want(6L)._2 == 1L && want(6L)._3 == 10L)
+    assert(want(9L)._3 >= 2 * L)
+  }
+
   test("quantized ANN: exact at full candK, high recall at the contract cut") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 8)
