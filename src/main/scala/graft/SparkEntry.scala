@@ -2763,7 +2763,11 @@ object SparkEntry {
     * matches because the engine's hash stage is candidate-only and
     * verified on the text itself. */
   private def exactSubstrSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactSubstringSpans(t(s, dir, "documents"), SubstrL)
+    // consumes the SHARED fanned corpus materialization: the operator reads
+    // its input three times (window pass, candidate-text join, per-doc
+    // lengths), so the checkpointed docsSharded frame turns those into
+    // cached-block reads instead of three parquet scans
+    Dedup.exactSubstringSpans(docsSharded(s, dir), SubstrL)
       .orderBy("doc_id")
 
   /** Perceptual (average-hash) media near-dup pairs
@@ -5162,10 +5166,12 @@ object SparkEntry {
     // hashes — the engine's hash stage is a candidate prefilter verified on
     // the text, so both sides compute the identical position set): every
     // L-codepoint window occurring >= 2 times anywhere marks its start
-    // position; consecutive marked starts merge to maximal spans via
-    // gaps-and-islands; per-doc aggregate left-joins back so clean docs
-    // assert their zeros. Positions are 1-based codepoints in BOTH engines
-    // (DuckDB length/substr and Spark char_length/substring both count code
+    // position; marked starts merge to maximal spans by COVERAGE
+    // gaps-and-islands (a new span where the gap between consecutive starts
+    // exceeds L — start-adjacency alone would emit overlapping spans);
+    // per-doc aggregate left-joins back so clean docs assert their zeros.
+    // Positions are 1-based codepoints in BOTH engines (DuckDB
+    // length/substr and Spark char_length/substring both count code
     // points).
     "exact_substring_spans" ->
       s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
@@ -5175,10 +5181,15 @@ object SparkEntry {
           dw AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
           v AS (SELECT win.doc_id, win.pos FROM win JOIN dw USING (w)),
           isl AS (SELECT doc_id, pos,
-                         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                                   > $SubstrL THEN 1 ELSE 0 END AS brk
                   FROM v),
+          grp AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS g
+                  FROM isl),
           sp AS (SELECT doc_id, min(pos) AS sp, max(pos) + ${SubstrL - 1} AS ep
-                 FROM isl GROUP BY doc_id, g),
+                 FROM grp GROUP BY doc_id, g),
           agg AS (SELECT doc_id, count(*) AS n_dup_spans,
                          sum(ep - sp + 1) AS dup_chars,
                          md5(string_agg(sp || ':' || ep, ',' ORDER BY sp)) AS span_digest

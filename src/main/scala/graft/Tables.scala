@@ -90,14 +90,43 @@ object Tables {
     * probe-cache key below: a path REWRITTEN within one JVM's lifetime (e.g.
     * iterating regen sims into the same /tmp dst, which `tools/regen_sim.py`
     * encourages) re-probes instead of silently applying a stale schema or
-    * epoch unit. (mtime, length) of the top-level file-or-directory is
-    * enough identity: a single-file rewrite bumps the file's mtime, and a
-    * directory-table overwrite creates fresh uniquely-named part files,
-    * which bumps the directory's own mtime. One local stat per lookup —
-    * noise next to the frame construction it guards. */
+    * epoch unit. For a single file, (mtime, length). For a DIRECTORY table
+    * (part-file and hive-partitioned layouts) the top directory's own
+    * (mtime, length) is NOT enough — an in-place rewrite of partition
+    * contents leaves both untouched — so the fingerprint also folds the
+    * (relative path, mtime, size) of every file in the tree, order-
+    * independently (directory iteration order is not contractual). Spark
+    * and pyarrow name part files uniquely per write, so ANY rewrite changes
+    * the fold regardless of mtime granularity. The walk is capped at 4096
+    * entries (a local-testdata guard, not an object-store path — at that
+    * size the cap keeps the per-lookup cost bounded while still seeing
+    * every realistic regen layout, and entries past the cap still
+    * contribute via the count). */
   private def pathFingerprint(path: String): Long = {
-    val f = new java.io.File(path)
-    f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)
+    val root = new java.io.File(path)
+    var h = root.lastModified ^ java.lang.Long.rotateLeft(root.length, 32)
+    if (root.isDirectory) {
+      val stream = java.nio.file.Files.walk(root.toPath)
+      try {
+        val it = stream.iterator()
+        var n = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          n += 1
+          if (n <= 4096) {
+            val f = p.toFile
+            // commutative SUM of well-mixed per-file terms: order-free, and
+            // (unlike XOR) two identical entries don't cancel out
+            var term = root.toPath.relativize(p).toString.hashCode.toLong
+            term = term * 0x9E3779B97F4A7C15L + f.lastModified
+            term = term * 0x9E3779B97F4A7C15L + f.length
+            h += term * 0x9E3779B97F4A7C15L
+          }
+        }
+        h += n * 0xC2B2AE3D27D4EB4FL
+      } finally stream.close()
+    }
+    h
   }
 
   // Inferred epoch unit per (sfDir, table, column, file fingerprint): the

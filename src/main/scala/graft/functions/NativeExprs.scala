@@ -621,10 +621,12 @@ case class ShingleSetExpr(child: Expression, k: Int)
   * total bytes — built by scanning for non-continuation bytes
   * ((b & 0xC0) != 0x80), so any window's byte range is O(1) thereafter. */
 private[functions] object CodepointOffsets {
-  def of(t: UTF8String): Array[Int] = {
-    val nb = t.numBytes()
-    val bytes = t.getBytes // materializes at most once per ROW, not per window
-    val offs = new Array[Int](t.numChars() + 1)
+  /** Callers pass the byte array they already materialized (one `getBytes`
+    * per ROW total — a second call here would copy UnsafeRow-backed strings
+    * twice). */
+  def of(bytes: Array[Byte], nChars: Int): Array[Int] = {
+    val nb = bytes.length
+    val offs = new Array[Int](nChars + 1)
     var i = 0; var c = 0
     while (i < nb) {
       if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
@@ -659,8 +661,8 @@ case class WindowHashesExpr(child: Expression, k: Int)
         i += 1
       }
     } else {
-      val offs = CodepointOffsets.of(t)
       val bytes = t.getBytes
+      val offs = CodepointOffsets.of(bytes, nc)
       var i = 0
       while (i < n) {
         out(i) = XXH64.hashUnsafeBytes(bytes,
@@ -706,8 +708,8 @@ case class SubstringsAtExpr(left: Expression, right: Expression, k: Int)
         i += 1
       }
     } else {
-      val offs = CodepointOffsets.of(t)
       val nc = t.numChars()
+      val offs = CodepointOffsets.of(bytes, nc)
       var i = 0
       while (i < n) {
         val p = math.max(ps.getInt(i) - 1, 0)

@@ -1171,10 +1171,19 @@ object Dedup {
       .filter(col("c") >= 2).select(col("w"))
     val verified = candText.join(dupWindows, Seq("w"), "left_semi")
       .select(col(idCol), col("pos"))
-    // gaps-and-islands: consecutive duplicated window starts share one span
+    // gaps-and-islands on COVERAGE, not start-adjacency: starts p < q share
+    // one span iff q ≤ p + minLen (q's window overlaps or abuts p's), so a
+    // new span begins exactly where the gap between consecutive starts
+    // exceeds minLen. Merging only gap-1 starts would emit OVERLAPPING
+    // "spans" (starts {1, 3} with start 2 unduplicated cover [1, L] ∪
+    // [3, L+2] — ONE maximal duplicated region) and could sum dup_chars
+    // past n_chars.
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val spans = verified
-      .withColumn("g", col("pos") - row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1).otherwise(0))
+      .withColumn("g", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("g"))
       .agg(min(col("pos")).as("sp"), (max(col("pos")) + minLen - 1).as("ep"))
     val perDoc = spans.groupBy(col(idCol))

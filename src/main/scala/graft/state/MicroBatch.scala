@@ -132,7 +132,9 @@ class MicroBatchPipeline(
         catch { case e: Throwable => Some(e) }
       }
       failures.headOption.foreach { first =>
-        failures.drop(1).foreach(first.addSuppressed)
+        // `ne` guard: both futures can surface the SAME throwable instance
+        // (a shared upstream failure), and self-suppression throws
+        failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
         throw first
       }
     } finally partials.unpersist()

@@ -79,6 +79,31 @@ class EventsTsUnitSpec extends SparkSpec {
     }
   }
 
+  test("a rewritten path re-probes: unit/schema caches key on the file fingerprint") {
+    // the probe caches (footer schema, inferred epoch unit) once keyed on
+    // the PATH alone for the JVM lifetime — rewriting the same path with a
+    // different unit in one JVM (regen sims iterating into one /tmp dst,
+    // exactly what tools/regen_sim.py encourages) silently applied the
+    // stale unit (ADVICE r09). The fingerprint in the cache key makes the
+    // rewrite re-probe; a stale "us" reading of the nanos rewrite below
+    // would shift both instants 1000× into the future.
+    val us = Seq(1686832496000000L, 1686918896000000L)
+    val dir = tmpDir("events_rewrite")
+    def writeLong(f: Long => Long): Unit =
+      us.zipWithIndex
+        .map { case (u, i) => (i.toLong, f(u), i.toLong, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    writeLong(identity) // plain int64 MICROS
+    assert(epochs(Tables.events(spark, dir)) === us) // primes both caches
+    // no sleep needed: the fingerprint folds per-file names/sizes, and
+    // Spark names part files uniquely per write — a rewrite always changes
+    // it, whatever the filesystem's mtime granularity
+    writeLong(_ * 1000L) // SAME path rewritten as plain int64 NANOS
+    assert(epochs(Tables.events(spark, dir)) === us,
+      "stale cached unit applied to a rewritten file")
+  }
+
   test("a second session reading a schema-cached nanos dir is still configured") {
     // the schema cache is keyed by dir but the nanosAsLong conf is
     // per-session: after session A probes (and caches) a nanos dir, a fresh

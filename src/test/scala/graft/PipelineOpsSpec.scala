@@ -782,7 +782,15 @@ class PipelineOpsSpec extends SparkSpec {
       (6L, "aaaaaaaaaa"),             // periodic self-repeat: every window dup
       (7L, "μμνναβγδεζηвизнз"),       // unicode pair with 8: "αβγδεζη"+ shared?
       (8L, "ppαβγδεζηqq"),            // shares "αβγδεζη" (7 ≥ L) with 7
-      (9L, "abXYZVWabXYZVWtail")      // within-doc repeat "abXYZVW" ×2
+      (9L, "abXYZVWabXYZVWtail"),     // within-doc repeat "abXYZVW" ×2
+      // coverage-merge case: doc 10's windows at starts 1 ("ABCDE") and 3
+      // ("CDEFG") are duplicated (in 11 and 12 resp.) but start 2 ("BCDEF")
+      // is NOT — the two overlapping coverages [1,5] ∪ [3,7] must merge to
+      // ONE maximal span [1,7], never two overlapping spans summing past
+      // the text length
+      (10L, "ABCDEFGzz"),
+      (11L, "mmABCDEmm"),
+      (12L, "nnCDEFGnn")
     ).toDF("doc_id", "text")
 
     // character-granular brute force, straight from the definition
@@ -793,9 +801,11 @@ class PipelineOpsSpec extends SparkSpec {
     val freq = wins.groupBy(_._1).map { case (w, xs) => w -> xs.size }
     val dupPos = wins.filter(t => freq(t._1) >= 2)
       .groupBy(_._2).map { case (id, xs) => id -> xs.map(_._3).sorted }
+    // coverage merge: starts p < q share a span iff q <= p + L (q's window
+    // overlaps or abuts p's) — NOT only when starts are adjacent
     def islands(ps: Seq[Int]): Seq[(Int, Int)] =
       ps.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
-        if (acc.nonEmpty && acc.last._2 == p - 1) acc.init :+ (acc.last._1, p)
+        if (acc.nonEmpty && p - acc.last._2 <= L) acc.init :+ (acc.last._1, p)
         else acc :+ (p, p)
       }.map { case (s, e) => (s, e + L - 1) }
     def md5Of(sq: String) = java.security.MessageDigest.getInstance("MD5")
@@ -819,11 +829,16 @@ class PipelineOpsSpec extends SparkSpec {
       assert(gfrac == (if (nc == 0) 0.0 else dc.toDouble / nc), s"doc $id dup_frac")
     }
     // structural sanity of the fixture itself: the shared 9-char block and
-    // the within-doc repeat produced real multi-char spans, and the
-    // periodic run is one full-doc span
+    // the within-doc repeat produced real multi-char spans, the periodic
+    // run is one full-doc span, and the overlapping-coverage doc merged to
+    // ONE span of exactly 7 chars
     assert(want(1L)._3 == 9L && want(2L)._3 == 9L)
     assert(want(6L)._2 == 1L && want(6L)._3 == 10L)
     assert(want(9L)._3 >= 2 * L)
+    assert(want(10L)._2 == 1L && want(10L)._3 == 7L)
+    // global invariant the coverage merge guarantees: spans never overlap,
+    // so duplicated chars can never exceed the document's length
+    for ((id, (nc, _, dc, _)) <- want) assert(dc <= nc, s"doc $id dup>len")
   }
 
   test("quantized ANN: exact at full candK, high recall at the contract cut") {
