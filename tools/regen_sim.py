@@ -23,6 +23,11 @@ Sims (each rewrites only what it names; all other tables copy through):
             events and lineitem files, and one extra unknown generator-
             metadata column appended to orders (gen_run_id string) and
             documents (source_shard int32)
+  encoding  logical types unchanged, PHYSICAL encoding drift only: zstd
+            compression, 1024-row row groups, dictionary encoding off,
+            DataPage v2, and column statistics omitted (no min/max in the
+            footer — pushdown loses pruning but must stay correct, and the
+            epoch-unit probe must not depend on footer stats)
 
 After writing, run the FULL gate against the copy (CLAUDE.md discipline —
 unit specs cannot see oracle-vs-engine width disagreements):
@@ -145,7 +150,14 @@ def write_hive_events(t: pa.Table, dst_path: str):
 
 SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
         "millis": sim_millis, "nanosdir": sim_nanosdir,
-        "dirall": lambda name, t: t, "hive": sim_hive}
+        "dirall": lambda name, t: t, "hive": sim_hive,
+        "encoding": lambda name, t: t}
+
+# physical writer-option drift for the `encoding` sim (logical schema
+# untouched — everything here lives below the type system)
+ENCODING_OPTS = dict(compression="zstd", row_group_size=1024,
+                     use_dictionary=False, data_page_version="2.0",
+                     write_statistics=False)
 
 
 def main():
@@ -178,6 +190,8 @@ def main():
             n = out.num_rows // 2
             pq.write_table(out.slice(0, n), f"{dst_path}/part-000.parquet")
             pq.write_table(out.slice(n), f"{dst_path}/part-001.parquet")
+        elif sim == "encoding":
+            pq.write_table(out, dst_path, **ENCODING_OPTS)
         else:
             pq.write_table(out, dst_path)
         print(f"[sim:{sim}] {tbl}: {out.schema}".replace("\n", " | ")[:200])
