@@ -1130,8 +1130,9 @@ object Dedup {
     * only ([[graft.functions.NativeExprs.substringsAt]]) and re-count on
     * the text itself — a 64-bit collision can only ADD a candidate and is
     * discarded here, so the result is hash-free exact; (4) merge verified
-    * positions into maximal spans per doc with gaps-and-islands
-    * (pos − row_number per doc — a per-doc window, never a global one).
+    * positions into maximal spans per doc with COVERAGE gaps-and-islands
+    * (a new span where consecutive starts are > L apart — per-doc windows,
+    * never a global one).
     *
     * Scale shape: two shuffles of fixed-width (hash, id, pos) rows — ~20 B
     * per corpus CHARACTER, the honest cost of character-granular exactness
