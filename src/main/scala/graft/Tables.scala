@@ -102,7 +102,32 @@ object Tables {
     * size the cap keeps the per-lookup cost bounded while still seeing
     * every realistic regen layout, and entries past the cap still
     * contribute via the count). */
+  // Optional memoization of the walk below, keyed by path: normalizeWidths
+  // runs at every frame construction, so a 147-query Verify pass over a
+  // DIRECTORY table would otherwise re-stat the tree hundreds of times.
+  // OFF by default (TTL 0) — the rewrite-reprobe invariant pinned in
+  // EventsTsUnitSpec must hold with no sleep — and turned on by the batch
+  // mains (Verify/Bench), which never rewrite their inputs mid-run.
+  private val fpMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private def fpTtlMs: Long = java.lang.Long.getLong("graft.fp.ttlMs", 0L)
+
   private def pathFingerprint(path: String): Long = {
+    val ttl = fpTtlMs
+    if (ttl > 0) {
+      val now = System.currentTimeMillis()
+      fpMemo.get(path) match {
+        case Some((fp, at)) if now - at < ttl => return fp
+        case _ =>
+          val fp = computeFingerprint(path)
+          fpMemo.put(path, (fp, now))
+          return fp
+      }
+    }
+    computeFingerprint(path)
+  }
+
+  private def computeFingerprint(path: String): Long = {
     val root = new java.io.File(path)
     var h = root.lastModified ^ java.lang.Long.rotateLeft(root.length, 32)
     if (root.isDirectory) {
@@ -135,7 +160,21 @@ object Tables {
   // re-scan lineitem/orders once per query built, not once per run. Mirrors
   // eventsLongUnits.
   private val longDateUnits =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, Long), String]
+    scala.collection.concurrent.TrieMap.empty[((String, String, String), Long), String]
+
+  /** getOrElseUpdate that also EVICTS entries superseded by a new
+    * fingerprint of the same logical key: a long-lived sim-iterating JVM
+    * rewrites the same path many times, and without eviction the
+    * fingerprint-keyed caches grow one dead entry per rewrite. */
+  private def cachedForFp[P, V](cache: scala.collection.concurrent.TrieMap[(P, Long), V],
+                                prefix: P, fp: Long)(compute: => V): V =
+    cache.get((prefix, fp)) match {
+      case Some(v) => v
+      case None =>
+        cache.keysIterator
+          .filter(k => k._1 == prefix && k._2 != fp).foreach(cache.remove)
+        cache.getOrElseUpdate((prefix, fp), compute)
+    }
 
   private def normalizeWidths(df: DataFrame, name: String, sfDir: String): DataFrame =
     canonicalWidths.get(name).fold(df) { want =>
@@ -145,8 +184,8 @@ object Tables {
           // a TIMESTAMP(NANOS)-or-plain-long regen of a date column: a bare
           // cast would read the long as SECONDS; infer the unit from the
           // data instead (one max() scan, paid once per (dir, table, column))
-          val unit = longDateUnits.getOrElseUpdate(
-            (sfDir, name, c, pathFingerprint(s"$sfDir/$name.parquet")),
+          val unit = cachedForFp(longDateUnits,
+            (sfDir, name, c), pathFingerprint(s"$sfDir/$name.parquet"))(
             inferLongEpochUnit(
               Option(d.agg(org.apache.spark.sql.functions.max(col(c))).head().get(0))
                 .map(_.asInstanceOf[Long])))
@@ -178,8 +217,8 @@ object Tables {
     // a cached dir must still be configured, or a TIMESTAMP(NANOS) file would
     // fail at ITS scan time even though the probe succeeded elsewhere
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    eventsSchemas.getOrElseUpdate(
-      (sfDir, pathFingerprint(s"$sfDir/events.parquet")),
+    cachedForFp(eventsSchemas,
+      sfDir, pathFingerprint(s"$sfDir/events.parquet"))(
       spark.read.parquet(s"$sfDir/events.parquet").schema)
   }
 
@@ -199,14 +238,14 @@ object Tables {
     * the STREAMING read path (which cannot aggregate its own frame) share
     * the same inference. Only consulted when [[eventsTsType]] is LongType. */
   def eventsTsLongUnit(spark: SparkSession, sfDir: String): String =
-    eventsLongUnits.getOrElseUpdate(
-        (sfDir, pathFingerprint(s"$sfDir/events.parquet")), {
+    cachedForFp(eventsLongUnits,
+        sfDir, pathFingerprint(s"$sfDir/events.parquet")) {
       eventsFileSchema(spark, sfDir) // ensures nanosAsLong is set for the scan
       inferLongEpochUnit(
         Option(spark.read.parquet(s"$sfDir/events.parquet")
           .agg(org.apache.spark.sql.functions.max(col("ts"))).head().get(0))
           .map(_.asInstanceOf[Long]))
-    })
+    }
 
   /** Normalize a raw events frame's `ts` (typed as [[eventsTsType]] reports)
     * to session-zone `TimestampType` at micros precision, whatever unit the

@@ -87,8 +87,8 @@ object NativeExprs {
     * codepoint-offset table, so cost is O(bytes + windows·k) even on
     * non-ASCII text — the HOF form's `substr(i, k)` re-scans from byte 0
     * per window (the O(position) quadratic trap). */
-  def windowHashes(text: Column, k: Int): Column =
-    col(WindowHashesExpr(expr(text), k))
+  def windowHashes(text: Column, k: Int, seed: Long = 42L): Column =
+    col(WindowHashesExpr(expr(text), k, seed))
 
   /** The k-codepoint substring of `text` at each 1-based codepoint position
     * in `positions` — `substringsAt(s, ps, k)[i] == substring(s, ps[i], k)`
@@ -637,14 +637,20 @@ private[functions] object CodepointOffsets {
   }
 }
 
-/** xxhash64 (seed 42) of every k-codepoint window, position-ordered — the
-  * seed stage of exact substring deduplication (Lee et al. ExactSubstr,
-  * character-granular). Parity: `transform(sequence(1, char_length(s)-k+1),
-  * i -> xxhash64(substr(s, i, k)))`. Empty array when the text holds fewer
-  * than k codepoints. */
-case class WindowHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+/** xxhash64 (seed 42 by default, Spark's own) of every k-codepoint window,
+  * position-ordered — the seed stage of exact substring deduplication (Lee
+  * et al. ExactSubstr, character-granular). Parity: `transform(sequence(1,
+  * char_length(s)-k+1), i -> xxhash64(substr(s, i, k)))`. Empty array when
+  * the text holds fewer than k codepoints. A non-default `seed` yields an
+  * INDEPENDENT fingerprint family — two seeds give a 128-bit pair whose
+  * birthday-collision rate survives 10^14-window corpora (one 64-bit hash
+  * does not: W²/2^65 false candidate groups at 100 TB). */
+case class WindowHashesExpr(child: Expression, k: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(k >= 1, "window length must be >= 1")
+  // Seq[DataType] (covariant) — AbstractDataType itself is private[sql]
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -657,7 +663,7 @@ case class WindowHashesExpr(child: Expression, k: Int)
     if (nb == nc) { // ASCII fast path: window i is bytes [i, i+k)
       var i = 0
       while (i < n) {
-        out(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset + i, k, 42L)
+        out(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset + i, k, seed)
         i += 1
       }
     } else {
@@ -667,7 +673,7 @@ case class WindowHashesExpr(child: Expression, k: Int)
       while (i < n) {
         out(i) = XXH64.hashUnsafeBytes(bytes,
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
-          offs(i + k) - offs(i), 42L)
+          offs(i + k) - offs(i), seed)
         i += 1
       }
     }
@@ -682,8 +688,14 @@ case class WindowHashesExpr(child: Expression, k: Int)
   * the end yield '' like SQL `substr`; positions < 1 clamp to 1 (callers
   * only ever pass in-range window starts — parity is pinned for p ≥ 1). */
 case class SubstringsAtExpr(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(k >= 1, "window length must be >= 1")
+  // positions are read with ps.getInt: an array<bigint> caller (the natural
+  // type of SQL array literals/sequence) must fail ANALYSIS, not read
+  // garbage offsets
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(IntegerType))
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
 

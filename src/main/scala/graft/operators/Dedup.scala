@@ -1122,42 +1122,69 @@ object Dedup {
     *
     * Mechanics: a duplicated span of length m ≥ L contains exactly its
     * m−L+1 length-L windows, each itself duplicated; conversely every
-    * duplicated window lies in some duplicated span. So: (1) hash EVERY
-    * L-window per doc in one native pass ([[graft.functions.NativeExprs
-    * .windowHashes]] — xxhash64 seeds, 8 B/position, text never shuffled);
-    * (2) keep hashes occurring ≥ 2 times (map-side-combined count agg);
+    * duplicated window lies in some duplicated span. So: (1) fingerprint
+    * EVERY L-window per doc with TWO independent xxhash64 seeds in native
+    * passes ([[graft.functions.NativeExprs.windowHashes]] — 16 B/position,
+    * text never shuffled); (2) keep positions whose 128-BIT PAIR occurs
+    * ≥ 2 times (map-side-combined count agg on (h1, h2) — a single 64-bit
+    * hash is not enough at scale: 10^14 windows at 100 TB produce W²/2^65
+    * ≈ 10^8 birthday-collision groups, each of which would ship L chars of
+    * NON-duplicated text into the verify stage; the pair drops that to
+    * ~2^-128-per-pair noise, so candidate-stage text volume is
+    * O(true dup positions), spec-pinned by the template-flood fixture);
     * (3) EXACT verify: re-extract the window text for candidate positions
     * only ([[graft.functions.NativeExprs.substringsAt]]) and re-count on
-    * the text itself — a 64-bit collision can only ADD a candidate and is
-    * discarded here, so the result is hash-free exact; (4) merge verified
-    * positions into maximal spans per doc with COVERAGE gaps-and-islands
-    * (a new span where consecutive starts are > L apart — per-doc windows,
-    * never a global one).
+    * the text itself — even a double collision can only ADD a candidate and
+    * is discarded here, so the result is hash-free exact; (4) merge
+    * verified positions into maximal spans per doc with COVERAGE
+    * gaps-and-islands (a new span where consecutive starts are > L apart —
+    * per-doc windows, never a global one).
     *
-    * Scale shape: two shuffles of fixed-width (hash, id, pos) rows — ~20 B
-    * per corpus CHARACTER, the honest cost of character-granular exactness
-    * (cf. the suffix array's 8 B/char plus sort) — then candidate-only
-    * text extraction (the L× byte blow-up touches only duplicated regions),
-    * and a per-doc-bounded island merge. Per-doc candidate lists ride a
-    * `collect_list` bounded by document length, the standard per-doc bound.
+    * Scale shape: two shuffles of fixed-width (h1, h2, id, pos) rows —
+    * ~28 B per corpus CHARACTER, the honest cost of character-granular
+    * exactness (cf. the suffix array's 8 B/char plus sort) — then
+    * candidate-only text extraction (the L× byte blow-up touches only
+    * genuinely duplicated regions), and a per-doc-bounded island merge.
+    * Per-doc candidate lists ride a `collect_list` bounded by document
+    * length, the standard per-doc bound.
     *
     * Output (one row per input doc, zeros when clean): `n_chars`,
     * `n_dup_spans`, `dup_chars`, `dup_frac`, and `span_digest` — md5 of the
     * sorted "start:end" (1-based, inclusive) span list, the column the
     * cross-engine oracle pins boundaries with. */
+  /** Second fingerprint seed for [[exactSubstrCandidates]] — any fixed
+    * constant distinct from xxhash64's default 42 gives an independent
+    * family (xxhash64 seeds don't correlate). */
+  private[graft] val ExactSubstrSeed2 = 0x5851F42D4C957F2DL
+
+  /** Candidate stage of [[exactSubstringSpans]], exposed for the
+    * template-flood spec: positions whose 128-bit window fingerprint pair
+    * occurs ≥ 2 times in the corpus. `base` must carry (`idCol`, `s`).
+    * Row count is O(true duplicated positions) + ~2^-128-per-pair collision
+    * noise — NO text leaves the scan here. */
+  private[graft] def exactSubstrCandidates(base: DataFrame, minLen: Int,
+                                           idCol: String): DataFrame = {
+    val wins = base.select(col(idCol),
+        posexplode(arrays_zip(
+          graft.functions.NativeExprs.windowHashes(col("s"), minLen),
+          graft.functions.NativeExprs.windowHashes(col("s"), minLen,
+                                                   ExactSubstrSeed2)))
+          .as(Seq("pos0", "hs")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+              col("hs.0").as("h1"), col("hs.1").as("h2"))
+    val dupPairs = wins.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h1"), col("h2"))
+    wins.join(dupPairs, Seq("h1", "h2"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
+
   def exactSubstringSpans(docs: DataFrame, minLen: Int,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val base = fanOutSmallInput(docs)
       .select(col(idCol), coalesce(col(textCol), lit("")).as("s"))
-    val wins = base.select(col(idCol),
-        posexplode(graft.functions.NativeExprs.windowHashes(col("s"), minLen))
-          .as(Seq("pos0", "h")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"), col("h"))
-    val dupHashes = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    val cand = wins.join(dupHashes, Seq("h"), "left_semi")
+    val cand = exactSubstrCandidates(base, minLen, idCol)
     // exact verify on candidate positions only: extract each candidate's
     // window text in one per-doc pass and re-count on the TEXT — sorted
     // positions keep the extractor's access pattern forward-only

@@ -353,4 +353,45 @@ class NativeExprParitySpec extends SparkSpec {
       assert(diff == 0)
     }
   }
+
+  test("windowHashes seeded variant == catalyst XxHash64(substring, seed)") {
+    // the second fingerprint family of exactSubstringSpans: same windows,
+    // independent seed — parity against Spark's own XxHash64 with that seed
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val seed = graft.operators.Dedup.ExactSubstrSeed2
+    val k = 6
+    val frame = Seq("abcdefghijkl", "ααββγγδδεζηθ", "short", "")
+      .toDF("text")
+    val ref = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(ColumnBridge.expression(expr(s"substring(text, pos, $k)"))), seed))
+    val diff = frame
+      .select($"text", posexplode(NativeExprs.windowHashes($"text", k, seed))
+        .as(Seq("pos0", "h")))
+      .withColumn("pos", $"pos0" + 1)
+      .filter(not($"h" <=> ref)).count()
+    assert(diff == 0)
+    // and the two families genuinely differ (independent fingerprints)
+    val same = frame.filter(length($"text") >= k)
+      .select(NativeExprs.windowHashes($"text", k).as("a"),
+              NativeExprs.windowHashes($"text", k, seed).as("b"))
+      .filter($"a" === $"b").count()
+    assert(same == 0)
+  }
+
+  test("substringsAt/windowHashes reject wrong-typed inputs at ANALYSIS") {
+    // positions are read with ps.getInt: an array<bigint> caller (the
+    // natural type of SQL sequence()/array literals) must fail analysis,
+    // never read garbage byte offsets (ADVICE r10)
+    val df = Seq(("abcdef", Seq(1L, 3L))).toDF("text", "psL")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(NativeExprs.substringsAt($"text", $"psL", 3)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(NativeExprs.windowHashes($"psL", 3)).collect()
+    }
+    // the blessed shape still analyzes: array<int> positions, string text
+    df.select(NativeExprs.substringsAt($"text",
+      expr("transform(psL, p -> CAST(p AS INT))"), 3)).collect()
+  }
 }

@@ -841,6 +841,45 @@ class PipelineOpsSpec extends SparkSpec {
     for ((id, (nc, _, dc, _)) <- want) assert(dc <= nc, s"doc $id dup>len")
   }
 
+  test("exactSubstr candidate stage admits EXACTLY the dup positions under a template flood") {
+    val L = 8
+    // probe-discipline adversarial shape (CLAUDE.md): many near-identical
+    // docs. Every template-prefix window occurs N times (real duplicates —
+    // those MUST become candidates), every unique-tail window occurs once
+    // (those must NOT — each admitted one ships L chars of text into the
+    // verify stage). The 128-bit fingerprint pair keeps collision inflation
+    // at ~2^-128-per-pair, so the candidate set equals brute force EXACTLY.
+    val prefix = "shared template prose that floods every document alike ok "
+    val docs = (0L until 60L).map { i =>
+      (i, prefix + f"tail${i}%04d-${i * 7919}%08d unique trailing content $i")
+    }.toDF("doc_id", "text")
+
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wins = texts.toSeq.flatMap { case (id, s) =>
+      (0 to s.length - L).map(i => (s.substring(i, i + L), id, i + 1)) }
+    val freq = wins.groupBy(_._1).map { case (w, xs) => w -> xs.size }
+    val dupSet = wins.filter(t => freq(t._1) >= 2).map(t => (t._2, t._3)).toSet
+
+    val base = docs.select($"doc_id", coalesce($"text", lit("")).as("s"))
+    val cand = Dedup.exactSubstrCandidates(base, L, "doc_id")
+      .as[(Long, Int)].collect().toSet
+    assert(cand == dupSet,
+      s"candidate stage must equal true dup positions: got ${cand.size}, want ${dupSet.size}")
+    // flood shape sanity: the corpus IS mostly duplicated prefix, yet the
+    // unique tails stay out of the text-shipping stage entirely
+    assert(dupSet.size >= 60 * (prefix.length - L + 1))
+    assert(cand.size < wins.size, "unique-tail windows must not be candidates")
+
+    // end-to-end under the flood: spans stay within bounds and every doc
+    // reports the shared region as duplicated
+    val out = Dedup.exactSubstringSpans(docs, L).collect()
+    assert(out.length == 60)
+    for (r <- out) {
+      assert(r.getLong(3) <= r.getLong(1), "dup_chars <= n_chars")
+      assert(r.getLong(3) >= prefix.length, "the flooded prefix must be a dup span")
+    }
+  }
+
   test("quantized ANN: exact at full candK, high recall at the contract cut") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 8)

@@ -226,6 +226,44 @@ object RecallCheck {
     val okSplit = gotSplit == expSplit
     println(s"[recall] leakage split: ${gotSplit.size} docs; equal=$okSplit")
 
+    // ---- exact substring spans (char-granular, L=30, the contract query's
+    // parameters): brute-force the FULL corpus definition on the driver
+    // (~1.35M windows at sf0.1 — trivial in one HashMap) and compare every
+    // doc's span digest exactly. Corpus is ASCII (checked at lane build), so
+    // UTF-16 substring == codepoint substring. ----
+    val esL = 30
+    val docTexts = docs.select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)].collect()
+    require(docTexts.forall(_._2.forall(_ < 128)),
+      "exactSubstr brute force assumes an ASCII corpus (codepoint == UTF-16)")
+    val winFreq = new java.util.HashMap[String, Integer]()
+    for ((_, s) <- docTexts; i <- 0 to s.length - esL)
+      winFreq.merge(s.substring(i, i + esL), 1, (a, b) => a + b)
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val esExp = docTexts.map { case (id, s) =>
+      val ps = (0 to s.length - esL)
+        .filter(i => winFreq.get(s.substring(i, i + esL)) >= 2).map(_ + 1)
+      // coverage islands: new span where consecutive starts are > L apart
+      val sp = ps.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
+        if (acc.nonEmpty && p - acc.last._2 <= esL) acc.init :+ (acc.last._1, p)
+        else acc :+ (p, p)
+      }.map { case (a, b) => (a, b + esL - 1) }
+      id -> ((sp.size.toLong, sp.map(x => x._2 - x._1 + 1L).sum,
+              md5Hex(sp.map(x => s"${x._1}:${x._2}").mkString(","))))
+    }.toMap
+    val esGot = graft.operators.Dedup.exactSubstringSpans(docs, esL)
+      .select(col("doc_id").cast("long"), col("n_dup_spans"), col("dup_chars"),
+              col("span_digest"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val okEs = esGot == esExp
+    val esDup = esExp.count(_._2._1 > 0)
+    println(s"[recall] exactsubstr: ${esGot.size} docs, $esDup with dup spans; " +
+      s"equal=$okEs")
+
     val okCt = ct == ctBrute
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
@@ -245,11 +283,12 @@ object RecallCheck {
       s"fold=${if (okFold) "EXACT" else "MISMATCH"} " +
       s"keepbest=${if (okRep) "EXACT" else "MISMATCH"} " +
       s"split=${if (okSplit) "EXACT" else "MISMATCH"} " +
+      s"exactsubstr=${if (okEs) "EXACT" else "MISMATCH"} " +
       s"embedding=${if (en == enBrute) "EXACT"
                     else if (okEn) f"OK(recall=$enRecall%.4f, 0 extras)"
                     else "MISMATCH"}")
     spark.stop()
     if (!okLsh || !okInc || !okEd || !okNg || !okPh || !okSem || !okEn ||
-        !okCt || !okClu || !okFold || !okRep || !okSplit) sys.exit(1)
+        !okCt || !okClu || !okFold || !okRep || !okSplit || !okEs) sys.exit(1)
   }
 }

@@ -17,6 +17,10 @@ if not names:
     names = sorted(oracle.keys())
 
 con = duckdb.connect()
+# deterministic TIMESTAMPTZ handling whatever the host tz: a tz-drifted regen
+# (regen_sim.py `tz`) makes timestamp columns TIMESTAMPTZ in DuckDB, and any
+# naive-cast/strftime of those consults the session TimeZone
+con.execute("SET TimeZone='UTC'")
 for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents", "embeddings"]:
     # a regenerated table may arrive as a DIRECTORY of part files (the engine

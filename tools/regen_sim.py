@@ -28,6 +28,12 @@ Sims (each rewrites only what it names; all other tables copy through):
             DataPage v2, and column statistics omitted (no min/max in the
             footer — pushdown loses pruning but must stay correct, and the
             epoch-unit probe must not depend on footer stats)
+  tz        timestamp-SEMANTICS drift: every timestamp column re-tagged with
+            isAdjustedToUTC=true (tz='UTC' — the flag a Spark/pandas-backed
+            regen writer sets), events `ts` additionally at MILLIS; the
+            underlying instants are numerically identical (pyarrow treats
+            naive as UTC when attaching the zone). Exercises Spark's
+            LTZ-vs-NTZ read path and DuckDB's TIMESTAMPTZ promotion.
 
 After writing, run the FULL gate against the copy (CLAUDE.md discipline —
 unit specs cannot see oracle-vs-engine width disagreements):
@@ -114,6 +120,19 @@ def sim_nanosdir(name: str, t: pa.Table) -> pa.Table:
     return t
 
 
+def sim_tz(name: str, t: pa.Table) -> pa.Table:
+    # flip isAdjustedToUTC on every timestamp column; events.ts also drifts
+    # to MILLIS (unit x semantics stacked — the full Spark-writer shape)
+    casts = {}
+    for f in t.schema:
+        if pa.types.is_timestamp(f.type) and f.type.tz is None:
+            unit = "ms" if (name, f.name) == ("events", "ts") else f.type.unit
+            casts[f.name] = pa.timestamp(unit, tz="UTC")
+        elif pa.types.is_timestamp(f.type) and f.type.tz is not None:
+            casts[f.name] = pa.timestamp(f.type.unit)  # the reverse flip
+    return cast_cols(t, casts)
+
+
 def reverse_cols(t: pa.Table) -> pa.Table:
     return t.select(list(reversed(t.column_names)))
 
@@ -142,7 +161,19 @@ def write_hive_events(t: pa.Table, dst_path: str):
     in the directory name (write_to_dataset drops the partition column from
     the files), exactly what df.write.partitionBy('date') produces."""
     shutil.rmtree(dst_path, ignore_errors=True)
-    day = pc.strftime(pc.cast(t.column("ts"), pa.timestamp("us")), "%Y-%m-%d")
+    ts = t.column("ts")
+    if pa.types.is_timestamp(ts.type):
+        day_src = ts
+    else:
+        # int64 epoch (e.g. composed after nanosdir): magnitude-infer the unit
+        # like Tables.inferLongEpochUnit — a blind micros cast on a nanos
+        # column produces ~year-56000 partition directories
+        mx = pc.max(ts).as_py() or 0
+        unit = ("ns" if mx >= 30_000_000_000_000_000 else
+                "us" if mx >= 30_000_000_000_000 else
+                "ms" if mx >= 30_000_000_000 else "s")
+        day_src = ts.cast(pa.timestamp(unit))
+    day = pc.strftime(day_src, "%Y-%m-%d")
     t = t.append_column("date", day)
     pq.write_to_dataset(t, root_path=dst_path, partition_cols=["date"],
                         basename_template="part-{i}.parquet")
@@ -151,7 +182,7 @@ def write_hive_events(t: pa.Table, dst_path: str):
 SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
         "millis": sim_millis, "nanosdir": sim_nanosdir,
         "dirall": lambda name, t: t, "hive": sim_hive,
-        "encoding": lambda name, t: t}
+        "encoding": lambda name, t: t, "tz": sim_tz}
 
 # physical writer-option drift for the `encoding` sim (logical schema
 # untouched — everything here lives below the type system)
