@@ -52,7 +52,7 @@ object Bench {
     try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
     // streaming-runtime class-loading warmup (see warmStreamingRuntime): a
     // per-JVM cost on any real cluster, not the first streaming query's
-    try SparkEntry.warmStreamingRuntime(spark) catch { case _: Throwable => () }
+    try SparkEntry.warmStreamingRuntime(spark, sfDir) catch { case _: Throwable => () }
     // machine-contention calibration: a fixed-cost 10M-row codegen scan with
     // NO data dependence, timed like a query but kept out of the total. Its
     // value only moves with the machine (CPU contention, JIT state), so

@@ -265,6 +265,52 @@ object Similarity {
     ivfRerank(pruned, probed, k, idCol, vecCol, cellCol)
   }
 
+  /** Nearest-centroid cell assignment under a FROZEN quantizer — IVF index
+    * maintenance's write-side half. Each batch vector ranks the broadcast
+    * centroid table by cosine and keeps the top cell (ties to the lowest
+    * cell id, the same pinned order the probe side uses). Only the batch
+    * moves: at 100 TB the per-snapshot delta is the small side, the
+    * quantizer is driver-sized, and the persisted corpus layout is not
+    * touched at all. Returns (idCol, vecCol double, cellCol long). */
+  def ivfAssign(batch: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                cellCol: String = "label"): DataFrame =
+    ivfProbeList(batch, centroids, nprobe = 1, idCol, vecCol)
+      .select(col("query_id").as(idCol), col("qv").as(vecCol),
+              col("__cell").cast("long").as(cellCol))
+
+  /** Cross-snapshot incremental ANN (the vector twin of the incremental
+    * near-dup probe): answer queries over historical-index ∪ new-batch
+    * WITHOUT rebuilding the index. The quantizer stays frozen — standard
+    * IVF maintenance: retraining centroids would invalidate the whole
+    * layout — so the new batch is [[ivfAssign]]ed to existing cells and
+    * unioned into the probed slice of the persisted layout. Results are
+    * exactly what a layout with the batch's cells appended would return
+    * (spec-pinned via the real partitioned append in IncrementalAnnSpec);
+    * the probe itself keeps the read-only lane's shape: partition-pruned
+    * layout scan, broadcast probe list, exact re-rank, corpus never
+    * shuffled. */
+  def ivfIncrementalTopK(spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+                         newBatch: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         cellCol: String = "label",
+                         centroids: Option[DataFrame] = None): DataFrame = {
+    val layout = spark.read.parquet(layoutPath)
+    val centDf = centroids.getOrElse(ivfCentroidTable(layout, cellCol, vecCol))
+    val assigned = ivfAssign(newBatch, centDf, idCol, vecCol, cellCol)
+    val probed = ivfProbeList(queries, centDf, nprobe, idCol, vecCol)
+      .localCheckpoint(true) // consumed twice: cell-list collect + re-rank join
+    val cells = probed.select(col("__cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val boxed = cells.map(Long.box)
+    val prunedHist = layout
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
+              col(cellCol).cast("long").as(cellCol))
+      .filter(col(cellCol).isin(boxed: _*)) // partition pruning on the layout
+    val prunedNew = assigned.filter(col(cellCol).isin(boxed: _*))
+    ivfRerank(prunedHist.unionByName(prunedNew), probed, k, idCol, vecCol, cellCol)
+  }
+
   /** Per-dimension int8 quantization scales: s_d = 127 / max_i |x_{i,d}|
     * (0.0 for an all-zero dimension — every value quantizes to 0). One
     * corpus pass, `dim` rows collected; an INGEST-TIME artifact at scale,

@@ -606,6 +606,54 @@ class PipelineOpsSpec extends SparkSpec {
       s"probe must prune: $probedCount probed vs $nCells cells")
   }
 
+  test("incremental IVF: update == real partitioned append; exact at full probe") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hist = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val queries = emb.filter($"vec_id" < 8)
+    val dir = tmpDir("ivf_hist_layout")
+    Similarity.writeIvfLayout(hist, dir)
+    val cent = Similarity.ivfCentroidTable(hist) // FROZEN quantizer
+    // (a) the maintenance-write equivalence: ivfAssign + partitionBy-append
+    // into the layout directory is the real index UPDATE; probing the
+    // appended layout must equal the in-frame incremental operator, cell
+    // for cell, rank for rank
+    val inc = Similarity.ivfIncrementalTopK(spark, dir, batch, queries,
+        k = 5, nprobe = 3, centroids = Some(cent))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    Similarity.ivfAssign(batch, cent)
+      .write.mode("append").partitionBy("label").parquet(dir)
+    val appended = Similarity.ivfTopKFromLayout(spark, dir, queries,
+        k = 5, nprobe = 3, centroids = Some(cent))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(inc === appended,
+      "incremental probe must equal the probe over the appended layout")
+    // (b) exactness: at nprobe = #cells the updated index answers exactly
+    // the brute-force top-k over the UNION corpus — nothing was lost or
+    // duplicated by the cross-snapshot update
+    val nCells = hist.select($"label").distinct().count().toInt
+    val dir2 = tmpDir("ivf_hist_layout2")
+    Similarity.writeIvfLayout(hist, dir2)
+    val full = Similarity.ivfIncrementalTopK(spark, dir2, batch, queries,
+        k = 5, nprobe = nCells, centroids = Some(cent))
+      .select($"query_id", $"rank", $"neighbor_id").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"rank", $"neighbor_id").collect().map(_.toSeq).toSeq
+    assert(full.toSet === brute.toSet,
+      "full-probe incremental must equal union brute force")
+  }
+
+  test("ivfAssign under a frozen quantizer sends each centroid to its own cell") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cent = Similarity.ivfCentroidTable(emb.filter($"vec_id" % 5 =!= 0))
+    // a batch made of the centroids themselves: cosine(c, c) = 1 is the
+    // unique maximum, so assignment must be the identity on cells
+    val centBatch = cent.select($"__cell".as("vec_id"), $"__cv".as("embedding"))
+    val got = Similarity.ivfAssign(centBatch, cent)
+      .select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, cell) => assert(id == cell, s"centroid $id -> cell $cell") }
+  }
+
   test("phash60: native == in-process reference; chunk join == brute force") {
     // native vs reference on arbitrary bytes (incl. non-ASCII, empty)
     val rnd = new scala.util.Random(41)

@@ -55,6 +55,7 @@ class PlanLintSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "ann_topk_brute",        // baseline lane: bounded query set broadcast
     "ann_topk_ivf",          // queries x bounded centroid table (cells ≤ nlist)
+    "ann_incremental_ivf",   // batch/queries x the same bounded centroid table
     "ann_topk_quant",        // int8 prescreen lane: same bounded-query broadcast
     "ngram_jaccard_neardup") // direct branch, guarded by maxDirectBroadcastBytes
 

@@ -28,7 +28,7 @@ object ProfileJobs {
     Seq("lineitem", "events", "documents", "embeddings", "orders", "customer")
       .foreach(t => try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () })
     try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
-    try SparkEntry.warmStreamingRuntime(spark) catch { case _: Throwable => () }
+    try SparkEntry.warmStreamingRuntime(spark, sfDir) catch { case _: Throwable => () }
 
     val starts = TrieMap.empty[Int, (Long, String)]
     val lastJobEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())

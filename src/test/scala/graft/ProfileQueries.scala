@@ -22,7 +22,7 @@ object ProfileQueries {
     // same untimed ingest-artifact warmup as Bench, so profiled numbers
     // match what the driver's timed pass sees
     try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
-    try SparkEntry.warmStreamingRuntime(spark) catch { case _: Throwable => () }
+    try SparkEntry.warmStreamingRuntime(spark, sfDir) catch { case _: Throwable => () }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
