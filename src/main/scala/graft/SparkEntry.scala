@@ -952,9 +952,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("quartile")
 
-  /** Fixed-size token chunking with overlap (sequence prep). */
+  /** Fixed-size token chunking with overlap (sequence prep). Per-row
+    * tokenize+slice is compute-bound, so it consumes the shared
+    * [[docsSharded]] fan-out rather than the corpus's single local split. */
   private def docChunks(s: SparkSession, dir: String): DataFrame =
-    TextChunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16)
+    TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_idx")
 
   /** Greedy context-window packing of the same chunk stream
@@ -962,7 +964,7 @@ object SparkEntry {
     * recurrence as a recursive CTE. */
   private def packedChunks(s: SparkSession, dir: String): DataFrame =
     TextChunking.packChunks(
-        TextChunking.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 16),
+        TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16),
         budgetTokens = 150)
       .orderBy("doc_id", "chunk_idx")
 
@@ -2287,9 +2289,13 @@ object SparkEntry {
       .limit(50)
 
   /** Top-3 rarity-weighted terms per doc (log-free tf-idf variant; see
-    * CorpusModel.topTermsByRarity for the determinism rationale). */
+    * CorpusModel.topTermsByRarity for the determinism rationale). Consumes
+    * the shared [[docsSharded]] fan-out: the whole-corpus tokenize + term
+    * count is a compute-bound pass that a single parquet split would
+    * serialize onto one task (the same artifact the similarity joins pay —
+    * at real scale the corpus arrives as thousands of splits). */
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
-    CorpusModel.topTermsByRarity(t(s, dir, "documents"), k = 3)
+    CorpusModel.topTermsByRarity(docsSharded(s, dir), k = 3)
       .orderBy("doc_id", "term")
 
   private val Bm25Terms = Seq("spark", "vector", "customer")

@@ -76,10 +76,14 @@ object CorpusModel {
     * top-k terms per document by (score desc, term asc).
     *
     * Scale shape: three key-partitioned shuffles — (doc, term) term counts,
-    * per-term document frequency, and the per-document top-k window — plus
-    * one metadata-sized driver scalar (the corpus row count, same footprint
-    * as [[bigramModel]]'s collect). No global window, no broadcast of
-    * anything corpus-sized. */
+    * a per-term window that reads document frequency off the tf frame in
+    * place (tf has exactly ONE row per (doc, term), so `count(*) OVER
+    * (PARTITION BY term)` IS df — no separate groupBy + join re-shuffle,
+    * and no vocabulary-sized broadcast), and the per-document top-k window
+    * — plus one metadata-sized driver scalar (the corpus row count, same
+    * footprint as [[bigramModel]]'s collect). No global window, no
+    * broadcast of anything corpus-sized; a hot term costs one partition
+    * either way, the same skew profile as the join it replaces. */
   def topTermsByRarity(docs: DataFrame, k: Int, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     val n = docs.count()
@@ -88,12 +92,12 @@ object CorpusModel {
               explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     // round BEFORE ranking so emitted scores and rank order can never
     // disagree; ties at equal rounded score break on the term string
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(byTerm))
       .withColumn("score",
         round(col("tf").cast("double") * lit((n + 1).toDouble) / (col("df") + 1), 4))
       .withColumn("__rn", row_number().over(w))
