@@ -264,6 +264,51 @@ object RecallCheck {
     println(s"[recall] exactsubstr: ${esGot.size} docs, $esDup with dup spans; " +
       s"equal=$okEs")
 
+    // ---- cross-snapshot incremental ANN at scale (contract parameters:
+    // k=5, nprobe=3, queries vec_id<8, batch vec_id%5==0): (a) the in-frame
+    // incremental probe must equal a probe over the REAL partitionBy-appended
+    // layout — the maintenance-write equivalence the sf0.001 spec pins,
+    // re-proved on the full corpus; (b) at nprobe = #cells the updated index
+    // must answer exactly the brute-force top-k over the union corpus. ----
+    val annEmb = Tables.embeddings(spark, sfDir)
+    val annHist = annEmb.filter(col("vec_id") % 5 =!= 0)
+    val annBatch = annEmb.filter(col("vec_id") % 5 === 0)
+    val annQ = annEmb.filter(col("vec_id") < 8)
+    val annDir = java.nio.file.Files.createTempDirectory("recall_ivf_hist").toString
+    graft.operators.Similarity.writeIvfLayout(annHist, annDir)
+    val annCent = graft.operators.Similarity.ivfCentroidTable(annHist)
+      .localCheckpoint(true) // FROZEN quantizer, shared by every lane below
+    def annRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select(col("query_id").cast("long"), col("rank").cast("int"),
+                col("neighbor_id").cast("long"))
+        .orderBy("query_id", "rank").as[(Long, Int, Long)].collect().toSeq
+    val annInc = annRows(graft.operators.Similarity.ivfIncrementalTopK(
+      spark, annDir, annBatch, annQ, k = 5, nprobe = 3, centroids = Some(annCent)))
+    graft.operators.Similarity.ivfAssign(annBatch, annCent)
+      .write.mode("append").partitionBy("label").parquet(annDir)
+    val annApp = annRows(graft.operators.Similarity.ivfTopKFromLayout(
+      spark, annDir, annQ, k = 5, nprobe = 3, centroids = Some(annCent)))
+    val okAnnApp = annInc == annApp
+    val annCells = annHist.select(col("label")).distinct().count().toInt
+    val annDir2 = java.nio.file.Files.createTempDirectory("recall_ivf_hist2").toString
+    graft.operators.Similarity.writeIvfLayout(annHist, annDir2)
+    val annFull = annRows(graft.operators.Similarity.ivfIncrementalTopK(
+      spark, annDir2, annBatch, annQ, k = 5, nprobe = annCells,
+      centroids = Some(annCent))).toSet
+    val annBrute = annRows(graft.operators.Similarity.bruteForceTopK(
+      annEmb, annQ, 5)).toSet
+    val okAnnExact = annFull == annBrute
+    println(s"[recall] incremental ANN: append-equiv=$okAnnApp " +
+      s"(${annInc.size} rows), full-probe==brute=$okAnnExact " +
+      s"($annCells cells)")
+    Seq(annDir, annDir2).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+
     val okCt = ct == ctBrute
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
@@ -284,11 +329,13 @@ object RecallCheck {
       s"keepbest=${if (okRep) "EXACT" else "MISMATCH"} " +
       s"split=${if (okSplit) "EXACT" else "MISMATCH"} " +
       s"exactsubstr=${if (okEs) "EXACT" else "MISMATCH"} " +
+      s"incann=${if (okAnnApp && okAnnExact) "EXACT" else "MISMATCH"} " +
       s"embedding=${if (en == enBrute) "EXACT"
                     else if (okEn) f"OK(recall=$enRecall%.4f, 0 extras)"
                     else "MISMATCH"}")
     spark.stop()
     if (!okLsh || !okInc || !okEd || !okNg || !okPh || !okSem || !okEn ||
-        !okCt || !okClu || !okFold || !okRep || !okSplit || !okEs) sys.exit(1)
+        !okCt || !okClu || !okFold || !okRep || !okSplit || !okEs ||
+        !okAnnApp || !okAnnExact) sys.exit(1)
   }
 }
