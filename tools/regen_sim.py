@@ -34,6 +34,10 @@ Sims (each rewrites only what it names; all other tables copy through):
             underlying instants are numerically identical (pyarrow treats
             naive as UTC when attaching the zone). Exercises Spark's
             LTZ-vs-NTZ read path and DuckDB's TIMESTAMPTZ promotion.
+  int96     legacy-WRITER physical drift: every timestamp column stored as
+            INT96 (old Spark/Hive/Impala writers) — INT96 carries no
+            logical-type annotation at all, so both engines must recover
+            TimestampType from the physical type alone; values identical.
 
 After writing, run the FULL gate against the copy (CLAUDE.md discipline —
 unit specs cannot see oracle-vs-engine width disagreements):
@@ -182,7 +186,8 @@ def write_hive_events(t: pa.Table, dst_path: str):
 SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
         "millis": sim_millis, "nanosdir": sim_nanosdir,
         "dirall": lambda name, t: t, "hive": sim_hive,
-        "encoding": lambda name, t: t, "tz": sim_tz}
+        "encoding": lambda name, t: t, "tz": sim_tz,
+        "int96": lambda name, t: t}
 
 # physical writer-option drift for the `encoding` sim (logical schema
 # untouched — everything here lives below the type system)
@@ -223,6 +228,11 @@ def main():
             pq.write_table(out.slice(n), f"{dst_path}/part-001.parquet")
         elif sim == "encoding":
             pq.write_table(out, dst_path, **ENCODING_OPTS)
+        elif sim == "int96":
+            # legacy-writer timestamp physical type: INT96 carries NO logical
+            # type annotation at all (old Spark/Hive/Impala writers) — both
+            # engines must recover TimestampType from the physical type alone
+            pq.write_table(out, dst_path, use_deprecated_int96_timestamps=True)
         else:
             pq.write_table(out, dst_path)
         print(f"[sim:{sim}] {tbl}: {out.schema}".replace("\n", " | ")[:200])
