@@ -4453,10 +4453,15 @@ object SparkEntry {
     // NB: DuckDB sum(BIGINT) yields HUGEINT, which pandas fetches as float64
     // and the driver's value hash then disagrees with Spark's int64 — every
     // integral SUM below is therefore CAST back to BIGINT.
+    // props is viewed at the ENGINE'S canonical width (JSON text): CAST(props
+    // AS JSON) is identity on today's varchar-JSON files and converts a
+    // materialized-struct regen (propstruct sim) to the same JSON document —
+    // the engine-side twin is Tables.normalizeWidths' to_json on complex
+    // props.
     "events_props_extract" ->
       """SELECT event_type,
-                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                count(json_extract_string(props, '$.k')) AS n_k
+                CAST(sum(CAST(json_extract_string(CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                count(json_extract_string(CAST(props AS JSON), '$.k')) AS n_k
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q6_revenue" ->

@@ -33,7 +33,12 @@ object Tables {
     "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType,
                         "embedding" -> ArrayType(FloatType)),
     "events"     -> Map("event_id" -> LongType, "user_id" -> LongType,
-                        "value" -> DoubleType),
+                        "value" -> DoubleType,
+                        // a regen that MATERIALIZES the JSON payload as a
+                        // parquet struct (generators often do) must read
+                        // back at the engine's canonical string width;
+                        // complex→string goes through to_json below
+                        "props" -> StringType),
     // TPC-H join keys + measures: a width flip on either join side would
     // break joins/encoders; measures pin the decimal-sum oracle contracts
     "lineitem"   -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
@@ -190,6 +195,15 @@ object Tables {
               Option(d.agg(org.apache.spark.sql.functions.max(col(c))).head().get(0))
                 .map(_.asInstanceOf[Long])))
           d.withColumn(c, longEpochToTs(c, unit))
+        } else if (t == StringType && (d.schema(c).dataType match {
+          case _: StructType | _: MapType | _: ArrayType => true
+          case _ => false
+        })) {
+          // a materialized-JSON regen (props as struct<...>): a bare CAST
+          // renders Spark's struct syntax (`{87}`), not JSON — to_json is
+          // the string the original file carried. DuckDB's oracle twin is
+          // CAST(col AS JSON), identity on varchar JSON, struct→JSON else.
+          d.withColumn(c, org.apache.spark.sql.functions.to_json(col(c)))
         } else d.withColumn(c, col(c).cast(t))
       }
     }

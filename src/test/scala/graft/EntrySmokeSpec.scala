@@ -76,4 +76,21 @@ class EntrySmokeSpec extends SparkSpec {
       s"oracles reading measure columns without DOUBLE canonicalization:\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("oracle SQL views events.props through CAST(props AS JSON)") {
+    // Tables.normalizeWidths pins `props` to the canonical JSON-text width
+    // (a materialized-struct regen — the propstruct sim — reads back via
+    // to_json), so every oracle occurrence must go through CAST(props AS
+    // JSON): identity on today's varchar-JSON file, struct→JSON otherwise.
+    // A bare json_extract_string(props, ...) would fail on a struct regen.
+    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      val all = raw"\bprops\b".r.findAllIn(sql).size
+      val cast = raw"CAST\(\s*(\w+\.)?props\s+AS\s+JSON\s*\)".r.findAllIn(sql).size
+      if (all != cast) Some(s"$name: ($cast/$all occurrences canonicalized)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"oracles reading `props` without JSON canonicalization:\n  " +
+        offenders.mkString("\n  "))
+  }
 }

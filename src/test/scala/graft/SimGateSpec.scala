@@ -12,8 +12,8 @@ import scala.sys.process._
   * cross-engine compare can, and without this spec that compare only runs
   * when someone remembers `bash tools/run_sims.sh`. Runtime budget <60 s.
   *
-  * The FULL matrix (9 shapes + the composed gauntlet, all 147 queries,
-  * sf0.01) stays in `tools/run_sims.sh` — this spec is the canary that the
+  * The FULL matrix (every codified shape + the composed gauntlet, all
+  * contract queries, sf0.01) stays in `tools/run_sims.sh` — this spec is the canary that the
   * gate's plumbing still works, not a replacement for it. */
 class SimGateSpec extends SparkSpec {
   // one query per width-sensitive surface the `widths` sim rewrites:

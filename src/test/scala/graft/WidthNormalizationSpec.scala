@@ -67,6 +67,24 @@ class WidthNormalizationSpec extends SparkSpec {
       === ((5L, 9L, 1.5)))
   }
 
+  test("props regenerated as a materialized struct normalizes to JSON text") {
+    // a generator that parses its own payloads ships props as
+    // struct<k: int64>; the engine must read it back at the canonical
+    // string width so get_json_object keeps working (propstruct sim)
+    val dir = tmpDir("regen_propstruct")
+    Seq((5L, "2023-06-15 12:34:56", 9L, "click", 1.5, 87L),
+        (6L, "2023-06-15 12:35:56", 9L, "view", 2.5, 12L))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "k")
+      .select($"event_id", col("tss").cast("timestamp").as("ts"), $"user_id",
+              $"event_type", $"value", struct($"k").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("props").dataType === StringType)
+    assert(ev.orderBy($"event_id")
+      .select(get_json_object($"props", "$.k").cast("long")).as[Long]
+      .collect().toSeq === Seq(87L, 12L))
+  }
+
   test("date columns regenerated as DATE or long epochs normalize to timestamps") {
     // o_orderdate/l_shipdate ship as TIMESTAMP(MICROS) today; a regen could
     // plausibly ship DATE (covered by a plain cast) or a long epoch column

@@ -38,6 +38,12 @@ Sims (each rewrites only what it names; all other tables copy through):
             INT96 (old Spark/Hive/Impala writers) — INT96 carries no
             logical-type annotation at all, so both engines must recover
             TimestampType from the physical type alone; values identical.
+  propstruct  payload-MATERIALIZATION drift: events `props` (a JSON text
+            column today) shipped as a parquet struct<k: int64> — the shape
+            a generator that parses its own payloads writes. Engine reads
+            it back at the canonical string width via to_json
+            (Tables.normalizeWidths); the oracle's CAST(props AS JSON) is
+            identity on varchar and struct→JSON otherwise.
 
 After writing, run the FULL gate against the copy (CLAUDE.md discipline —
 unit specs cannot see oracle-vs-engine width disagreements):
@@ -137,6 +143,17 @@ def sim_tz(name: str, t: pa.Table) -> pa.Table:
     return cast_cols(t, casts)
 
 
+def sim_propstruct(name: str, t: pa.Table) -> pa.Table:
+    if name != "events" or "props" not in t.column_names:
+        return t
+    import json
+    vals = t.column("props").to_pylist()
+    structs = [None if v is None else {"k": json.loads(v).get("k")}
+               for v in vals]
+    arr = pa.array(structs, pa.struct([("k", pa.int64())]))
+    return t.set_column(t.schema.get_field_index("props"), "props", arr)
+
+
 def reverse_cols(t: pa.Table) -> pa.Table:
     return t.select(list(reversed(t.column_names)))
 
@@ -187,7 +204,7 @@ SIMS = {"decimal": sim_decimal, "f32meas": sim_f32meas, "widths": sim_widths,
         "millis": sim_millis, "nanosdir": sim_nanosdir,
         "dirall": lambda name, t: t, "hive": sim_hive,
         "encoding": lambda name, t: t, "tz": sim_tz,
-        "int96": lambda name, t: t}
+        "int96": lambda name, t: t, "propstruct": sim_propstruct}
 
 # physical writer-option drift for the `encoding` sim (logical schema
 # untouched — everything here lives below the type system)

@@ -29,7 +29,7 @@ check() { # check <label> <simDir> <outDir>
   fi
 }
 
-for sim in widths nanosdir f32meas millis decimal dirall hive encoding tz int96; do
+for sim in widths nanosdir f32meas millis decimal dirall hive encoding tz int96 propstruct; do
   rm -rf /tmp/rs_$sim /tmp/rsout_$sim
   python3 tools/regen_sim.py $sim "$SRC" /tmp/rs_$sim > /dev/null 2>&1
   check $sim /tmp/rs_$sim /tmp/rsout_$sim
