@@ -1,6 +1,7 @@
 #!/bin/bash
 # Full regen-simulation gate: every codified sim shape standalone, then the
-# composed gauntlet (widths -> decimal -> nanosdir -> hive stacked). Run
+# composed gauntlet (propstruct -> widths -> decimal -> tz -> nanosdir ->
+# hive stacked). Run
 # whenever Tables.scala or any oracle SQL changes (CLAUDE.md discipline —
 # regens are the only failure class that has ever produced a red round).
 # Usage: bash tools/run_sims.sh [srcSfDir]   (default /root/testdata/sf0.01)
@@ -34,13 +35,14 @@ for sim in widths nanosdir f32meas millis decimal dirall hive encoding tz int96 
   python3 tools/regen_sim.py $sim "$SRC" /tmp/rs_$sim > /dev/null 2>&1
   check $sim /tmp/rs_$sim /tmp/rsout_$sim
 done
-rm -rf /tmp/rs_c1 /tmp/rs_c2 /tmp/rs_c3 /tmp/rs_c4 /tmp/rs_c5 /tmp/rsout_comp
-python3 tools/regen_sim.py widths "$SRC" /tmp/rs_c1 > /dev/null 2>&1
+rm -rf /tmp/rs_c0 /tmp/rs_c1 /tmp/rs_c2 /tmp/rs_c3 /tmp/rs_c4 /tmp/rs_c5 /tmp/rsout_comp
+python3 tools/regen_sim.py propstruct "$SRC" /tmp/rs_c0 > /dev/null 2>&1
+python3 tools/regen_sim.py widths /tmp/rs_c0 /tmp/rs_c1 > /dev/null 2>&1
 python3 tools/regen_sim.py decimal /tmp/rs_c1 /tmp/rs_c2 > /dev/null 2>&1
 python3 tools/regen_sim.py tz /tmp/rs_c2 /tmp/rs_c3 > /dev/null 2>&1
 python3 tools/regen_sim.py nanosdir /tmp/rs_c3 /tmp/rs_c4 > /dev/null 2>&1
 python3 tools/regen_sim.py hive /tmp/rs_c4 /tmp/rs_c5 > /dev/null 2>&1
-# the composed gauntlet: all five layout/type/semantic shapes stacked
+# the composed gauntlet: all six layout/type/semantic shapes stacked
 check composed /tmp/rs_c5 /tmp/rsout_comp
 
 if [ "$FAILED" -ne 0 ]; then echo "SIM GATE: FAILED"; exit 1; fi
