@@ -1922,7 +1922,27 @@ object SparkEntry {
             if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
               reader.parquet(path)
             else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-          raw.limit(2)
+          // Deterministic sample: two rows OF THE SEGMENT'S EVENT TYPE on
+          // two distinct event dates (earliest event_id per date). A bare
+          // `limit(2)` picks arbitrary rows — and when neither is a click,
+          // the warm drain's first micro-batch slices to EMPTY, the pipeline
+          // writes zero files, and the change-log read-back dies of
+          // UNABLE_TO_INFER_SCHEMA, killing the warmup before ANY of the
+          // four stateful families has drained (observed against the r11
+          // testdata regen: first 2 raw rows were non-click → every first
+          // timed streaming run absorbed its own cold scaffolding).
+          // Distinct dates also deterministically exercise the partitioned-
+          // state multi-partition dynamic-append path the synthetic
+          // fallback was designed around. Selection normalizes ts the same
+          // way the streamed plan will; the WRITTEN rows stay raw.
+          val picks = Tables.normalizeEventsTs(s, dir, raw)
+            .filter(col("event_type") === ClickSeg.eventType)
+            .groupBy(to_date(col("ts")).as("d"))
+            .agg(min(col("event_id")).as("event_id"))
+            .orderBy(col("d")).limit(2)
+            .select(col("event_id")).collect().map(_.get(0)).toSeq
+          require(picks.nonEmpty, "no rows of the warm segment's event type")
+          raw.filter(col("event_id").isin(picks: _*)).localCheckpoint()
         }.toOption
       rawSample match {
         case Some(raw) =>

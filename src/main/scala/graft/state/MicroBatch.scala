@@ -141,13 +141,22 @@ class MicroBatchPipeline(
 
     // --- segment merge restricted to this batch's users
     //     (3-microBatch.test.ts:135-154 / 4-eventTime.test.ts:149-169)
-    val touched = spark.read.parquet(paths.changeLog)
+    // Both reads carry the batch's own schema: a stream whose FIRST batch
+    // slices to zero rows (no events of the segment's type yet) has written
+    // no parquet footers, and a schema-inferring read of the empty table
+    // would kill the whole stream with UNABLE_TO_INFER_SCHEMA. The schema
+    // is constant across batches by construction (same `sized` projection
+    // every time), so this is behavior-identical once data exists.
+    val touched = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        sized.select(col(userCol), col("computed_at"), col("computed_date")).schema))
+      .parquet(paths.changeLog)
       .filter(col("computed_date") >= to_date(lit(batchTs)) && col("computed_at") >= lit(batchTs))
       .select(col(userCol)).distinct()
     val mergeAggs =
       (Sketches.uniqMerge(col("event_count")) >= seg.minCount).as("value") +:
       eventTimeCol.map(_ => max(col("last_event_time")).as("last_event_time")).toSeq
-    val merged = spark.read.parquet(paths.states)
+    val merged = spark.read.schema(sized.schema).parquet(paths.states)
       .join(broadcast(touched), Seq(userCol), "left_semi")
       .groupBy(col(userCol))
       .agg(mergeAggs.head, mergeAggs.tail: _*)
