@@ -83,9 +83,18 @@ object Bench {
     // r06 silently summed 52 time-to-AnalysisException rows into a
     // plausible-looking total.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query START OFFSETS (seconds since the timed loop began) are
+    // published in BENCH_FULL.json: a host-contention episode is a time
+    // WINDOW, so with offsets the artifact itself shows which queries ran
+    // inside it (r08/r11 both needed local re-profiles to argue this) —
+    // read a suspicious per-query time against its offset + the nearest
+    // interleaved calibration pass before calling it a regression.
+    val loopStart = System.nanoTime()
+    val starts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 25 == 0) calibrate()
       val t0 = System.nanoTime()
+      starts(name) = (t0 - loopStart) / 1e9
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse("").linesIterator.take(1)
           .mkString.take(200)
@@ -106,6 +115,7 @@ object Bench {
     val rerun = ok.sortBy(-_._2).take(12)
     val steady = rerun.map { case (name, t1) =>
       val t0 = System.nanoTime()
+      starts(s"steady:$name") = (t0 - loopStart) / 1e9
       try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => () }
       name -> math.min(t1, (System.nanoTime() - t0) / 1e9)
     }
@@ -133,7 +143,7 @@ object Bench {
     // per-position cost (should warmup ever regress) is attributable
     val orderJson = results.map { case (n, _) => qstr(n) }.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"order":$orderJson,"queries":${fmt(results)},"steady":${fmt(steady)},"steady_total":${num(steadyTotal)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"order":$orderJson,"queries":${fmt(results)},"starts":${fmt(starts)},"steady":${fmt(steady)},"steady_total":${num(steadyTotal)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     val headline = Seq(

@@ -1341,12 +1341,23 @@ object SparkEntry {
     * (one queue), off the query's wall-clock, and still guaranteed best-effort
     * at JVM exit for anything not yet drained. */
   private val reaperQueue = new java.util.concurrent.LinkedBlockingQueue[String]()
+  // trees the daemon has take()n but not yet (or not successfully) deleted:
+  // a dir in flight at JVM exit, or one whose deletion FAILED, lands here so
+  // the shutdown-hook drain retries it — silently swallowing failures would
+  // let scratch residue accumulate across a long bench session
+  private val reaperPending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val reaper: Thread = locally {
     val t = new Thread(() => {
       while (true) {
         val dir = reaperQueue.take()
-        try deleteTree(dir) catch { case _: InterruptedException => throw new InterruptedException
-                                    case _: Throwable => () }
+        reaperPending.add(dir)
+        try { deleteTree(dir); reaperPending.remove(dir) } catch {
+          case _: InterruptedException => throw new InterruptedException
+          case e: Throwable => // stays in reaperPending for the exit retry
+            System.err.println(
+              s"[graft] scratch reap failed for $dir (${e.getClass.getSimpleName}); will retry at exit")
+        }
       }
     }, "graft-scratch-reaper")
     t.setDaemon(true)
@@ -1357,6 +1368,8 @@ object SparkEntry {
         try deleteTree(dir) catch { case _: Throwable => () }
         dir = reaperQueue.poll()
       }
+      reaperPending.forEach(d =>
+        try deleteTree(d) catch { case _: Throwable => () })
     }))
     t
   }

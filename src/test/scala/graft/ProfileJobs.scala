@@ -67,6 +67,13 @@ object ProfileJobs {
 
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm pass, unrecorded
+    // gap semantics caveat: `gap` measures this job's start against the end
+    // of whichever job finished LAST anywhere in the JVM (one global clock),
+    // which is exact for a SERIAL job chain — the documented use case — but
+    // under OVERLAPPING jobs (streaming micro-batch scaffolding, concurrent
+    // actions) gaps are under-reported/mis-attributed. Do not read gap≈0 as
+    // "no driver time" when jobs overlap.
+    println("[note] gap = driver-side time since the previous job END (global; exact only for serial job chains)")
     (1 to reps).foreach { i =>
       println(s"=== run $i ===")
       record = true
