@@ -124,9 +124,11 @@ object NativeExprs {
     col(MaskedConcatExpr(expr(toks), expr(removed)))
 
   /** windowFunnel DP over a time-sorted array<struct<t:long, step:int>>
-    * (see `EventAnalytics.windowFunnel`). */
-  def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long): Column =
-    col(FunnelLevelExpr(expr(seq), nSteps, windowSeconds))
+    * (see `EventAnalytics.windowFunnel`). `mode`: 0 default, 1 strict_order,
+    * 2 strict_dedup — see [[FunnelLevelExpr]] for the exact semantics. */
+  def funnelLevel(seq: Column, nSteps: Int, windowSeconds: Long,
+                  mode: Int = 0): Column =
+    col(FunnelLevelExpr(expr(seq), nSteps, windowSeconds, mode))
 
   /** Greedy non-overlapping sequence-match counter over a time-sorted
     * array<struct<t:long, step:int>> (see [[SequenceCountExpr]]). */
@@ -521,14 +523,48 @@ case class NormalizeTextExpr(child: Expression)
 }
 
 /** Deepest-funnel-level DP (see `EventAnalytics.windowFunnel` for the
-  * semantics): input is a (t, step)-sorted array of struct<t:long, step:int>;
-  * `best(s)` tracks the latest chain-start time reaching level s. */
-case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long)
+  * semantics): input is a (t, step)-sorted array of struct<t:long, step:int>.
+  *
+  * Modes (ClickHouse `windowFunnel` flags, each with a DECLARATIVE
+  * definition the oracles and brute-force specs replay — input times must
+  * be TOTALLY ordered for modes 1/2, the caller's µs contract):
+  *
+  *  - 0 (default): level ≥ s iff events matching steps 1..s exist at
+  *    t1 ≤ … ≤ ts with ts − t1 ≤ window. `best(s)` tracks the latest
+  *    chain-start time reaching level s.
+  *  - 1 (strict_order, "no interventions of other events"): the chain must
+  *    be CONSECUTIVE in the user's full event stream — the input carries
+  *    ALL events, non-funnel ones as step 0, and level ≥ s iff some s
+  *    consecutive array elements match steps 1..s in order within window.
+  *    DP state: the (level, start) of the unique step-1-rooted run ending
+  *    at the previous element.
+  *  - 2 (strict_dedup, "a repeating event interrupts"): level ≥ s iff a
+  *    chain t1 < … < ts (steps 1..s, ts − t1 ≤ window) exists whose span
+  *    [t1, ts] contains EXACTLY ONE event of each step 1..s (steps > s may
+  *    repeat freely inside). Single-pass automaton: only the latest step-1
+  *    event can root a valid chain (any earlier root's future span would
+  *    contain it), so track one (start, expected, cap) — a duplicate of a
+  *    matched step kills the root, an early out-of-order step j caps
+  *    reachable levels at j − 1, and levels are recorded at match time
+  *    (events after a match never invalidate it: they fall outside that
+  *    chain's span).
+  */
+case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long,
+                           mode: Int = 0)
     extends UnaryExpression with CodegenFallback {
+  require(mode >= 0 && mode <= 2, s"unknown funnel mode $mode")
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    mode match {
+      case 0 => evalDefault(arr)
+      case 1 => evalStrictOrder(arr)
+      case 2 => evalStrictDedup(arr)
+    }
+  }
+
+  private def evalDefault(arr: ArrayData): Int = {
     val best = Array.fill(nSteps + 1)(Long.MinValue)
     var level = 0
     var i = 0
@@ -540,9 +576,67 @@ case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long)
       if (s == 1) {
         if (t > best(1)) best(1) = t
         if (level < 1) level = 1
-      } else if (best(s - 1) != Long.MinValue && t - best(s - 1) <= windowSeconds) {
+      } else if (s > 1 && best(s - 1) != Long.MinValue && t - best(s - 1) <= windowSeconds) {
         if (best(s - 1) > best(s)) best(s) = best(s - 1)
         if (level < s) level = s
+      }
+      i += 1
+    }
+    level
+  }
+
+  private def evalStrictOrder(arr: ArrayData): Int = {
+    // the only step-1-rooted consecutive run ending at element i-1: its
+    // level and start time (start == MinValue ⇔ no live run)
+    var prevLevel = 0
+    var prevStart = Long.MinValue
+    var level = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getLong(0)
+      val s = row.getInt(1)
+      var curLevel = 0
+      var curStart = Long.MinValue
+      if (s == 1) { curLevel = 1; curStart = t }
+      else if (s > 1 && s == prevLevel + 1 && prevStart != Long.MinValue &&
+               t - prevStart <= windowSeconds) {
+        curLevel = s; curStart = prevStart
+      }
+      if (curLevel > level) level = curLevel
+      prevLevel = curLevel; prevStart = curStart
+      i += 1
+    }
+    level
+  }
+
+  private def evalStrictDedup(arr: ArrayData): Int = {
+    var start = Long.MinValue // latest step-1 root, MinValue = dead
+    var expected = 0          // next step the live root needs
+    var cap = Int.MaxValue    // first step that arrived early: levels ≥ cap unreachable
+    var level = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getLong(0)
+      val s = row.getInt(1)
+      if (s == 1) {
+        start = t; expected = 2; cap = Int.MaxValue
+        if (level < 1) level = 1
+      } else if (s > 1 && start != Long.MinValue) { // step-0 (non-funnel) inert
+        if (s < expected) start = Long.MinValue // duplicate of a matched step
+        else if (s == expected) {
+          if (expected < cap && t - start <= windowSeconds) {
+            if (level < s) level = s
+            expected += 1
+            if (expected >= cap) start = Long.MinValue // capped out
+          } else start = Long.MinValue // window blown (later is worse) or capped
+        } else { // s > expected: arrived before its turn — its future match's
+                 // span would contain this copy, so levels ≥ s are unreachable
+          if (s < cap) cap = s
+        }
       }
       i += 1
     }

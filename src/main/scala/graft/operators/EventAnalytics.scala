@@ -55,14 +55,29 @@ object EventAnalytics {
   def windowFunnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
                    userCol: String = "user_id", typeCol: String = "event_type",
                    tsCol: String = "ts",
-                   maxEventsPerUser: Int = 1 << 20): DataFrame = {
+                   maxEventsPerUser: Int = 1 << 20,
+                   mode: String = "default"): DataFrame = {
     require(steps.length < 16, "funnel depth limited to 15 steps (4-bit encoding)")
+    val modeId = mode match {
+      case "default" => 0; case "strict_order" => 1; case "strict_dedup" => 2
+      case other => throw new IllegalArgumentException(s"unknown funnel mode: $other")
+    }
     val stepIdx = typedLit(steps.zipWithIndex.toMap)
-    val tagged = events
-      .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol),
-              unix_timestamp(col(tsCol)).as("__t"),
-              (element_at(stepIdx, col(typeCol)) + 1).cast("int").as("__step")) // 1-based
+    // Strict modes need a TOTAL per-user event order (their declarative
+    // definitions quantify over time-adjacent / time-spanned events), so
+    // they run on µs timestamps — the corpus's total-order contract (see
+    // sequenceCount) — with the window scaled to match. strict_order also
+    // keeps NON-funnel events (as step 0): "no interventions of other
+    // events" means the chain must be consecutive in the full stream.
+    val filtered =
+      if (modeId == 1) events else events.filter(col(typeCol).isin(steps: _*))
+    val (tExpr, window) =
+      if (modeId == 0) (unix_timestamp(col(tsCol)), windowSeconds)
+      else (unix_micros(col(tsCol)), windowSeconds * 1000000L)
+    val tagged = filtered
+      .select(col(userCol), tExpr.as("__t"),
+              coalesce(element_at(stepIdx, col(typeCol)) + 1, lit(0))
+                .cast("int").as("__step")) // 1-based; 0 = non-funnel event
     // the key keeps its original type/name; the DP runs as an expression over
     // the sorted (t, step) array, so the shuffle carries 12-byte pairs
     tagged.groupBy(col(userCol))
@@ -70,7 +85,7 @@ object EventAnalytics {
              struct(col("__t"), col("__step")), maxEventsPerUser).as("__seq"))
       .select(col(userCol),
               graft.functions.NativeExprs.funnelLevel(
-                col("__seq"), steps.length, windowSeconds).as("funnel_level"))
+                col("__seq"), steps.length, window, modeId).as("funnel_level"))
   }
 
   /** ClickHouse-style `sequenceMatch('(?1).*(?2)…')`: per user, whether

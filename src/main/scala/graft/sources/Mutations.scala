@@ -92,6 +92,17 @@ object Mutations {
     val kept = table.filter(inTouched(t, partitionCol)).filter(!predicate)
       .sortWithinPartitions(sortCols.map(col): _*)
       .localCheckpoint()
+    overwriteTouched(spark, path, kept, t, partitionCol)
+    DeleteStats(t.count, t.n)
+  }
+
+  /** Shared write tail for the copy-on-write mutations: dynamic-overwrite
+    * the touched partitions with `kept` (already materialized), then drop
+    * the touched directories that produced no surviving rows (dynamic
+    * overwrite only replaces partitions PRESENT in the written data). */
+  private def overwriteTouched(spark: SparkSession, path: String,
+                               kept: DataFrame, t: Touched,
+                               partitionCol: String): Unit = {
     val survivingDirs = kept.select(col(partitionCol)).distinct()
       .collect().map(r => partitionDirName(partitionCol, r.get(0))).toSet
     withDynamicOverwrite(spark) {
@@ -104,7 +115,91 @@ object Mutations {
     (touchedDirs.toSet -- survivingDirs).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
     }
+  }
+
+  /** ReplacingMergeTree's PHYSICAL collapse — the `OPTIMIZE TABLE … FINAL`
+    * analogue (the reference declares `Engine = ReplacingMergeTree()` at
+    * /root/reference/src/1-naive.test.ts:27 and relies on background merges
+    * collapsing the assignment log; `LatestWins` models the READ path, this
+    * models the merge): rewrite the table so each key keeps only its
+    * newest row by `ordCol`, bounding log growth.
+    *
+    * Same minimal-touch discipline as [[deleteWhere]]: only partitions that
+    * hold a SUPERSEDED row are rewritten; a partition whose every row is
+    * already its key's winner keeps its files byte-for-byte. Partitions
+    * left empty (all rows superseded) are dropped like TTL'd ones.
+    *
+    * Winner pinning: rows are ranked per key by (`ordCol`, full-row
+    * xxhash64, partition value) descending-ord — ties on `ordCol` between
+    * DIFFERENT rows order by the content hash (deterministic, engine-local),
+    * and byte-identical duplicate rows (same ord, same hash) collapse to the
+    * copy in the lowest partition. One shuffle on the key; idempotent — a
+    * second run finds zero superseded rows and is a metadata-only scan. */
+  def collapseLatest(spark: SparkSession, path: String, keyCols: Seq[String],
+                     ordCol: String, partitionCol: String,
+                     sortCols: Seq[String]): DeleteStats = {
+    import org.apache.spark.sql.expressions.Window
+    val table = spark.read.parquet(path)
+    // hash excludes the partition column: duplicate copies of one logical
+    // row in two partitions tie on (ord, hash) and fall to the partition
+    // pin; rows with different payloads order by the hash
+    val rowHash = xxhash64(struct(
+      table.columns.toIndexedSeq.filter(_ != partitionCol).map(col): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol).desc, rowHash.desc, col(partitionCol).asc)
+    val ranked = table.withColumn("__rn", row_number().over(w))
+    val t = touchedPartitions(ranked, col("__rn") > 1, partitionCol)
+    if (t.n == 0L) return DeleteStats(0L, 0L)
+    val kept = ranked.filter(inTouched(t, partitionCol))
+      .filter(col("__rn") === 1).drop("__rn")
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
+    overwriteTouched(spark, path, kept, t, partitionCol)
     DeleteStats(t.count, t.n)
+  }
+
+  /** CDC keyed merge-apply: land one compacted change batch — rows tagged
+    * `'I'` (insert), `'U'` (update/upsert), `'D'` (delete) in `opCol`, one
+    * row per key — on a partitioned table in a single pass, touching only
+    * affected partitions. The batch is the SMALL side (probe-shape
+    * discipline): its distinct keys broadcast into the table scan to find
+    * affected partitions and filter survivors; the table is never shuffled.
+    * Affected partitions = those holding an existing row of a changed key
+    * (rewritten without it) ∪ those targeted by an I/U row (rewritten with
+    * it); everything else stays byte-identical. Content-idempotent:
+    * re-applying the same batch reproduces the same table. I and U are
+    * deliberately the same operation (upsert) — a CDC 'I' whose key already
+    * exists replaces it, so replayed batches cannot duplicate keys. */
+  def mergeApply(spark: SparkSession, path: String, changes: DataFrame,
+                 keyCols: Seq[String], opCol: String,
+                 partitionCol: String, sortCols: Seq[String]): DeleteStats = {
+    val table = spark.read.parquet(path)
+    val dataCols = table.columns.toIndexedSeq
+    require(changes.columns.contains(opCol), s"changes must carry '$opCol'")
+    require((dataCols.toSet -- changes.columns).isEmpty,
+      s"changes must carry every table column; missing: ${dataCols.toSet -- changes.columns}")
+    // one op per key per batch (a compacted CDC batch): ambiguity is a bug
+    val batch = changes.localCheckpoint() // small side; read 4×, compute once
+    require(batch.groupBy(keyCols.map(col): _*).count()
+              .filter(col("count") > 1).isEmpty,
+      "changes must have one row per key — compact the batch first")
+    val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
+    // affected partitions: existing homes of changed keys + targets of I/U
+    val fromTable = table.join(keys, keyCols, "left_semi")
+      .select(col(partitionCol))
+    val fromChanges = batch.filter(col(opCol) =!= "D").select(col(partitionCol))
+    val t = touchedPartitions(fromTable.union(fromChanges).toDF(partitionCol),
+                              lit(true), partitionCol)
+    val nApplied = batch.count()
+    if (t.count == 0L) return DeleteStats(0L, 0L)
+    val kept = table.filter(inTouched(t, partitionCol))
+      .join(keys, keyCols, "left_anti") // survivors: unchanged keys only
+      .unionByName(batch.filter(col(opCol).isin("I", "U"))
+                     .select(dataCols.map(col): _*))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
+    overwriteTouched(spark, path, kept, t, partitionCol)
+    DeleteStats(t.count, nApplied)
   }
 
   /** `ALTER TABLE … UPDATE col = expr WHERE pred` analogue — the same

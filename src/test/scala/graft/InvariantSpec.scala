@@ -193,6 +193,73 @@ class InvariantSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("windowFunnel strict_order == brute-force consecutive-run oracle") {
+    val steps = Seq("A", "B", "C")
+    val w = 100L
+    val r = new scala.util.Random(29)
+    // UNIQUE per-user times (the strict modes' total-order contract) and a
+    // non-funnel type X that must interrupt runs
+    val types = Seq("A", "B", "C", "X")
+    val events = (0 until 40).flatMap { u =>
+      r.shuffle((0 until 500).toList).take(30 + r.nextInt(30))
+        .map(t => (u.toLong, 10000L + t, types(r.nextInt(4)), (u * 1000 + t).toLong))
+    }
+    val df = events.map { case (u, t, tp, id) =>
+      (u, new Timestamp(t * 1000L), tp, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = operators.EventAnalytics.windowFunnel(df, steps, w,
+        mode = "strict_order")
+      .as[(Long, Int)].collect().toMap
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(_._2)
+      def runAt(i: Int, len: Int): Boolean =
+        i + len <= sorted.length &&
+        (0 until len).forall(j => sorted(i + j)._3 == steps(j)) &&
+        sorted(i + len - 1)._2 - sorted(i)._2 <= w
+      val lvl = (steps.length to 1 by -1)
+        .find(l => sorted.indices.exists(i => runAt(i, l))).getOrElse(0)
+      u -> lvl
+    }
+    assert(got == want)
+    // the documented ClickHouse example: A->B->D->C stops at D, level 2
+    val doc = Seq((1L, 10L, "A"), (1L, 11L, "B"), (1L, 12L, "X"), (1L, 13L, "C"))
+      .map { case (u, t, tp) => (u, new Timestamp(t * 1000L), tp, t) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val docGot = operators.EventAnalytics.windowFunnel(doc, steps, w,
+        mode = "strict_order").as[(Long, Int)].collect().toMap
+    assert(docGot == Map(1L -> 2))
+  }
+
+  test("windowFunnel strict_dedup == brute-force unique-steps-in-span oracle") {
+    val steps = Seq("A", "B", "C")
+    val w = 100L
+    val r = new scala.util.Random(31)
+    val events = (0 until 60).flatMap { u =>
+      r.shuffle((0 until 400).toList).take(10 + r.nextInt(40))
+        .map(t => (u.toLong, 10000L + t, steps(r.nextInt(3)), (u * 1000 + t).toLong))
+    }
+    val df = events.map { case (u, t, tp, id) =>
+      (u, new Timestamp(t * 1000L), tp, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = operators.EventAnalytics.windowFunnel(df, steps, w,
+        mode = "strict_dedup")
+      .as[(Long, Int)].collect().toMap
+    // declarative oracle: chain t1 < … < ts within window whose CLOSED span
+    // holds exactly one event of each step 1..s (steps > s repeat freely)
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      val of = (s: String) => evs.filter(_._3 == s).map(_._2).sorted
+      val (as, bs, cs) = (of("A"), of("B"), of("C"))
+      def inSpan(ts: Seq[Long], lo: Long, hi: Long) = ts.count(t => t >= lo && t <= hi)
+      val l3 = as.exists(a => bs.exists(b => cs.exists(c =>
+        a < b && b < c && c - a <= w &&
+        inSpan(as, a, c) == 1 && inSpan(bs, a, c) == 1 && inSpan(cs, a, c) == 1)))
+      val l2 = as.exists(a => bs.exists(b =>
+        a < b && b - a <= w && inSpan(as, a, b) == 1 && inSpan(bs, a, b) == 1))
+      u -> (if (l3) 3 else if (l2) 2 else if (as.nonEmpty) 1 else 0)
+    }
+    assert(got == want)
+  }
+
   test("distributed ntileExact == SQL window ntile; globalRowNumber is a total rank") {
     val r = new scala.util.Random(11)
     val df = (1 to 997).map(i => (i.toLong, r.nextInt(200).toDouble)).toDF("id", "v")

@@ -170,4 +170,146 @@ class MutationsSpec extends SparkSpec {
     assert(left.select($"day").distinct().as[String].collect().toSet ==
       Set("2024-01-01", "2024-01-03"))
   }
+
+  // ---- collapseLatest (OPTIMIZE TABLE … FINAL analogue) ----
+
+  /** Append-only latest-wins log: users 1..6, rows in days 1..3. Users 1-2
+    * stop at day 1, 3-4 at day 2, 5-6 have rows in all days. Day 3 holds
+    * ONLY winner rows (each present user's newest) → must stay untouched. */
+  private def logFixture(dir: String): Unit = {
+    val rows =
+      (1L to 6L).map(u => (u, s"v1-$u", 1L, "2024-01-01")) ++
+      (3L to 6L).map(u => (u, s"v2-$u", 2L, "2024-01-02")) ++
+      (5L to 6L).map(u => (u, s"v3-$u", 3L, "2024-01-03"))
+    Ingest.appendSorted(rows.toDF("user_id", "value", "seq", "day"), dir,
+      sortCols = Seq("user_id"), partitionCol = Some("day"))
+  }
+
+  test("collapseLatest == LatestWins.maxBy view; untouched partition byte-identical") {
+    val dir = tmpDir("mutc1")
+    logFixture(dir)
+    val wantView = graft.operators.LatestWins.maxBy(
+        spark.read.parquet(dir), Seq("user_id"), $"seq", Seq("value"))
+      .as[(Long, String)].collect().toMap
+    val before3 = fileState(dir, "2024-01-03")
+    val stats = Mutations.collapseLatest(spark, dir, Seq("user_id"),
+      "seq", "day", Seq("user_id"))
+    // superseded rows: users 3-6 day-1 rows (4) + users 5-6 day-2 rows (2)
+    assert(stats == Mutations.DeleteStats(2L, 6L))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 6L, "one row per key after collapse")
+    assert(after.select($"user_id", $"value").as[(Long, String)].collect().toMap
+      == wantView, "collapsed read-back must equal the latest-wins view")
+    assert(fileState(dir, "2024-01-03") == before3,
+      "the all-winners partition must stay byte-identical")
+    // idempotent: second run finds no superseded rows, writes nothing
+    val files = Seq("2024-01-01", "2024-01-02", "2024-01-03").map(fileState(dir, _))
+    assert(Mutations.collapseLatest(spark, dir, Seq("user_id"), "seq", "day",
+      Seq("user_id")) == Mutations.DeleteStats(0L, 0L))
+    assert(Seq("2024-01-01", "2024-01-02", "2024-01-03").map(fileState(dir, _)) == files)
+  }
+
+  test("collapseLatest drops a partition whose every row is superseded") {
+    val dir = tmpDir("mutc2")
+    // every day-1 row has a day-2 successor → day-1 dir must disappear
+    val rows = (1L to 4L).flatMap(u =>
+      Seq((u, s"old-$u", 1L, "2024-01-01"), (u, s"new-$u", 2L, "2024-01-02")))
+    rows.toDF("user_id", "value", "seq", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val stats = Mutations.collapseLatest(spark, dir, Seq("user_id"),
+      "seq", "day", Seq("user_id"))
+    assert(stats == Mutations.DeleteStats(1L, 4L))
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(), "emptied partition dropped")
+    assert(spark.read.parquet(dir).select($"value").as[String].collect().sorted.toSeq
+      == (1L to 4L).map(u => s"new-$u"))
+  }
+
+  test("collapseLatest pins ord ties: duplicate winner rows collapse to one") {
+    val dir = tmpDir("mutc3")
+    // user 1: byte-identical rows tied at the max seq in two partitions —
+    // exactly one copy survives (lowest partition value by the pin)
+    Seq((1L, "x", 5L, "2024-01-01"), (1L, "x", 5L, "2024-01-02"),
+        (2L, "y", 1L, "2024-01-01"))
+      .toDF("user_id", "value", "seq", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val stats = Mutations.collapseLatest(spark, dir, Seq("user_id"),
+      "seq", "day", Seq("user_id"))
+    assert(stats.rowsDeleted == 1L)
+    val after = spark.read.parquet(dir).select($"user_id", $"value", $"day")
+      .as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "x", "2024-01-01"), (2L, "y", "2024-01-01")))
+  }
+
+  // ---- mergeApply (CDC keyed merge) ----
+
+  test("mergeApply applies I/U/D in one pass, touching only affected partitions") {
+    val dir = tmpDir("mutm1")
+    // keyed table: one row per user, partitioned by cohort
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+                   (4L, 40L, "b"), (5L, 50L, "c"))
+      .toDF("user_id", "score", "cohort")
+    base.write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    val beforeC = fileState2(dir, "cohort=c")
+    val changes = Seq(
+      (2L, 21L, "a", "U"),  // update in place
+      (3L, 0L, "b", "D"),   // delete
+      (6L, 60L, "b", "I")   // insert into b
+    ).toDF("user_id", "score", "cohort", "op")
+    val stats = Mutations.mergeApply(spark, dir, changes, Seq("user_id"),
+      "op", "cohort", Seq("user_id"))
+    assert(stats == Mutations.DeleteStats(2L, 3L)) // cohorts a,b touched; 3 ops
+    val after = spark.read.parquet(dir)
+      .select($"user_id", $"score", $"cohort").as[(Long, Long, String)]
+      .collect().toSet
+    assert(after == Set((1L, 10L, "a"), (2L, 21L, "a"), (4L, 40L, "b"),
+                        (6L, 60L, "b"), (5L, 50L, "c")))
+    assert(fileState2(dir, "cohort=c") == beforeC,
+      "unaffected partition must stay byte-identical")
+    // content-idempotent: re-applying the SAME batch reproduces the table
+    Mutations.mergeApply(spark, dir, changes, Seq("user_id"), "op", "cohort",
+      Seq("user_id"))
+    val again = spark.read.parquet(dir)
+      .select($"user_id", $"score", $"cohort").as[(Long, Long, String)]
+      .collect().toSet
+    assert(again == after, "re-applying the same batch must be a content no-op")
+  }
+
+  test("mergeApply: deletes can empty a partition; upserts can create one") {
+    val dir = tmpDir("mutm2")
+    Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("user_id", "score", "cohort")
+      .write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    val changes = Seq((2L, 0L, "b", "D"), (3L, 3L, "z", "I"))
+      .toDF("user_id", "score", "cohort", "op")
+    Mutations.mergeApply(spark, dir, changes, Seq("user_id"), "op", "cohort",
+      Seq("user_id"))
+    assert(!new java.io.File(s"$dir/cohort=b").exists(), "emptied partition dropped")
+    assert(new java.io.File(s"$dir/cohort=z").exists(), "insert created its partition")
+    assert(spark.read.parquet(dir).select($"user_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // an 'I' on an EXISTING key upserts (replaces) — replay safety
+    val redo = Seq((3L, 9L, "z", "I")).toDF("user_id", "score", "cohort", "op")
+    Mutations.mergeApply(spark, dir, redo, Seq("user_id"), "op", "cohort",
+      Seq("user_id"))
+    assert(spark.read.parquet(dir).filter($"user_id" === 3L)
+      .select($"score").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("mergeApply rejects a non-compacted batch (duplicate keys)") {
+    val dir = tmpDir("mutm3")
+    Seq((1L, 1L, "a")).toDF("user_id", "score", "cohort")
+      .write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    val dup = Seq((1L, 2L, "a", "U"), (1L, 0L, "a", "D"))
+      .toDF("user_id", "score", "cohort", "op")
+    intercept[IllegalArgumentException] {
+      Mutations.mergeApply(spark, dir, dup, Seq("user_id"), "op", "cohort",
+        Seq("user_id"))
+    }
+  }
+
+  private def fileState2(dir: String, part: String): Set[(String, Long)] = {
+    val d = new java.io.File(s"$dir/$part")
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+  }
 }
