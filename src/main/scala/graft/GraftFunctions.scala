@@ -60,8 +60,10 @@ object GraftFunctions {
       CharBigramsExpr(es.head)
     },
     "graft_funnel_level" -> { es =>
-      require(es.length == 3, "graft_funnel_level(sortedSeq, nSteps, windowSeconds)")
-      FunnelLevelExpr(es.head, intLit(es(1)), longLit(es(2)))
+      require(es.length == 3 || es.length == 4,
+        "graft_funnel_level(sortedSeq, nSteps, windowSeconds[, mode]) — mode: 0 default, 1 strict_order, 2 strict_dedup")
+      FunnelLevelExpr(es.head, intLit(es(1)), longLit(es(2)),
+        if (es.length == 4) intLit(es(3)) else 0)
     },
     "graft_sorted_jaccard" -> { es =>
       require(es.length == 2, "graft_sorted_jaccard(sortedArrayA, sortedArrayB)")

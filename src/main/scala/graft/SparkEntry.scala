@@ -1107,6 +1107,101 @@ object SparkEntry {
     EventAnalytics.sequenceCount(t(s, dir, "events"), FunnelSteps)
       .orderBy("user_id")
 
+  /** windowFunnel `strict_order` (ClickHouse flag: "don't allow
+    * interventions of other events" — A→B→D→C stops at D, level 2): the
+    * chain must be CONSECUTIVE in the user's full event stream, so every
+    * event rides the DP (non-funnel types as step 0) on µs-total times. */
+  private def funnelStrictOrder(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.windowFunnel(t(s, dir, "events"), FunnelSteps, FunnelWindowS,
+        mode = "strict_order")
+      .orderBy("user_id")
+
+  /** windowFunnel `strict_dedup` (ClickHouse flag: "a repeating event
+    * interrupts"): a valid chain's span holds exactly one event of each
+    * matched step — see FunnelLevelExpr's declarative definition. */
+  private def funnelStrictDedup(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.windowFunnel(t(s, dir, "events"), FunnelSteps, FunnelWindowS,
+        mode = "strict_dedup")
+      .orderBy("user_id")
+
+  /** ReplacingMergeTree PHYSICAL collapse through the oracle gate
+    * (`OPTIMIZE TABLE … FINAL`, the background merge the reference's
+    * `Engine = ReplacingMergeTree()` at 1-naive.test.ts:27 relies on): a
+    * 3-slice append-only segment log — per (user, time-tercile of clicks):
+    * slice click count + a threshold boolean, partitioned by slice — is
+    * physically collapsed to each user's newest row via
+    * [[graft.sources.Mutations.collapseLatest]], then read back FLAT (no
+    * read-time argMax — the collapse already did the merge). The oracle
+    * recomputes the log and picks max-slice rows; MutationsSpec pins the
+    * byte-identity of untouched partitions and idempotency. */
+  private def optimizeFinalCollapse(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val b = ev.agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1 // integer tercile arithmetic — exact in both engines
+    val log = ev
+      .withColumn("slice", (expr(s"(t - ${lo}L) * 3 DIV ${span}L") + 1).cast("int"))
+      .groupBy(col("user_id"), col("slice"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("value", col("n") >= lit(4L))
+      .select("user_id", "value", "n", "slice")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_collapse").toString
+    log.write.mode("overwrite").partitionBy("slice").parquet(scratch)
+    graft.sources.Mutations.collapseLatest(s, scratch, Seq("user_id"),
+      ordCol = "slice", partitionCol = "slice", sortCols = Seq("user_id"))
+    val out = s.read.parquet(scratch)
+      .select(col("user_id"), col("value"), col("n"),
+              col("slice").cast("int").as("slice"))
+      .localCheckpoint() // materialize before the scratch tree is reaped
+    deleteTreeAsync(scratch)
+    out.orderBy("user_id")
+  }
+
+  /** CDC keyed merge-apply through the oracle gate: a per-user click
+    * profile table (partitioned by cohort) takes one compacted change
+    * batch — updates for purchasers (corrected totals), deletes for a
+    * deterministic no-purchase slice, inserts of offset synthetic users —
+    * in one [[graft.sources.Mutations.mergeApply]] pass, then reads back.
+    * The oracle replays base − changed-keys ∪ upserts declaratively;
+    * MutationsSpec pins minimal partition touch and idempotent re-apply. */
+  private def cdcMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // ONE events pass feeds base, updates, deletes, and inserts: the four
+    // consumers below would otherwise each re-scan + re-shuffle events
+    val stats = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"),
+           count(when(col("event_type") === "purchase", 1)).as("n_p"))
+      .localCheckpoint()
+    val base = stats.filter(col("n_clicks") > 0)
+      .select(col("user_id"), col("n_clicks"),
+              pmod(col("user_id"), lit(10)).cast("int").as("cohort"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    base.write.mode("overwrite").partitionBy("cohort").parquet(scratch)
+    val purch = stats.filter(col("n_p") > 0).select(col("user_id"), col("n_p"))
+    val upd = base.join(purch, "user_id")
+      .select(col("user_id"), (col("n_clicks") + col("n_p")).as("n_clicks"),
+              col("cohort"), lit("U").as("op"))
+    val del = base.join(purch, Seq("user_id"), "left_anti")
+      .filter(pmod(col("user_id"), lit(7)) === 3)
+      .select(col("user_id"), col("n_clicks"), col("cohort"), lit("D").as("op"))
+    val ins = base.filter(pmod(col("user_id"), lit(9)) === 4)
+      .select((col("user_id") + 1000000L).as("user_id"),
+              lit(1L).as("n_clicks"),
+              pmod(col("user_id") + 1000000L, lit(10)).cast("int").as("cohort"),
+              lit("I").as("op"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    graft.sources.Mutations.mergeApply(s, scratch, changes, Seq("user_id"),
+      opCol = "op", partitionCol = "cohort", sortCols = Seq("user_id"))
+    val out = s.read.parquet(scratch)
+      .select(col("user_id"), col("n_clicks"),
+              col("cohort").cast("int").as("cohort"))
+      .localCheckpoint() // materialize before the scratch tree is reaped
+    deleteTreeAsync(scratch)
+    out.orderBy("user_id")
+  }
+
   /** ClickHouse retention: weekly cohort counts anchored on week 1. */
   private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     def week(i: Int): Column = {
@@ -3168,6 +3263,10 @@ object SparkEntry {
     "q9_product_profit"    -> (q9ProductProfit _),
     "exact_substring_spans" -> (exactSubstrSpans _),
     "ann_incremental_ivf"  -> (annIncrementalIvf _),
+    "funnel_strict_order"  -> (funnelStrictOrder _),
+    "funnel_strict_dedup"  -> (funnelStrictDedup _),
+    "optimize_final_collapse" -> (optimizeFinalCollapse _),
+    "cdc_merge_apply"      -> (cdcMergeApply _),
   )
 
   // ----------------------------------------------------------------------
@@ -4957,6 +5056,109 @@ object SparkEntry {
     // same quantizer, probe ranking, candidates; only the read path differs
     "ann_topk_ivf_disk" -> ivfOracleSql,
     "ann_incremental_ivf" -> incrementalIvfOracleSql,
+
+    // strict_order: the chain must be consecutive in the user's FULL event
+    // stream (row_number over µs-total times); window in µs to match the
+    // engine's total-order contract
+    "funnel_strict_order" -> {
+      val w = FunnelWindowS * 1000000L
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                            row_number() OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts)) AS rn
+                     FROM events),
+          u AS (SELECT DISTINCT user_id FROM events)
+          SELECT u.user_id,
+            CASE
+              WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND c.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND c.event_type = 'signup'
+                             AND b.rn = a.rn + 1 AND c.rn = a.rn + 2
+                             AND c.t - a.t <= $w) THEN 3
+              WHEN EXISTS (SELECT 1 FROM e a, e b
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND b.rn = a.rn + 1 AND b.t - a.t <= $w) THEN 2
+              WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                             AND a.event_type = 'click') THEN 1
+              ELSE 0 END AS funnel_level
+          FROM u ORDER BY u.user_id"""
+    },
+
+    // strict_dedup: a valid chain's CLOSED span holds exactly one event of
+    // each matched step (the declarative definition FunnelLevelExpr mode 2
+    // implements and InvariantSpec brute-forces)
+    "funnel_strict_dedup" -> {
+      val w = FunnelWindowS * 1000000L
+      def one(step: String, lo: String, hi: String) =
+        s"""(SELECT count(*) FROM e x WHERE x.user_id = u.user_id
+              AND x.event_type = '$step' AND x.t BETWEEN $lo AND $hi) = 1"""
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+                     WHERE event_type IN ('click', 'purchase', 'signup')),
+          u AS (SELECT DISTINCT user_id FROM e)
+          SELECT u.user_id,
+            CASE
+              WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND c.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND c.event_type = 'signup'
+                             AND a.t < b.t AND b.t < c.t AND c.t - a.t <= $w
+                             AND ${one("click", "a.t", "c.t")}
+                             AND ${one("purchase", "a.t", "c.t")}
+                             AND ${one("signup", "a.t", "c.t")}) THEN 3
+              WHEN EXISTS (SELECT 1 FROM e a, e b
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND a.t < b.t AND b.t - a.t <= $w
+                             AND ${one("click", "a.t", "b.t")}
+                             AND ${one("purchase", "a.t", "b.t")}) THEN 2
+              WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                             AND a.event_type = 'click') THEN 1
+              ELSE 0 END AS funnel_level
+          FROM u ORDER BY u.user_id"""
+    },
+
+    // the collapsed log replayed declaratively: rebuild the 3-tercile
+    // per-(user, slice) log with the same integer arithmetic, keep each
+    // user's max-slice row — must equal the physically collapsed table
+    "optimize_final_collapse" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                    WHERE event_type = 'click'),
+         b AS (SELECT min(t) AS lo, max(t) AS hi FROM c),
+         s AS (SELECT user_id,
+                      CAST(1 + ((t - lo) * 3) // (hi - lo + 1) AS INT) AS slice
+               FROM c, b),
+         g AS (SELECT user_id, slice, count(*) AS n FROM s GROUP BY 1, 2),
+         w AS (SELECT user_id, max(slice) AS slice FROM g GROUP BY 1)
+         SELECT g.user_id, (g.n >= 4) AS value, CAST(g.n AS BIGINT) AS n,
+                g.slice
+         FROM g JOIN w ON g.user_id = w.user_id AND g.slice = w.slice
+         ORDER BY g.user_id""",
+
+    // CDC merge replayed declaratively: base minus changed keys, plus the
+    // update/insert payloads — must equal the merged table
+    "cdc_merge_apply" ->
+      """WITH base AS (SELECT user_id, count(*) AS n_clicks,
+                              CAST(user_id % 10 AS INT) AS cohort
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT user_id, count(*) AS n_p FROM events
+               WHERE event_type = 'purchase' GROUP BY 1),
+         upd AS (SELECT b.user_id, b.n_clicks + p.n_p AS n_clicks, b.cohort
+                 FROM base b JOIN p ON b.user_id = p.user_id),
+         del AS (SELECT user_id FROM base WHERE user_id % 7 = 3
+                   AND user_id NOT IN (SELECT user_id FROM p)),
+         ins AS (SELECT user_id + 1000000 AS user_id, 1 AS n_clicks,
+                        CAST((user_id + 1000000) % 10 AS INT) AS cohort
+                 FROM base WHERE user_id % 9 = 4),
+         fin AS (SELECT * FROM base
+                 WHERE user_id NOT IN (SELECT user_id FROM upd)
+                   AND user_id NOT IN (SELECT user_id FROM del)
+                 UNION ALL SELECT * FROM upd
+                 UNION ALL SELECT * FROM ins)
+         SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks, cohort
+         FROM fin ORDER BY user_id""",
 
     // Brute-force all-pairs Jaccard over distinct char 5-grams of normalized
     // text. Valid as an exact oracle because (a) the LSH banding has full

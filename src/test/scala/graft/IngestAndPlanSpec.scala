@@ -242,11 +242,18 @@ class IngestAndPlanSpec extends SparkSpec {
     val extra = spark.sql(
       """SELECT graft_sig_match(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS m,
                 graft_char_bigrams('abc') AS bg,
-                graft_funnel_level(array(struct(10L AS t, 1 AS step)), 3, 100L) AS fl""")
+                graft_funnel_level(array(struct(10L AS t, 1 AS step)), 3, 100L) AS fl,
+                graft_funnel_level(array(struct(10L AS t, 1 AS step),
+                                         struct(11L AS t, 3 AS step),
+                                         struct(12L AS t, 2 AS step),
+                                         struct(13L AS t, 3 AS step)), 3, 100L, 2) AS fsd""")
       .collect()(0)
     assert(extra.getDouble(0) == 0.5)
     assert(extra.getSeq[String](1) == Seq("ab", "bc"))
     assert(extra.getInt(2) == 1)
+    // strict_dedup via the optional 4th arg: the early step-3 copy caps the
+    // chain at level 2 (its future span would hold two step-3 events)
+    assert(extra.getInt(3) == 2)
     // round-5 registrations
     val r5 = spark.sql(
       """SELECT graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS sj,
