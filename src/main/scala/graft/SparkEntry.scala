@@ -1124,6 +1124,15 @@ object SparkEntry {
         mode = "strict_dedup")
       .orderBy("user_id")
 
+  /** windowFunnel `strict_increase` (ClickHouse flag: "apply conditions
+    * only to events with strictly increasing timestamps"): the default
+    * mode's semantics and SECOND granularity, but tied timestamps can no
+    * longer chain — observable exactly where second-floored times tie. */
+  private def funnelStrictIncrease(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.windowFunnel(t(s, dir, "events"), FunnelSteps, FunnelWindowS,
+        mode = "strict_increase")
+      .orderBy("user_id")
+
   /** ReplacingMergeTree PHYSICAL collapse through the oracle gate
     * (`OPTIMIZE TABLE … FINAL`, the background merge the reference's
     * `Engine = ReplacingMergeTree()` at 1-naive.test.ts:27 relies on): a
@@ -3265,6 +3274,7 @@ object SparkEntry {
     "ann_incremental_ivf"  -> (annIncrementalIvf _),
     "funnel_strict_order"  -> (funnelStrictOrder _),
     "funnel_strict_dedup"  -> (funnelStrictDedup _),
+    "funnel_strict_increase" -> (funnelStrictIncrease _),
     "optimize_final_collapse" -> (optimizeFinalCollapse _),
     "cdc_merge_apply"      -> (cdcMergeApply _),
   )
@@ -5114,6 +5124,32 @@ object SparkEntry {
                              AND a.t < b.t AND b.t - a.t <= $w
                              AND ${one("click", "a.t", "b.t")}
                              AND ${one("purchase", "a.t", "b.t")}) THEN 2
+              WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                             AND a.event_type = 'click') THEN 1
+              ELSE 0 END AS funnel_level
+          FROM u ORDER BY u.user_id"""
+    },
+
+    // strict_increase: the funnel_levels oracle with STRICT chain
+    // inequalities at the same second granularity
+    "funnel_strict_increase" -> {
+      val w = FunnelWindowS
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type IN ('click', 'purchase', 'signup')),
+          e AS (SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+          SELECT u.user_id,
+            CASE
+              WHEN EXISTS (SELECT 1 FROM e a, e b, e c
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND c.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND c.event_type = 'signup'
+                             AND a.t < b.t AND b.t < c.t AND c.t - a.t <= $w) THEN 3
+              WHEN EXISTS (SELECT 1 FROM e a, e b
+                           WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+                             AND a.event_type = 'click' AND b.event_type = 'purchase'
+                             AND a.t < b.t AND b.t - a.t <= $w) THEN 2
               WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
                              AND a.event_type = 'click') THEN 1
               ELSE 0 END AS funnel_level

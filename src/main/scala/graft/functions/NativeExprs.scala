@@ -538,6 +538,12 @@ case class NormalizeTextExpr(child: Expression)
   *    consecutive array elements match steps 1..s in order within window.
   *    DP state: the (level, start) of the unique step-1-rooted run ending
   *    at the previous element.
+  *  - 3 (strict_increase, "conditions only on strictly increasing
+  *    timestamps"): the default semantics with t1 < … < ts STRICT — at
+  *    second granularity ties are common, so a same-timestamp pair can no
+  *    longer form a chain step. DP: `best(s)` as in mode 0, but updates
+  *    from the CURRENT timestamp group are deferred until t advances, so an
+  *    extension only ever sees chains whose last event is strictly earlier.
   *  - 2 (strict_dedup, "a repeating event interrupts"): level ≥ s iff a
   *    chain t1 < … < ts (steps 1..s, ts − t1 ≤ window) exists whose span
   *    [t1, ts] contains EXACTLY ONE event of each step 1..s (steps > s may
@@ -552,7 +558,7 @@ case class NormalizeTextExpr(child: Expression)
 case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long,
                            mode: Int = 0)
     extends UnaryExpression with CodegenFallback {
-  require(mode >= 0 && mode <= 2, s"unknown funnel mode $mode")
+  require(mode >= 0 && mode <= 3, s"unknown funnel mode $mode")
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(input: Any): Any = {
@@ -561,6 +567,7 @@ case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long,
       case 0 => evalDefault(arr)
       case 1 => evalStrictOrder(arr)
       case 2 => evalStrictDedup(arr)
+      case 3 => evalStrictIncrease(arr)
     }
   }
 
@@ -578,6 +585,41 @@ case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long,
         if (level < 1) level = 1
       } else if (s > 1 && best(s - 1) != Long.MinValue && t - best(s - 1) <= windowSeconds) {
         if (best(s - 1) > best(s)) best(s) = best(s - 1)
+        if (level < s) level = s
+      }
+      i += 1
+    }
+    level
+  }
+
+  private def evalStrictIncrease(arr: ArrayData): Int = {
+    val best = Array.fill(nSteps + 1)(Long.MinValue)
+    // chain updates formed AT the current timestamp: not extendable until t
+    // advances (an extension needs the previous step strictly earlier)
+    val pending = Array.fill(nSteps + 1)(Long.MinValue)
+    var curT = Long.MinValue
+    var level = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getLong(0)
+      val s = row.getInt(1)
+      if (t != curT) {
+        var j = 1
+        while (j <= nSteps) {
+          if (pending(j) > best(j)) best(j) = pending(j)
+          pending(j) = Long.MinValue
+          j += 1
+        }
+        curT = t
+      }
+      if (s == 1) {
+        if (t > pending(1)) pending(1) = t
+        if (level < 1) level = 1
+      } else if (s > 1 && best(s - 1) != Long.MinValue &&
+                 t - best(s - 1) <= windowSeconds) {
+        if (best(s - 1) > pending(s)) pending(s) = best(s - 1)
         if (level < s) level = s
       }
       i += 1

@@ -60,6 +60,7 @@ object EventAnalytics {
     require(steps.length < 16, "funnel depth limited to 15 steps (4-bit encoding)")
     val modeId = mode match {
       case "default" => 0; case "strict_order" => 1; case "strict_dedup" => 2
+      case "strict_increase" => 3 // default granularity, STRICT time order
       case other => throw new IllegalArgumentException(s"unknown funnel mode: $other")
     }
     val stepIdx = typedLit(steps.zipWithIndex.toMap)
@@ -71,8 +72,10 @@ object EventAnalytics {
     // events" means the chain must be consecutive in the full stream.
     val filtered =
       if (modeId == 1) events else events.filter(col(typeCol).isin(steps: _*))
+    // strict_increase keeps the DEFAULT second granularity: strictness is
+    // only observable where ties exist, and second-floored times tie often
     val (tExpr, window) =
-      if (modeId == 0) (unix_timestamp(col(tsCol)), windowSeconds)
+      if (modeId == 0 || modeId == 3) (unix_timestamp(col(tsCol)), windowSeconds)
       else (unix_micros(col(tsCol)), windowSeconds * 1000000L)
     val tagged = filtered
       .select(col(userCol), tExpr.as("__t"),

@@ -230,6 +230,42 @@ class InvariantSpec extends SparkSpec {
     assert(docGot == Map(1L -> 2))
   }
 
+  test("windowFunnel strict_increase == brute-force strict-chain oracle (tie-heavy)") {
+    val steps = Seq("A", "B", "C")
+    val w = 40L
+    val r = new scala.util.Random(37)
+    // a SMALL time domain so same-timestamp ties are common — exactly where
+    // strict_increase diverges from the default mode
+    val events = (0 until 60).flatMap { u =>
+      (0 until 20 + r.nextInt(20)).map(i =>
+        (u.toLong, 10000L + r.nextInt(60), steps(r.nextInt(3)), (u * 1000 + i).toLong))
+    }
+    val df = events.map { case (u, t, tp, id) =>
+      (u, new Timestamp(t * 1000L), tp, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = operators.EventAnalytics.windowFunnel(df, steps, w,
+        mode = "strict_increase")
+      .as[(Long, Int)].collect().toMap
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      val of = (s: String) => evs.filter(_._3 == s).map(_._2).sorted
+      val (as, bs, cs) = (of("A"), of("B"), of("C"))
+      val l3 = as.exists(a => bs.exists(b => a < b && cs.exists(c =>
+        b < c && c - a <= w)))
+      val l2 = as.exists(a => bs.exists(b => a < b && b - a <= w))
+      u -> (if (l3) 3 else if (l2) 2 else if (as.nonEmpty) 1 else 0)
+    }
+    assert(got == want)
+    // and it must differ from default exactly where only tied chains exist
+    val tied = Seq((1L, 10L, "A"), (1L, 10L, "B"), (1L, 10L, "C"))
+      .map { case (u, t, tp) => (u, new Timestamp(t * 1000L), tp, t) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(operators.EventAnalytics.windowFunnel(tied, steps, w)
+      .as[(Long, Int)].collect().toMap == Map(1L -> 3))
+    assert(operators.EventAnalytics.windowFunnel(tied, steps, w,
+        mode = "strict_increase")
+      .as[(Long, Int)].collect().toMap == Map(1L -> 1))
+  }
+
   test("windowFunnel strict_dedup == brute-force unique-steps-in-span oracle") {
     val steps = Seq("A", "B", "C")
     val w = 100L
