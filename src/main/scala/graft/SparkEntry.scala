@@ -1174,20 +1174,49 @@ object SparkEntry {
     * in one [[graft.sources.Mutations.mergeApply]] pass, then reads back.
     * The oracle replays base − changed-keys ∪ upserts declaratively;
     * MutationsSpec pins minimal partition touch and idempotent re-apply. */
-  private def cdcMergeApply(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    // ONE events pass feeds base, updates, deletes, and inserts: the four
-    // consumers below would otherwise each re-scan + re-shuffle events
-    val stats = ev.filter(col("event_type").isin("click", "purchase"))
+  /** The CDC demos' shared DuckDB oracle: base minus changed keys, plus the
+    * update/insert payloads. The batch merge lands exactly this table; the
+    * streaming twin is DEFINED to land the same one (disjoint-key batches +
+    * per-batch compaction), so both map here. */
+  private val cdcOracleSql: String =
+    """WITH base AS (SELECT user_id, count(*) AS n_clicks,
+                            CAST(user_id % 10 AS INT) AS cohort
+                     FROM events WHERE event_type = 'click' GROUP BY 1),
+       p AS (SELECT user_id, count(*) AS n_p FROM events
+             WHERE event_type = 'purchase' GROUP BY 1),
+       upd AS (SELECT b.user_id, b.n_clicks + p.n_p AS n_clicks, b.cohort
+               FROM base b JOIN p ON b.user_id = p.user_id),
+       del AS (SELECT user_id FROM base WHERE user_id % 7 = 3
+                 AND user_id NOT IN (SELECT user_id FROM p)),
+       ins AS (SELECT user_id + 1000000 AS user_id, 1 AS n_clicks,
+                      CAST((user_id + 1000000) % 10 AS INT) AS cohort
+               FROM base WHERE user_id % 9 = 4),
+       fin AS (SELECT * FROM base
+               WHERE user_id NOT IN (SELECT user_id FROM upd)
+                 AND user_id NOT IN (SELECT user_id FROM del)
+               UNION ALL SELECT * FROM upd
+               UNION ALL SELECT * FROM ins)
+       SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks, cohort
+       FROM fin ORDER BY user_id"""
+
+  /** Shared CDC-demo derivation: ONE events pass feeds base, updates,
+    * deletes, and inserts (the consumers would otherwise each re-scan +
+    * re-shuffle events). Both the batch query and its streaming twin build
+    * from these, so they stay in lockstep with the one oracle. */
+  private def cdcStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
       .groupBy("user_id")
       .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"),
            count(when(col("event_type") === "purchase", 1)).as("n_p"))
       .localCheckpoint()
-    val base = stats.filter(col("n_clicks") > 0)
+
+  private def cdcBase(stats: DataFrame): DataFrame =
+    stats.filter(col("n_clicks") > 0)
       .select(col("user_id"), col("n_clicks"),
               pmod(col("user_id"), lit(10)).cast("int").as("cohort"))
-    val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-    base.write.mode("overwrite").partitionBy("cohort").parquet(scratch)
+
+  private def cdcChanges(stats: DataFrame): DataFrame = {
+    val base = cdcBase(stats)
     val purch = stats.filter(col("n_p") > 0).select(col("user_id"), col("n_p"))
     val upd = base.join(purch, "user_id")
       .select(col("user_id"), (col("n_clicks") + col("n_p")).as("n_clicks"),
@@ -1200,9 +1229,16 @@ object SparkEntry {
               lit(1L).as("n_clicks"),
               pmod(col("user_id") + 1000000L, lit(10)).cast("int").as("cohort"),
               lit("I").as("op"))
-    val changes = upd.unionByName(del).unionByName(ins)
-    graft.sources.Mutations.mergeApply(s, scratch, changes, Seq("user_id"),
-      opCol = "op", partitionCol = "cohort", sortCols = Seq("user_id"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  private def cdcMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val stats = cdcStats(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    cdcBase(stats).write.mode("overwrite").partitionBy("cohort").parquet(scratch)
+    graft.sources.Mutations.mergeApply(s, scratch, cdcChanges(stats),
+      Seq("user_id"), opCol = "op", partitionCol = "cohort",
+      sortCols = Seq("user_id"))
     val out = s.read.parquet(scratch)
       .select(col("user_id"), col("n_clicks"),
               col("cohort").cast("int").as("cohort"))
@@ -1210,6 +1246,40 @@ object SparkEntry {
     deleteTreeAsync(scratch)
     out.orderBy("user_id")
   }
+
+  /** The LIVE CDC landing ([[graft.streaming.StreamingCdc]]) through the
+    * same oracle as [[cdcMergeApply]]: the change set streams in as two
+    * disjoint-key micro-batch files (sequential application of disjoint
+    * keys == the one-shot merge), and every 'U' key carries an
+    * earlier-seq decoy 'D' in the SAME batch, so the per-batch
+    * highest-seq-wins compaction is exercised through the oracle gate —
+    * a broken compaction deletes those users and hash-mismatches. */
+  private def cdcMergeStream(s: SparkSession, dir: String): DataFrame =
+    withStreamScope(s, "graft_cdc_stream") { tmp =>
+      val stats = cdcStats(s, dir)
+      cdcBase(stats).write.mode("overwrite").partitionBy("cohort")
+        .parquet(s"$tmp/table")
+      val changes = cdcChanges(stats)
+      val feed = changes.withColumn("seq", lit(2L))
+        .unionByName(changes.filter(col("op") === "U")
+          .withColumn("op", lit("D")).withColumn("seq", lit(1L)))
+        .withColumn("shard", pmod(col("user_id"), lit(2)).cast("int"))
+      feed.repartition(2, col("shard")) // exactly one file per shard dir
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$tmp/src")
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+      val q = graft.streaming.StreamingCdc.foreachBatchMergeApply(
+          stream, s"$tmp/table", Seq("user_id"), opCol = "op", seqCol = "seq",
+          partitionCol = "cohort", sortCols = Seq("user_id"),
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/table")
+        .select(col("user_id"), col("n_clicks"),
+                col("cohort").cast("int").as("cohort"))
+        .orderBy("user_id")
+    }
 
   /** ClickHouse retention: weekly cohort counts anchored on week 1. */
   private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
@@ -3277,6 +3347,7 @@ object SparkEntry {
     "funnel_strict_increase" -> (funnelStrictIncrease _),
     "optimize_final_collapse" -> (optimizeFinalCollapse _),
     "cdc_merge_apply"      -> (cdcMergeApply _),
+    "cdc_merge_stream"     -> (cdcMergeStream _),
   )
 
   // ----------------------------------------------------------------------
@@ -5175,26 +5246,11 @@ object SparkEntry {
 
     // CDC merge replayed declaratively: base minus changed keys, plus the
     // update/insert payloads — must equal the merged table
-    "cdc_merge_apply" ->
-      """WITH base AS (SELECT user_id, count(*) AS n_clicks,
-                              CAST(user_id % 10 AS INT) AS cohort
-                       FROM events WHERE event_type = 'click' GROUP BY 1),
-         p AS (SELECT user_id, count(*) AS n_p FROM events
-               WHERE event_type = 'purchase' GROUP BY 1),
-         upd AS (SELECT b.user_id, b.n_clicks + p.n_p AS n_clicks, b.cohort
-                 FROM base b JOIN p ON b.user_id = p.user_id),
-         del AS (SELECT user_id FROM base WHERE user_id % 7 = 3
-                   AND user_id NOT IN (SELECT user_id FROM p)),
-         ins AS (SELECT user_id + 1000000 AS user_id, 1 AS n_clicks,
-                        CAST((user_id + 1000000) % 10 AS INT) AS cohort
-                 FROM base WHERE user_id % 9 = 4),
-         fin AS (SELECT * FROM base
-                 WHERE user_id NOT IN (SELECT user_id FROM upd)
-                   AND user_id NOT IN (SELECT user_id FROM del)
-                 UNION ALL SELECT * FROM upd
-                 UNION ALL SELECT * FROM ins)
-         SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks, cohort
-         FROM fin ORDER BY user_id""",
+    "cdc_merge_apply" -> cdcOracleSql,
+    // the streaming twin is DEFINED to land the batch merge's table: two
+    // disjoint-key micro-batches applied sequentially + per-batch
+    // highest-seq compaction == the one-shot merge; same oracle
+    "cdc_merge_stream" -> cdcOracleSql,
 
     // Brute-force all-pairs Jaccard over distinct char 5-grams of normalized
     // text. Valid as an exact oracle because (a) the LSH banding has full

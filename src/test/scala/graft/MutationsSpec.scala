@@ -294,6 +294,47 @@ class MutationsSpec extends SparkSpec {
       .select($"score").as[Long].collect().toSeq == Seq(9L))
   }
 
+  // ---- StreamingCdc (the live landing twin of mergeApply) ----
+
+  test("StreamingCdc: per-batch compaction keeps each key's highest-seq op") {
+    val raw = Seq(
+      (1L, 10L, "a", "U", 3L), (1L, 99L, "a", "D", 1L), (1L, 50L, "a", "U", 2L),
+      (2L, 20L, "b", "I", 1L), (2L, 0L, "b", "D", 2L))
+      .toDF("user_id", "score", "cohort", "op", "seq")
+    val got = graft.streaming.StreamingCdc.compactBatch(raw, Seq("user_id"), "seq")
+      .select($"user_id", $"score", $"op").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, 10L, "U"), (2L, 0L, "D")))
+    assert(!graft.streaming.StreamingCdc.compactBatch(raw, Seq("user_id"), "seq")
+      .columns.contains("seq"), "transport seq must not land")
+  }
+
+  test("StreamingCdc: sequential batches == one-shot merge of final ops; replay-safe") {
+    val dir = tmpDir("mutcdc1")
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"))
+      .toDF("user_id", "score", "cohort")
+      .write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    // batch 0 touches keys 1,2; batch 1 RE-touches key 2 (later op wins
+    // across batches) and deletes key 3
+    val b0 = Seq((1L, 11L, "a", "U", 1L), (2L, 0L, "a", "D", 1L))
+      .toDF("user_id", "score", "cohort", "op", "seq")
+    val b1 = Seq((2L, 22L, "a", "I", 2L), (3L, 0L, "b", "D", 2L))
+      .toDF("user_id", "score", "cohort", "op", "seq")
+    def apply(b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingCdc.processBatch(b, dir, Seq("user_id"),
+        "op", "seq", "cohort", Seq("user_id"))
+    apply(b0); apply(b1)
+    def table() = spark.read.parquet(dir)
+      .select($"user_id", $"score", $"cohort").as[(Long, Long, String)]
+      .collect().toSet
+    val want = Set((1L, 11L, "a"), (2L, 22L, "a"))
+    assert(table() == want,
+      "cross-batch: the later batch's op on key 2 must win; key 3 deleted")
+    // at-least-once replay of the LAST batch converges to the same table
+    apply(b1)
+    assert(table() == want, "replayed batch must be a content no-op")
+  }
+
   test("mergeApply rejects a non-compacted batch (duplicate keys)") {
     val dir = tmpDir("mutm3")
     Seq((1L, 1L, "a")).toDF("user_id", "score", "cohort")
