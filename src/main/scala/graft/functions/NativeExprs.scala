@@ -557,9 +557,125 @@ case class NormalizeTextExpr(child: Expression)
   */
 case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long,
                            mode: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(mode >= 0 && mode <= 3, s"unknown funnel mode $mode")
   override def dataType: DataType = IntegerType
+
+  /** Generated once per user (the input is the per-user capped array), but
+    * participating in codegen keeps the surrounding aggregation span fused —
+    * the r12 verdict's last CodegenFallback. Only the plan-time `mode`'s
+    * loop is emitted; the DP arrays live in operator mutable state, so the
+    * per-row cost is a fill, not an allocation. Parity with the interpreted
+    * `nullSafeEval` is pinned per mode in NativeExprParitySpec. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val row = ctx.freshName("row"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val t = ctx.freshName("t")
+      val s = ctx.freshName("s"); val level = ctx.freshName("level")
+      val W = s"${windowSeconds}L"
+      val header =
+        s"""
+           |int $level = 0;
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  InternalRow $row = $arr.getStruct($i, 2);
+           |  long $t = $row.getLong(0);
+           |  int $s = $row.getInt(1);
+         """.stripMargin
+      val body = mode match {
+        case 0 =>
+          val best = ctx.addMutableState("long[]", "funnelBest",
+            v => s"$v = new long[${nSteps + 1}];")
+          s"""
+             |java.util.Arrays.fill($best, Long.MIN_VALUE);
+             |$header
+             |  if ($s == 1) {
+             |    if ($t > $best[1]) $best[1] = $t;
+             |    if ($level < 1) $level = 1;
+             |  } else if ($s > 1 && $best[$s - 1] != Long.MIN_VALUE &&
+             |             $t - $best[$s - 1] <= $W) {
+             |    if ($best[$s - 1] > $best[$s]) $best[$s] = $best[$s - 1];
+             |    if ($level < $s) $level = $s;
+             |  }
+             |}
+           """.stripMargin
+        case 1 =>
+          val pl = ctx.freshName("prevLevel"); val ps = ctx.freshName("prevStart")
+          val cl = ctx.freshName("curLevel"); val cs = ctx.freshName("curStart")
+          s"""
+             |int $pl = 0; long $ps = Long.MIN_VALUE;
+             |$header
+             |  int $cl = 0; long $cs = Long.MIN_VALUE;
+             |  if ($s == 1) { $cl = 1; $cs = $t; }
+             |  else if ($s > 1 && $s == $pl + 1 && $ps != Long.MIN_VALUE &&
+             |           $t - $ps <= $W) {
+             |    $cl = $s; $cs = $ps;
+             |  }
+             |  if ($cl > $level) $level = $cl;
+             |  $pl = $cl; $ps = $cs;
+             |}
+           """.stripMargin
+        case 2 =>
+          val start = ctx.freshName("start"); val exp = ctx.freshName("expected")
+          val cap = ctx.freshName("cap")
+          s"""
+             |long $start = Long.MIN_VALUE; int $exp = 0;
+             |int $cap = Integer.MAX_VALUE;
+             |$header
+             |  if ($s == 1) {
+             |    $start = $t; $exp = 2; $cap = Integer.MAX_VALUE;
+             |    if ($level < 1) $level = 1;
+             |  } else if ($s > 1 && $start != Long.MIN_VALUE) {
+             |    if ($s < $exp) $start = Long.MIN_VALUE;
+             |    else if ($s == $exp) {
+             |      if ($exp < $cap && $t - $start <= $W) {
+             |        if ($level < $s) $level = $s;
+             |        $exp += 1;
+             |        if ($exp >= $cap) $start = Long.MIN_VALUE;
+             |      } else $start = Long.MIN_VALUE;
+             |    } else {
+             |      if ($s < $cap) $cap = $s;
+             |    }
+             |  }
+             |}
+           """.stripMargin
+        case 3 =>
+          val best = ctx.addMutableState("long[]", "funnelBest3",
+            v => s"$v = new long[${nSteps + 1}];")
+          val pend = ctx.addMutableState("long[]", "funnelPend3",
+            v => s"$v = new long[${nSteps + 1}];")
+          val curT = ctx.freshName("curT"); val j = ctx.freshName("j")
+          s"""
+             |java.util.Arrays.fill($best, Long.MIN_VALUE);
+             |java.util.Arrays.fill($pend, Long.MIN_VALUE);
+             |long $curT = Long.MIN_VALUE;
+             |$header
+             |  if ($t != $curT) {
+             |    for (int $j = 1; $j <= $nSteps; $j++) {
+             |      if ($pend[$j] > $best[$j]) $best[$j] = $pend[$j];
+             |      $pend[$j] = Long.MIN_VALUE;
+             |    }
+             |    $curT = $t;
+             |  }
+             |  if ($s == 1) {
+             |    if ($t > $pend[1]) $pend[1] = $t;
+             |    if ($level < 1) $level = 1;
+             |  } else if ($s > 1 && $best[$s - 1] != Long.MIN_VALUE &&
+             |             $t - $best[$s - 1] <= $W) {
+             |    if ($best[$s - 1] > $pend[$s]) $pend[$s] = $best[$s - 1];
+             |    if ($level < $s) $level = $s;
+             |  }
+             |}
+           """.stripMargin
+      }
+      s"""
+         |$body
+         |${ev.value} = $level;
+       """.stripMargin
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -695,8 +811,32 @@ case class FunnelLevelExpr(child: Expression, nSteps: Int, windowSeconds: Long,
   * total (the event-time tie-break contract of the caller); unbounded
   * window, like `sequenceMatch`. */
 case class SequenceCountExpr(child: Expression, nSteps: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  /** Codegen twin of the greedy automaton below (NativeExprParitySpec pins
+    * generated == interpreted); locals only, no mutable state needed. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val st = ctx.freshName("state"); val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $st = 1; long $cnt = 0L;
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $s = $arr.getStruct($i, 2).getInt(1);
+         |  if ($s == $st) {
+         |    if ($st == $nSteps) { $cnt += 1L; $st = 1; }
+         |    else $st += 1;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -55,16 +55,28 @@ object Mutations {
     if (t.hasNullPart) inParts || col(partitionCol).isNull else inParts
   }
 
-  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
+  private def withConf[T](spark: SparkSession, key: String, value: String)
+                         (body: => T): T = {
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
+    spark.conf.set(key, value)
     try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
   }
+
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic")(body)
+
+  /** Every plan inside a mutation lifecycle is explicitly shaped — the small
+    * side broadcasts by hint, the rewrite path has no exchange at all, and
+    * the probe aggregates are metadata-sized — so adaptive execution buys
+    * nothing here and charges a driver-side re-planning gap per stage
+    * (measured: the CDC lifecycle is mostly 5–40 ms serial jobs, where those
+    * gaps dominate; see BASELINE.md r13). Scoped off for the duration. */
+  private def withAdaptiveOff[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.adaptive.enabled", "false")(body)
 
   /** The on-disk directory name of a partition value, with Spark's own
     * escaping (spaces, ':', '%', … are percent-encoded in paths; NULL maps
@@ -80,26 +92,38 @@ object Mutations {
     * them — their directories are dropped the way the TTL drops expired
     * partitions (a metadata delete, no write). */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  partitionCol: String, sortCols: Seq[String]): DeleteStats = {
+                  partitionCol: String, sortCols: Seq[String]): DeleteStats =
+    withAdaptiveOff(spark) {
     val table = spark.read.parquet(path)
     val t = touchedPartitions(table, predicate, partitionCol)
     if (t.n == 0L) return DeleteStats(0L, 0L)
     // pass 2: rewrite ONLY the touched partitions, keeping layout. The kept
-    // rows are eagerly materialized (localCheckpoint) BEFORE the overwrite —
-    // the frame reads the very files the write replaces, and Spark (rightly)
-    // refuses a lazy self-overwrite. This staging cost is bounded by the
-    // touched partitions, never the table.
+    // rows must be materialized BEFORE the overwrite — the frame reads the
+    // very files the write replaces, and Spark (rightly) refuses a lazy
+    // self-overwrite. The checkpoint is MARKED here and materialized by
+    // overwriteTouched's surviving-dirs probe (one job instead of two);
+    // staging cost is bounded by the touched partitions, never the table.
     val kept = table.filter(inTouched(t, partitionCol)).filter(!predicate)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     overwriteTouched(spark, path, kept, t, partitionCol)
     DeleteStats(t.count, t.n)
-  }
+    }
 
   /** Shared write tail for the copy-on-write mutations: dynamic-overwrite
-    * the touched partitions with `kept` (already materialized), then drop
-    * the touched directories that produced no surviving rows (dynamic
-    * overwrite only replaces partitions PRESENT in the written data). */
+    * the touched partitions with `kept` (checkpoint-MARKED by the caller —
+    * `localCheckpoint(false)`), then drop the touched directories that
+    * produced no surviving rows (dynamic overwrite only replaces partitions
+    * PRESENT in the written data).
+    *
+    * The surviving-dirs probe doubles as the checkpoint materialization:
+    * its shuffle map stage computes EVERY partition of `kept` (caching them
+    * under the local-checkpoint storage level), and the job's end-of-run
+    * `doCheckpoint` truncates the lineage — so by the time the overwrite
+    * starts, `kept` no longer reads the files it replaces, without the
+    * separate eager-checkpoint job the r12 lifecycle paid. A lost cached
+    * block after finalization fails the write loudly (checkpointed RDDs
+    * never silently recompute from the overwritten source). */
   private def overwriteTouched(spark: SparkSession, path: String,
                                kept: DataFrame, t: Touched,
                                partitionCol: String): Unit = {
@@ -137,7 +161,8 @@ object Mutations {
     * second run finds zero superseded rows and is a metadata-only scan. */
   def collapseLatest(spark: SparkSession, path: String, keyCols: Seq[String],
                      ordCol: String, partitionCol: String,
-                     sortCols: Seq[String]): DeleteStats = {
+                     sortCols: Seq[String]): DeleteStats =
+    withAdaptiveOff(spark) {
     import org.apache.spark.sql.expressions.Window
     val table = spark.read.parquet(path)
     // hash excludes the partition column: duplicate copies of one logical
@@ -147,16 +172,27 @@ object Mutations {
       table.columns.toIndexedSeq.filter(_ != partitionCol).map(col): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol).desc, rowHash.desc, col(partitionCol).asc)
+    // The rank window must see the FULL table (a key's winner can sit in an
+    // untouched partition), and both the probe and the rewrite need it —
+    // persist it once rather than paying the key shuffle + sort twice
+    // (measured r13: ~0.3 s/run at sf0.1; see BASELINE.md). The cache is
+    // disk-backed and explicitly dropped, so at cluster scale the cost is
+    // one table-sized spill footprint for the mutation's duration — cheaper
+    // than a second full shuffle, and evicted blocks recompute from the
+    // still-unmodified source (materialization completes before the write).
     val ranked = table.withColumn("__rn", row_number().over(w))
-    val t = touchedPartitions(ranked, col("__rn") > 1, partitionCol)
-    if (t.n == 0L) return DeleteStats(0L, 0L)
-    val kept = ranked.filter(inTouched(t, partitionCol))
-      .filter(col("__rn") === 1).drop("__rn")
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
-    overwriteTouched(spark, path, kept, t, partitionCol)
-    DeleteStats(t.count, t.n)
-  }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = touchedPartitions(ranked, col("__rn") > 1, partitionCol)
+      if (t.n == 0L) return DeleteStats(0L, 0L)
+      val kept = ranked.filter(inTouched(t, partitionCol))
+        .filter(col("__rn") === 1).drop("__rn")
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .localCheckpoint(false) // see deleteWhere / overwriteTouched
+      overwriteTouched(spark, path, kept, t, partitionCol)
+      DeleteStats(t.count, t.n)
+    } finally ranked.unpersist(false)
+    }
 
   /** CDC keyed merge-apply: land one compacted change batch — rows tagged
     * `'I'` (insert), `'U'` (update/upsert), `'D'` (delete) in `opCol`, one
@@ -178,28 +214,56 @@ object Mutations {
     require(changes.columns.contains(opCol), s"changes must carry '$opCol'")
     require((dataCols.toSet -- changes.columns).isEmpty,
       s"changes must carry every table column; missing: ${dataCols.toSet -- changes.columns}")
-    // one op per key per batch (a compacted CDC batch): ambiguity is a bug
-    val batch = changes.localCheckpoint() // small side; read 4×, compute once
-    require(batch.groupBy(keyCols.map(col): _*).count()
-              .filter(col("count") > 1).isEmpty,
+    withAdaptiveOff(spark) {
+    val batch = changes.localCheckpoint() // small side; read 3×, compute once
+    // ONE aggregate over the (checkpointed, tiny) batch folds what r12
+    // spent three separate driver actions on: the one-op-per-key validation,
+    // the op-domain validation, the applied-row count, and the batch's own
+    // I/U target partitions. The distinct-agg Expand this plans stays on the
+    // batch — never on table-sized rows.
+    val b = batch
+      .agg(count(lit(1)).as("n_applied"),
+           // one op per key per batch (a compacted CDC batch): ambiguity is
+           // a bug — surplus rows beyond the distinct key count are dups
+           count_distinct(struct(keyCols.map(col): _*)).as("n_keys"),
+           // op values outside {I,U,D} (NULL included via the coalesce)
+           // would silently DELETE their keys: the anti join removes every
+           // changed key but only I/U rows are re-added — fail loudly
+           sum((!coalesce(col(opCol).isin("I", "U", "D"), lit(false)))
+                 .cast("long")).as("n_bad_ops"),
+           collect_set(when(col(opCol) =!= "D", col(partitionCol)))
+             .as("parts"),
+           sum((col(opCol) =!= "D" && col(partitionCol).isNull).cast("long"))
+             .as("n_null"))
+      .head()
+    val nApplied = b.getLong(0)
+    require(nApplied == b.getLong(1),
       "changes must have one row per key — compact the batch first")
+    require(b.getLong(2) == 0L,
+      s"every '$opCol' value must be one of I/U/D (a lowercase or NULL op " +
+        s"would silently delete its key); found ${b.getLong(2)} other rows")
     val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
-    // affected partitions: existing homes of changed keys + targets of I/U
-    val fromTable = table.join(keys, keyCols, "left_semi")
-      .select(col(partitionCol))
-    val fromChanges = batch.filter(col(opCol) =!= "D").select(col(partitionCol))
-    val t = touchedPartitions(fromTable.union(fromChanges).toDF(partitionCol),
-                              lit(true), partitionCol)
-    val nApplied = batch.count()
+    // affected partitions: existing homes of changed keys (broadcast semi
+    // join — the table is never shuffled) ∪ the batch's I/U targets above
+    val tb = table.join(keys, keyCols, "left_semi")
+      .agg(collect_set(col(partitionCol)).as("parts"),
+           sum(col(partitionCol).isNull.cast("long")).as("n_null"))
+      .head()
+    val parts = (b.getSeq[Any](3) ++ tb.getSeq[Any](0)).distinct
+    val hasNull = (!b.isNullAt(4) && b.getLong(4) > 0L) ||
+                  (!tb.isNullAt(1) && tb.getLong(1) > 0L)
+    val t = Touched(parts, hasNull, nApplied)
     if (t.count == 0L) return DeleteStats(0L, 0L)
     val kept = table.filter(inTouched(t, partitionCol))
       .join(keys, keyCols, "left_anti") // survivors: unchanged keys only
       .unionByName(batch.filter(col(opCol).isin("I", "U"))
                      .select(dataCols.map(col): _*))
       .sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint() // see deleteWhere: never lazily self-overwrite
+      .localCheckpoint(false) // materialized by overwriteTouched's probe,
+                              // still strictly BEFORE the self-overwrite
     overwriteTouched(spark, path, kept, t, partitionCol)
     DeleteStats(t.count, nApplied)
+    }
   }
 
   /** `ALTER TABLE … UPDATE col = expr WHERE pred` analogue — the same
@@ -211,7 +275,8 @@ object Mutations {
     * partition-moving update is a delete + insert). */
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
                   set: Map[String, Column], partitionCol: String,
-                  sortCols: Seq[String]): DeleteStats = {
+                  sortCols: Seq[String]): DeleteStats =
+    withAdaptiveOff(spark) {
     require(!set.contains(partitionCol),
       "updating the partition column moves rows across partitions — express it as delete + insert")
     val table = spark.read.parquet(path)
@@ -231,5 +296,5 @@ object Mutations {
       rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     }
     DeleteStats(t.count, t.n)
-  }
+    }
 }

@@ -23,10 +23,19 @@ import graft.sources.Mutations
   *     the table scan, only partitions holding a changed key or targeted by
   *     an upsert are rewritten, everything else stays byte-identical.
   *
-  * Replay safety: mergeApply is CONTENT-idempotent (an 'I' on an existing
-  * key upserts; a 'D' on an absent key is a no-op), so a micro-batch
-  * re-delivered after a failure — foreachBatch's at-least-once contract —
-  * converges to the same table instead of corrupting it.
+  * Replay safety — and its EXACT boundary (spec-pinned, MutationsSpec
+  * "out-of-order replay"): mergeApply is CONTENT-idempotent (an 'I' on an
+  * existing key upserts; a 'D' on an absent key is a no-op), so a
+  * micro-batch re-delivered after a failure — foreachBatch's at-least-once
+  * contract — converges to the same table. That contract replays only the
+  * LATEST uncommitted batch (batchIds are monotone; committed batches are
+  * never re-run), and the guarantee here is exactly that strong: an
+  * out-of-order replay of an OLDER batch after a newer one committed would
+  * let the older batch's stale ops win (a seq-1 'D' clobbering a seq-2
+  * 'I'), because the landed table deliberately carries payloads, not
+  * transport seq numbers. Do NOT drive processBatch from a harness that can
+  * re-deliver older batches; Structured Streaming's checkpointed foreachBatch
+  * cannot.
   *
   * Cross-batch equivalence (spec-pinned): applying batches sequentially
   * equals one-shot [[Mutations.mergeApply]] of the per-key LATEST ops of

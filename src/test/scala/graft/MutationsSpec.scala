@@ -347,6 +347,57 @@ class MutationsSpec extends SparkSpec {
     }
   }
 
+  test("mergeApply rejects ops outside I/U/D — lowercase or NULL must fail loudly") {
+    val dir = tmpDir("mutm4")
+    Seq((1L, 1L, "a"), (2L, 2L, "a")).toDF("user_id", "score", "cohort")
+      .write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    def before() = spark.read.parquet(dir)
+      .select($"user_id", $"score").as[(Long, Long)].collect().toSet
+    val orig = before()
+    // a Debezium-style lowercase feed would otherwise silently DELETE key 1
+    // (anti-join removes it; only exact 'I'/'U' rows are re-added)
+    val lower = Seq((1L, 9L, "a", "u")).toDF("user_id", "score", "cohort", "op")
+    intercept[IllegalArgumentException] {
+      Mutations.mergeApply(spark, dir, lower, Seq("user_id"), "op", "cohort",
+        Seq("user_id"))
+    }
+    val nul = Seq((2L, 9L, "a", null.asInstanceOf[String]))
+      .toDF("user_id", "score", "cohort", "op")
+    intercept[IllegalArgumentException] {
+      Mutations.mergeApply(spark, dir, nul, Seq("user_id"), "op", "cohort",
+        Seq("user_id"))
+    }
+    assert(before() == orig, "a rejected batch must leave the table untouched")
+  }
+
+  test("StreamingCdc out-of-order replay is UNSAFE by design — convergence relies on " +
+       "foreachBatch replaying only the latest uncommitted batch") {
+    // Pins the documented limitation: mergeApply is content-idempotent for
+    // re-application of the SAME latest batch (the foreachBatch at-least-once
+    // contract — committed batches are never re-run, batchIds are monotone),
+    // NOT for an older batch landing after a newer one. If a harness ever
+    // force-replayed batch N after N+1 committed, N's stale ops would win.
+    val dir = tmpDir("mutcdc2")
+    Seq((1L, 10L, "a"), (2L, 20L, "a")).toDF("user_id", "score", "cohort")
+      .write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    val b0 = Seq((2L, 0L, "a", "D", 1L))
+      .toDF("user_id", "score", "cohort", "op", "seq")
+    val b1 = Seq((2L, 22L, "a", "I", 2L))
+      .toDF("user_id", "score", "cohort", "op", "seq")
+    def apply(b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingCdc.processBatch(b, dir, Seq("user_id"),
+        "op", "seq", "cohort", Seq("user_id"))
+    def table() = spark.read.parquet(dir)
+      .select($"user_id", $"score").as[(Long, Long)].collect().toSet
+    apply(b0); apply(b1)
+    assert(table() == Set((1L, 10L), (2L, 22L)))
+    apply(b0) // out-of-order: the OLDER delete clobbers the newer insert
+    assert(table() == Set((1L, 10L)),
+      "pinned semantics: an out-of-order older batch wins — which is why " +
+        "StreamingCdc documents that safety holds only under foreachBatch's " +
+        "monotone-batch replay contract")
+  }
+
   private def fileState2(dir: String, part: String): Set[(String, Long)] = {
     val d = new java.io.File(s"$dir/$part")
     if (!d.exists()) Set.empty
