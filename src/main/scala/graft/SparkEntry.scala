@@ -1330,6 +1330,75 @@ object SparkEntry {
     EventAnalytics.retention(t(s, dir, "events"), (0 until 4).map(week))
   }
 
+  /** Keyed map aggregation (ClickHouse `sumMap`/`minMap`/`maxMap`,
+    * [[graft.functions.MapAgg]]): per 20-wide user cohort, fold event
+    * observations into key→value maps — count, min, max and sum of the
+    * integerized measure per event_type. The maps ride the single-shuffle
+    * TypedImperativeAggregate path (map-side partial maps shuffle, never
+    * row-expanded entries — the explode + groupBy(grp, k) + re-collect
+    * alternative pays two shuffles of exploded rows). Output digests the
+    * KEY-SORTED entries (the comparator takes scalars only); DuckDB
+    * replays each map as `string_agg(k || '=' || v, ',' ORDER BY k)`. */
+  private def mapAggEvents(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MapAgg
+    val ev = t(s, dir, "events")
+      .select(pmod(col("user_id"), lit(20)).cast("long").as("grp"),
+              col("event_type").as("k"),
+              floor(col("value") * 1000).cast("long").as("v"))
+    def digest(m: Column): Column =
+      md5(concat_ws(",", transform(map_entries(m),
+        e => concat(e("key"), lit("="), e("value").cast("string")))))
+    val agg = ev.groupBy("grp")
+      .agg(MapAgg.sumMap(col("k"), lit(1L)).as("cm"),
+           MapAgg.minMap(col("k"), col("v")).as("nm"),
+           MapAgg.maxMap(col("k"), col("v")).as("xm"),
+           MapAgg.sumMap(col("k"), col("v")).as("sm"))
+    agg.select(col("grp"), size(col("cm")).cast("long").as("n_keys"),
+               digest(col("cm")).as("count_map"),
+               digest(col("nm")).as("min_map"),
+               digest(col("xm")).as("max_map"),
+               digest(col("sm")).as("sum_map"))
+      .orderBy("grp")
+  }
+
+  /** The mojibake plant/repair pattern set shared by the `fix_mojibake`
+    * query and its generated oracle: (ASCII source to replace, repaired
+    * non-ASCII form). The GARBLED literals are derived — never hand-
+    * transcribed — via [[graft.functions.FixMojibakeExpr.garble]], the
+    * exact corruption inverse of the repair. Covers latin-1-range accents
+    * (é, ö), cp1252 specials (’ U+2019, € U+20AC — the 0x80-0x9F block a
+    * plain latin-1 repair would miss). */
+  private val MojibakePats = Seq(
+    "the" -> "thé", "of" -> "öf",
+    "was" -> "w’s", "to" -> "t€o")
+
+  /** Encoding repair (ftfy-lite, [[graft.functions.FixMojibakeExpr]])
+    * through the oracle gate: ASCII-only docs (bytes == chars, so the
+    * plant is the ONLY non-ASCII) get mojibake planted at single and
+    * double encoding depth, then repaired by the native expression; the
+    * oracle replays the repair declaratively as a replace-chain of the
+    * FIXED forms. A broken repair — wrong cp1252 table, missed double
+    * encoding, over-eager rewrite of clean text — hash-mismatches. */
+  private def fixMojibakeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{FixMojibakeExpr, NativeExprs}
+    def plant(depth: Int): Column =
+      MojibakePats.foldLeft(col("text")) { case (c, (src, fixedForm)) =>
+        val g = (1 to depth).foldLeft(fixedForm)((x, _) => FixMojibakeExpr.garble(x))
+        replace(c, lit(src), lit(g))
+      }
+    t(s, dir, "documents")
+      .filter(length(col("text")) === octet_length(col("text")))
+      .withColumn("g1", plant(1)).withColumn("g2", plant(2))
+      .withColumn("f1", NativeExprs.fixMojibake(col("g1")))
+      .withColumn("f2", NativeExprs.fixMojibake(col("g2")))
+      .select(col("doc_id"),
+              length(col("f1")).cast("long").as("n_chars"),
+              (col("f1") =!= col("g1")).as("was_garbled"),
+              md5(col("f1")).as("fixed1_md5"),
+              md5(col("f2")).as("fixed2_md5"))
+      .orderBy("doc_id")
+  }
+
   /** As-of join: each purchase event picks up the user's latest daily
     * click-segment assignment at-or-before the purchase time. Oracled by
     * DuckDB's native ASOF JOIN. */
@@ -3392,6 +3461,8 @@ object SparkEntry {
     "optimize_final_collapse" -> (optimizeFinalCollapse _),
     "cdc_merge_apply"      -> (cdcMergeApply _),
     "cdc_merge_stream"     -> (cdcMergeStream _),
+    "map_agg_events"       -> (mapAggEvents _),
+    "fix_mojibake"         -> (fixMojibakeQ _),
   )
 
   // ----------------------------------------------------------------------
@@ -5807,5 +5878,44 @@ object SparkEntry {
                  coalesce(a.span_digest, md5('')) AS span_digest
           FROM d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id""",
+
+    // Keyed map aggregation replayed relationally: per-(grp, key)
+    // aggregates re-collected into the engine's key-sorted entry digest.
+    // The measure is viewed at the engine's canonical DOUBLE width before
+    // the integerizing floor (the r08 width rule); per-key sums CAST from
+    // DuckDB's HUGEINT back to BIGINT digits.
+    "map_agg_events" ->
+      """WITH e AS (SELECT user_id % 20 AS grp, event_type AS k,
+                           CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
+                    FROM events),
+         g AS (SELECT grp, k, count(*) AS cnt, min(v) AS mn, max(v) AS mx,
+                      CAST(sum(v) AS BIGINT) AS sm
+               FROM e GROUP BY 1, 2)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+                md5(string_agg(k || '=' || cnt, ',' ORDER BY k)) AS count_map,
+                md5(string_agg(k || '=' || mn, ',' ORDER BY k)) AS min_map,
+                md5(string_agg(k || '=' || mx, ',' ORDER BY k)) AS max_map,
+                md5(string_agg(k || '=' || sm, ',' ORDER BY k)) AS sum_map
+         FROM g GROUP BY grp ORDER BY grp""",
+
+    // Encoding repair replayed declaratively: the repair of the planted
+    // garble is, by construction (garble = the exact corruption inverse),
+    // the same replace-chain applied with the FIXED literals — both the
+    // single- and the double-encoded plant land on the identical text.
+    "fix_mojibake" -> fixMojibakeOracleSql,
   )
+
+  /** Generated from [[MojibakePats]] so the oracle's fixed literals can
+    * never drift from the engine's plant. */
+  private def fixMojibakeOracleSql: String = {
+    val chain = MojibakePats.foldLeft("text") { case (acc, (src, fixedForm)) =>
+      s"replace($acc, '$src', '$fixedForm')"
+    }
+    s"""WITH a AS (SELECT doc_id, text, $chain AS fixed FROM documents
+                   WHERE length(text) = strlen(text))
+        SELECT doc_id, CAST(length(fixed) AS BIGINT) AS n_chars,
+               (fixed <> text) AS was_garbled,
+               md5(fixed) AS fixed1_md5, md5(fixed) AS fixed2_md5
+        FROM a ORDER BY doc_id"""
+  }
 }

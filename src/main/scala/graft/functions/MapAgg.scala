@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Keyed map aggregation — the ClickHouse `sumMap` / `minMap` / `maxMap`
+  * family (the reference's MergeTree world aggregates per-user counter maps
+  * with exactly these; the last common segmentation aggregation with no
+  * lane here until r13): per GROUP, fold (key, value) observations into one
+  * key→aggregated-value map.
+  *
+  * Accepts both the ClickHouse row shape — `sumMap(keyArr, valArr)`, two
+  * equal-length arrays per row — and the relational scalar shape
+  * (`key`, `value` columns), dispatched on the child's type at analysis.
+  *
+  * Spark-first design: a [[TypedImperativeAggregate]] whose buffer is a
+  * plain open hashmap, so partial aggregation happens MAP-SIDE and one
+  * shuffle moves only per-partition partial maps — the explode +
+  * groupBy(group, key) + re-group(map_from_entries) alternative pays two
+  * full shuffles of row-expanded data. Keys are strings, values longs
+  * (exact, order-insensitive; double sums belong to the DECIMAL lanes).
+  * `eval` emits entries KEY-SORTED, so the map's entry order — and any
+  * digest over `map_entries` — is deterministic regardless of partitioning
+  * (split-merge invariance is spec-pinned in SearchAndStatsSpec).
+  */
+object MapAgg {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  val Sum = 0; val Min = 1; val Max = 2
+
+  /** map<k, sum(v)> per group. */
+  def sumMap(key: Column, value: Column): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Sum).toAggregateExpression())
+  /** map<k, min(v)> per group. */
+  def minMap(key: Column, value: Column): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Min).toAggregateExpression())
+  /** map<k, max(v)> per group. */
+  def maxMap(key: Column, value: Column): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Max).toAggregateExpression())
+}
+
+/** The aggregate behind [[MapAgg]]. Buffer: string key → long value.
+  * Null keys and null values are skipped (an absent observation, matching
+  * the SQL aggregates each entry replays); a null ARRAY likewise. Array
+  * inputs must be equal-length — ragged rows fail loudly. */
+case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with BinaryLike[Expression] {
+
+  // type checks must wait for analysis to resolve the children (a
+  // constructor require would fire on unresolved VOID children)
+  @transient private lazy val keyIsArray = left.dataType.isInstanceOf[ArrayType]
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (StringType, LongType) => true
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mapAgg needs (string, bigint) or (array<string>, array<bigint>) " +
+        s"children, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  private def fold(buf: java.util.HashMap[String, Long], k: String, v: Long): Unit = {
+    if (!buf.containsKey(k)) buf.put(k, v)
+    else {
+      val prev: Long = buf.get(k)
+      op match {
+        case MapAgg.Sum => buf.put(k, prev + v)
+        case MapAgg.Min => if (v < prev) buf.put(k, v)
+        case MapAgg.Max => if (v > prev) buf.put(k, v)
+      }
+    }
+  }
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val k = left.eval(input)
+    val v = right.eval(input)
+    if (k == null || v == null) return buf
+    if (keyIsArray) {
+      val ks = k.asInstanceOf[ArrayData]
+      val vs = v.asInstanceOf[ArrayData]
+      require(ks.numElements() == vs.numElements(),
+        s"mapAgg: ragged row — ${ks.numElements()} keys vs ${vs.numElements()} values")
+      var i = 0
+      while (i < ks.numElements()) {
+        if (!ks.isNullAt(i) && !vs.isNullAt(i))
+          fold(buf, ks.getUTF8String(i).toString, vs.getLong(i))
+        i += 1
+      }
+    } else fold(buf, k.asInstanceOf[UTF8String].toString, // copy out of the
+                v.asInstanceOf[Long])                     // reused unsafe row
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+                     b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); fold(a, e.getKey, e.getValue) }
+    a
+  }
+
+  /** Key-sorted entries: deterministic map order for digests/display. */
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val keys = new Array[String](buf.size)
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    val ks = new Array[Any](keys.length)
+    val vs = new Array[Any](keys.length)
+    i = 0
+    while (i < keys.length) {
+      ks(i) = UTF8String.fromString(keys(i)); vs(i) = buf.get(keys(i)); i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long](Math.max(n * 2, 16))
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+              in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KeyedMapAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KeyedMapAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KeyedMapAgg =
+    copy(left = l, right = r)
+}

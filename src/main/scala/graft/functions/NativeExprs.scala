@@ -81,6 +81,11 @@ object NativeExprs {
     * RE2 `\s` semantics (no VT), see [[graft.functions.TextAnalysis.WsClass]]. */
   def normalizeText(text: Column): Column = col(NormalizeTextExpr(expr(text)))
 
+  /** Encoding-repair normalizer (ftfy-lite): undo UTF-8-bytes-read-as-
+    * cp1252/latin-1 mojibake, including double encodings. See
+    * [[FixMojibakeExpr]]. */
+  def fixMojibake(text: Column): Column = col(FixMojibakeExpr(expr(text)))
+
   /** xxhash64 (seed 42, Spark's own) of EVERY k-codepoint window of `text`,
     * in position order — `windowHashes(s, k)[i] == xxhash64(substring(s,
     * i+1, k))` for 0-based i (parity-pinned). One byte pass builds the
@@ -520,6 +525,125 @@ case class NormalizeTextExpr(child: Expression)
     UTF8String.fromBytes(out, 0, o) // trailing ws left pending → dropped
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Encoding-repair normalizer (ftfy-lite): undo the classic
+  * UTF-8-bytes-decoded-as-windows-1252 mojibake ("Ã©" → "é",
+  * "â€™" → "’"), including double encodings ("ÃƒÂ©" → "é"), for the
+  * cleaning pipeline. Algorithm — the core ftfy heuristic, whole-string:
+  * re-encode the text as windows-1252 (Java's cp1252 is already "sloppy":
+  * the five undefined bytes round-trip through their C1 controls, so
+  * latin-1-decoded mojibake repairs too); strictly decode the bytes as
+  * UTF-8; accept iff the decode succeeds AND strictly shrinks the
+  * codepoint count (a multibyte sequence collapsed — pure-ASCII and
+  * already-correct text round-trips equal-length or fails the decode and
+  * is left untouched). Iterate, bounded: each accepted round shrinks the
+  * string, and real feeds are at most double-encoded.
+  *
+  * Deliberate limitation (documented, like ftfy's own whole-segment mode):
+  * a string MIXING mojibake with already-correct non-ASCII text fails the
+  * strict whole-string decode and is returned unchanged — the common
+  * cleaning-pipeline case is a document read wholesale with the wrong
+  * codec, which corrupts (and here repairs) uniformly. Fixture-pinned in
+  * NativeExprParitySpec; oracled end-to-end by `fix_mojibake` (planted
+  * garble, DuckDB replace-chain replay). */
+case class FixMojibakeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    // fast path: ASCII bytes (the overwhelming majority at 100 TB) cannot
+    // hold mojibake — numBytes == numChars ⇒ identity, zero allocation
+    if (s.numBytes() == s.numChars()) return s
+    var cur = s.toString
+    var rounds = 0
+    while (rounds < 4) { // bounded: real feeds are ≤ double-encoded (+margin)
+      val fixed = FixMojibakeExpr.fixOnce(cur)
+      if (fixed == null) return UTF8String.fromString(cur)
+      cur = fixed
+      rounds += 1
+    }
+    UTF8String.fromString(cur)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object FixMojibakeExpr {
+  /** SLOPPY cp1252 (ftfy's `sloppy-windows-1252`): bytes 0x80-0x9F decode
+    * to the cp1252 punctuation/letters where defined and to their C1
+    * control chars at the five undefined positions (0x81 0x8D 0x8F 0x90
+    * 0x9D) — Java's own windows-1252 maps those to U+FFFD, which destroys
+    * round-tripping exactly where real mojibake lands them (the ” U+201D
+    * sequence E2 80 9D ends in 0x9D). Everything else is latin-1. */
+  private val DecodeTable: Array[Char] = {
+    val t = Array.tabulate[Char](256)(_.toChar) // latin-1 + sloppy C1 identity
+    val specials = Seq(
+      0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+      0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+      0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+      0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+      0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+      0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+      0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+    specials.foreach { case (b, c) => t(b) = c }
+    t
+  }
+  private val EncodeMap: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte]()
+    var b = 0x80
+    while (b <= 0x9F) { // specials + sloppy C1 identities, both invertible
+      m.put(DecodeTable(b), b.toByte); b += 1
+    }
+    m
+  }
+
+  /** char → sloppy-cp1252 byte, or -1 if unmappable. */
+  private def encodeChar(c: Char): Int =
+    if (c < 0x80) c
+    else if (c >= 0xA0 && c <= 0xFF) c
+    else {
+      val b = EncodeMap.get(c)
+      if (b == null) -1 else b.byteValue() & 0xFF
+    }
+
+  private val utf8Dec = ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+    java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
+
+  /** One repair round, or null if the text is not (this round of) mojibake:
+    * sloppy-cp1252-encodable, strict-UTF-8-decodable, strictly shrinking. */
+  private[functions] def fixOnce(cur: String): String = {
+    val bytes = new Array[Byte](cur.length)
+    var i = 0
+    while (i < cur.length) {
+      val b = encodeChar(cur.charAt(i))
+      if (b < 0) return null // a char no cp1252 read could have produced
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val d = utf8Dec.get(); d.reset()
+    val decoded =
+      try d.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => return null }
+    val curCp = cur.codePointCount(0, cur.length)
+    val decCp = decoded.codePointCount(0, decoded.length)
+    if (decCp < curCp) decoded else null
+  }
+
+  /** The CORRUPTION direction (UTF-8 bytes read as sloppy-cp1252), exposed
+    * so the contract query and specs plant garble with the exact inverse of
+    * the repair — no hand-transcribed mojibake literals to get wrong. */
+  def garble(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = DecodeTable(bytes(i) & 0xFF); i += 1 }
+    new String(out)
+  }
 }
 
 /** Deepest-funnel-level DP (see `EventAnalytics.windowFunnel` for the

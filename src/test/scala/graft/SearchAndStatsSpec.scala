@@ -257,6 +257,63 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(r.getLong(2) === (xs.toSet -- ys.toSet).size.toLong)
   }
 
+  test("mapAgg sum/min/max: split-merge invariance, brute-force parity, array lane") {
+    import graft.functions.MapAgg
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (i % 7, s"k${rng.nextInt(9)}", rng.nextInt(2001).toLong - 1000L)
+    }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val byK = rs.groupBy(_._2)
+      g -> (byK.map { case (k, v) => k -> v.size.toLong },
+            byK.map { case (k, v) => k -> v.map(_._3).min },
+            byK.map { case (k, v) => k -> v.map(_._3).max },
+            byK.map { case (k, v) => k -> v.map(_._3).sum })
+    }
+    def got(parts: Int) = rows.toDF("g", "k", "v").repartition(parts)
+      .groupBy("g")
+      .agg(MapAgg.sumMap(col("k"), lit(1L)).as("cnt"),
+           MapAgg.minMap(col("k"), col("v")).as("mn"),
+           MapAgg.maxMap(col("k"), col("v")).as("mx"),
+           MapAgg.sumMap(col("k"), col("v")).as("sm"))
+      .as[(Int, Map[String, Long], Map[String, Long], Map[String, Long], Map[String, Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val one = got(1)
+    assert(one.view.mapValues(t => t).toMap ==
+           want.view.mapValues { case (c, mn, mx, sm) => (c, mn, mx, sm) }.toMap,
+      "single-partition build must equal the scala brute force")
+    assert(got(13) == one, "split-merge (13 shuffled partitions) must be invariant")
+
+    // entry order is KEY-SORTED and deterministic (the digest contract)
+    val entries = rows.toDF("g", "k", "v").groupBy("g")
+      .agg(MapAgg.sumMap(col("k"), col("v")).as("m"))
+      .select(transform(map_entries(col("m")), e => e("key")).as("ks"))
+      .as[Seq[String]].collect()
+    entries.foreach(ks => assert(ks == ks.sorted, s"unsorted map keys: $ks"))
+
+    // ClickHouse array shape: sumMap(keyArr, valArr) == exploded scalar form
+    val arr = Seq((1, Seq("a", "b", "a"), Seq(1L, 2L, 3L)),
+                  (1, Seq("b"), Seq(10L)),
+                  (2, Seq.empty[String], Seq.empty[Long]))
+      .toDF("g", "ks", "vs")
+    val gotArr = arr.groupBy("g")
+      .agg(MapAgg.sumMap(col("ks"), col("vs")).as("m"))
+      .as[(Int, Map[String, Long])].collect().toMap
+    assert(gotArr == Map(1 -> Map("a" -> 4L, "b" -> 12L), 2 -> Map.empty[String, Long]))
+
+    // ragged array rows fail loudly; null key/value observations are skipped
+    intercept[Exception] {
+      Seq((1, Seq("a", "b"), Seq(1L))).toDF("g", "ks", "vs")
+        .groupBy("g").agg(MapAgg.sumMap(col("ks"), col("vs"))).collect()
+    }
+    val withNulls = Seq((1, "a", Some(1L)), (1, null.asInstanceOf[String], Some(5L)),
+                        (1, "a", None), (1, "b", Some(2L)))
+      .toDF("g", "k", "v")
+      .groupBy("g").agg(MapAgg.sumMap(col("k"), col("v")).as("m"))
+      .as[(Int, Map[String, Long])].collect().toMap
+    assert(withNulls == Map(1 -> Map("a" -> 1L, "b" -> 2L)))
+  }
+
   test("bitmap state rejects out-of-domain ids loudly") {
     import graft.functions.BitmapAgg
     val err = intercept[Exception] {
