@@ -1361,6 +1361,19 @@ object SparkEntry {
       .orderBy("grp")
   }
 
+  /** ClickHouse `uniqUpTo(N)(x)` through the oracle gate
+    * ([[graft.functions.Sketches.uniqUpTo]], hard-capped N+1-value state):
+    * per event_type — a domain wider than N (sentinel regime, 7 values vs
+    * N=5 → 6), a domain inside N (exact regime, 4 values → 4), and a
+    * string-child lane over the props payload (capped). DuckDB replays all
+    * three as `least(count(DISTINCT …), N+1)`. */
+  private def uniqUpToEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(Sketches.uniqUpTo(pmod(col("user_id"), lit(7)), 5).as("up_capped"),
+           Sketches.uniqUpTo(pmod(col("user_id"), lit(4)), 5).as("up_exact"),
+           Sketches.uniqUpTo(col("props"), 12).as("up_props"))
+      .orderBy("event_type")
+
   /** The mojibake plant/repair pattern set shared by the `fix_mojibake`
     * query and its generated oracle: (ASCII source to replace, repaired
     * non-ASCII form). The GARBLED literals are derived — never hand-
@@ -2082,10 +2095,11 @@ object SparkEntry {
     new java.util.LinkedHashMap[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]) =
-        // headroom above the 11 live labels (pair list, LSH index/sigs/hot,
+        // headroom above the ~16 live labels (pair list, LSH index/sigs/hot,
         // hist assignments, batch pairs, contamination grams/bloom, sharded
-        // docs, IVF centroids, editdist keys): an eviction would silently
-        // push a warmed ingest artifact's rebuild into some timed query
+        // docs, IVF centroids/layouts, editdist keys, retention source,
+        // cdc stats): an eviction would silently push a warmed ingest
+        // artifact's rebuild into some timed query
         size() > 24
     }
   /** A materialized (localCheckpoint) intermediate built once per (session,
@@ -3463,6 +3477,7 @@ object SparkEntry {
     "cdc_merge_stream"     -> (cdcMergeStream _),
     "map_agg_events"       -> (mapAggEvents _),
     "fix_mojibake"         -> (fixMojibakeQ _),
+    "uniq_upto_events"     -> (uniqUpToEvents _),
   )
 
   // ----------------------------------------------------------------------
@@ -5903,6 +5918,15 @@ object SparkEntry {
     // the same replace-chain applied with the FIXED literals — both the
     // single- and the double-encoded plant land on the identical text.
     "fix_mojibake" -> fixMojibakeOracleSql,
+
+    // uniqUpTo == least(exact distinct, N+1) by definition; both regimes
+    // (capped sentinel / exact) plus the string lane replayed directly
+    "uniq_upto_events" ->
+      """SELECT event_type,
+                CAST(least(count(DISTINCT user_id % 7), 6) AS BIGINT) AS up_capped,
+                CAST(least(count(DISTINCT user_id % 4), 6) AS BIGINT) AS up_exact,
+                CAST(least(count(DISTINCT CAST(props AS JSON)), 13) AS BIGINT) AS up_props
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 
   /** Generated from [[MojibakePats]] so the oracle's fixed literals can

@@ -314,6 +314,39 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(withNulls == Map(1 -> Map("a" -> 1L, "b" -> 2L)))
   }
 
+  test("uniqUpTo: exact below the cap, sentinel above, split-merge invariant, bounded state") {
+    import graft.functions.{Sketches, UniqUpToAgg}
+    // boundary sweep: true distinct d vs cap n → min(d, n+1), for d around n
+    for (d <- 1 to 8; parts <- Seq(1, 5)) {
+      val rows = (0 until 100).map(i => (i % d).toLong)
+      val got = rows.toDF("x").repartition(parts)
+        .agg(Sketches.uniqUpTo(col("x"), 5)).head.getLong(0)
+      assert(got == math.min(d, 6).toLong, s"d=$d parts=$parts")
+    }
+    // string lane + null skip
+    val strs = Seq("a", "b", null, "a", "c", null).toDF("s")
+    assert(strs.agg(Sketches.uniqUpTo(col("s"), 5)).head.getLong(0) == 3L)
+    assert(strs.agg(Sketches.uniqUpTo(col("s"), 2)).head.getLong(0) == 3L) // 2+1 sentinel
+    // grouped + both regimes in one plan
+    val g = Seq((1, 10L), (1, 20L), (2, 1L), (2, 2L), (2, 3L), (2, 4L))
+      .toDF("g", "x").groupBy("g")
+      .agg(Sketches.uniqUpTo(col("x"), 3).as("u"))
+      .as[(Int, Long)].collect().toMap
+    assert(g == Map(1 -> 2L, 2 -> 4L)) // exact 2; capped 3+1
+    // the buffer is HARD-capped at n+1 values regardless of input size —
+    // the 100 TB state-boundedness claim, checked on the agg object itself
+    val agg = UniqUpToAgg(org.apache.spark.sql.catalyst.expressions
+      .BoundReference(0, org.apache.spark.sql.types.LongType, nullable = true), 3)
+    val buf = agg.createAggregationBuffer()
+    (1L to 1000L).foreach { v =>
+      val other = agg.createAggregationBuffer(); other.add(v)
+      agg.merge(buf, other)
+    }
+    assert(buf.size() == 4, s"state must cap at n+1 values, got ${buf.size()}")
+    assert(agg.eval(buf) == 4L)
+    assert(agg.deserialize(agg.serialize(buf)).size() == 4) // roundtrip intact
+  }
+
   test("bitmap state rejects out-of-domain ids loudly") {
     import graft.functions.BitmapAgg
     val err = intercept[Exception] {
