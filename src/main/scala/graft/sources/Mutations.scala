@@ -215,7 +215,10 @@ object Mutations {
     require((dataCols.toSet -- changes.columns).isEmpty,
       s"changes must carry every table column; missing: ${dataCols.toSet -- changes.columns}")
     withAdaptiveOff(spark) {
-    val batch = changes.localCheckpoint() // small side; read 3×, compute once
+    // small side; read 3×, computed once — the validation aggregate below
+    // is the first action and materializes the lazy checkpoint (all
+    // partitions: a full no-groupBy agg), saving the eager-checkpoint job
+    val batch = changes.localCheckpoint(false)
     // ONE aggregate over the (checkpointed, tiny) batch folds what r12
     // spent three separate driver actions on: the one-op-per-key validation,
     // the op-domain validation, the applied-row count, and the batch's own
