@@ -1339,25 +1339,61 @@ object SparkEntry {
     * alternative pays two shuffles of exploded rows). Output digests the
     * KEY-SORTED entries (the comparator takes scalars only); DuckDB
     * replays each map as `string_agg(k || '=' || v, ',' ORDER BY k)`. */
-  private def mapAggEvents(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.MapAgg
-    val ev = t(s, dir, "events")
+  /** Key-sorted map → md5 over "k=v" entries (MapAgg emits entries sorted,
+    * so the digest is deterministic; DuckDB replays it as
+    * `string_agg(k || '=' || v, ',' ORDER BY k)`). */
+  private def mapDigest(m: Column): Column =
+    md5(concat_ws(",", transform(map_entries(m),
+      e => concat(e("key"), lit("="), e("value").cast("string")))))
+
+  private def mapAggEventsBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
       .select(pmod(col("user_id"), lit(20)).cast("long").as("grp"),
               col("event_type").as("k"),
               floor(col("value") * 1000).cast("long").as("v"))
-    def digest(m: Column): Column =
-      md5(concat_ws(",", transform(map_entries(m),
-        e => concat(e("key"), lit("="), e("value").cast("string")))))
-    val agg = ev.groupBy("grp")
+
+  private def mapAggEvents(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MapAgg
+    mapAggEventsBase(s, dir).groupBy("grp")
       .agg(MapAgg.sumMap(col("k"), lit(1L)).as("cm"),
            MapAgg.minMap(col("k"), col("v")).as("nm"),
            MapAgg.maxMap(col("k"), col("v")).as("xm"),
            MapAgg.sumMap(col("k"), col("v")).as("sm"))
-    agg.select(col("grp"), size(col("cm")).cast("long").as("n_keys"),
-               digest(col("cm")).as("count_map"),
-               digest(col("nm")).as("min_map"),
-               digest(col("xm")).as("max_map"),
-               digest(col("sm")).as("sum_map"))
+      .select(col("grp"), size(col("cm")).cast("long").as("n_keys"),
+              mapDigest(col("cm")).as("count_map"),
+              mapDigest(col("nm")).as("min_map"),
+              mapDigest(col("xm")).as("max_map"),
+              mapDigest(col("sm")).as("sum_map"))
+      .orderBy("grp")
+  }
+
+  /** The persisted-STATE form of the map aggregation family
+    * (`sumMapState`/`sumMapMerge`, the AggregatingMergeTree S3 discipline
+    * applied to maps, exactly like uniqState/uniqMerge for HLL): per
+    * (grp, half-of-events) partial map states — opaque BinaryType blobs a
+    * state table would persist per micro-batch — re-merged per grp.
+    * Output and oracle are map_agg_events's: merge-of-partials == one-shot
+    * is the invariant the gate checks; a broken state serialization or a
+    * non-commutative merge hash-mismatches. */
+  private def mapAggStateMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MapAgg
+    val states = mapAggEventsBase(s, dir)
+      .withColumn("half", pmod(col("v"), lit(2)))
+      .groupBy(col("grp"), col("half"))
+      .agg(MapAgg.sumMapState(col("k"), lit(1L)).as("cs"),
+           MapAgg.minMapState(col("k"), col("v")).as("ns"),
+           MapAgg.maxMapState(col("k"), col("v")).as("xs"),
+           MapAgg.sumMapState(col("k"), col("v")).as("ss"))
+    states.groupBy("grp")
+      .agg(MapAgg.sumMapMerge(col("cs")).as("cm"),
+           MapAgg.minMapMerge(col("ns")).as("nm"),
+           MapAgg.maxMapMerge(col("xs")).as("xm"),
+           MapAgg.sumMapMerge(col("ss")).as("sm"))
+      .select(col("grp"), size(col("cm")).cast("long").as("n_keys"),
+              mapDigest(col("cm")).as("count_map"),
+              mapDigest(col("nm")).as("min_map"),
+              mapDigest(col("xm")).as("max_map"),
+              mapDigest(col("sm")).as("sum_map"))
       .orderBy("grp")
   }
 
@@ -3478,6 +3514,7 @@ object SparkEntry {
     "map_agg_events"       -> (mapAggEvents _),
     "fix_mojibake"         -> (fixMojibakeQ _),
     "uniq_upto_events"     -> (uniqUpToEvents _),
+    "map_agg_state_merge"  -> (mapAggStateMerge _),
   )
 
   // ----------------------------------------------------------------------
@@ -5899,19 +5936,11 @@ object SparkEntry {
     // The measure is viewed at the engine's canonical DOUBLE width before
     // the integerizing floor (the r08 width rule); per-key sums CAST from
     // DuckDB's HUGEINT back to BIGINT digits.
-    "map_agg_events" ->
-      """WITH e AS (SELECT user_id % 20 AS grp, event_type AS k,
-                           CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
-                    FROM events),
-         g AS (SELECT grp, k, count(*) AS cnt, min(v) AS mn, max(v) AS mx,
-                      CAST(sum(v) AS BIGINT) AS sm
-               FROM e GROUP BY 1, 2)
-         SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
-                md5(string_agg(k || '=' || cnt, ',' ORDER BY k)) AS count_map,
-                md5(string_agg(k || '=' || mn, ',' ORDER BY k)) AS min_map,
-                md5(string_agg(k || '=' || mx, ',' ORDER BY k)) AS max_map,
-                md5(string_agg(k || '=' || sm, ',' ORDER BY k)) AS sum_map
-         FROM g GROUP BY grp ORDER BY grp""",
+    "map_agg_events" -> mapAggOracleSql,
+    // the STATE form is DEFINED to land the one-shot result (partial map
+    // states per half, re-merged) — same oracle; a broken serialization or
+    // non-commutative merge diverges here
+    "map_agg_state_merge" -> mapAggOracleSql,
 
     // Encoding repair replayed declaratively: the repair of the planted
     // garble is, by construction (garble = the exact corruption inverse),
@@ -5928,6 +5957,22 @@ object SparkEntry {
                 CAST(least(count(DISTINCT CAST(props AS JSON)), 13) AS BIGINT) AS up_props
          FROM events GROUP BY 1 ORDER BY 1""",
   )
+
+  /** Shared by `map_agg_events` and its persisted-state twin
+    * `map_agg_state_merge` (merge-of-partials == one-shot by contract). */
+  private val mapAggOracleSql: String =
+    """WITH e AS (SELECT user_id % 20 AS grp, event_type AS k,
+                         CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
+                  FROM events),
+       g AS (SELECT grp, k, count(*) AS cnt, min(v) AS mn, max(v) AS mx,
+                    CAST(sum(v) AS BIGINT) AS sm
+             FROM e GROUP BY 1, 2)
+       SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+              md5(string_agg(k || '=' || cnt, ',' ORDER BY k)) AS count_map,
+              md5(string_agg(k || '=' || mn, ',' ORDER BY k)) AS min_map,
+              md5(string_agg(k || '=' || mx, ',' ORDER BY k)) AS max_map,
+              md5(string_agg(k || '=' || sm, ',' ORDER BY k)) AS sum_map
+       FROM g GROUP BY grp ORDER BY grp"""
 
   /** Generated from [[MojibakePats]] so the oracle's fixed literals can
     * never drift from the engine's plant. */

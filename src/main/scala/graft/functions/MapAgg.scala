@@ -47,6 +47,99 @@ object MapAgg {
   /** map<k, max(v)> per group. */
   def maxMap(key: Column, value: Column): Column =
     col(KeyedMapAgg(expr(key), expr(value), Max).toAggregateExpression())
+
+  // --- persisted STATE forms (ClickHouse sumMapState / sumMapMerge; the
+  // AggregatingMergeTree discipline of §2 S3, same as uniqState/uniqMerge,
+  // KLL, FI and the bitmaps): the state is an opaque BinaryType blob a
+  // state table persists per (group, batch); re-merging states across
+  // batches equals the one-shot aggregation (spec-pinned). State BYTES are
+  // not canonical (hashmap iteration order) — digest merged MAPS, never
+  // states. ---
+
+  /** Partial: per-group serialized key→sum map state (BinaryType). */
+  def sumMapState(key: Column, value: Column): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Sum, asState = true).toAggregateExpression())
+  def minMapState(key: Column, value: Column): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Min, asState = true).toAggregateExpression())
+  def maxMapState(key: Column, value: Column): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Max, asState = true).toAggregateExpression())
+
+  /** Final: merge persisted map states across batches → key-sorted map. */
+  def sumMapMerge(state: Column): Column =
+    col(KeyedMapMergeAgg(expr(state), Sum).toAggregateExpression())
+  def minMapMerge(state: Column): Column =
+    col(KeyedMapMergeAgg(expr(state), Min).toAggregateExpression())
+  def maxMapMerge(state: Column): Column =
+    col(KeyedMapMergeAgg(expr(state), Max).toAggregateExpression())
+
+  /** Merge states into a STATE (state-table compaction, like
+    * uniqMergeState). The op must match the states' own op. */
+  def mapMergeState(state: Column, op: Int): Column =
+    col(KeyedMapMergeAgg(expr(state), op, asState = true).toAggregateExpression())
+}
+
+/** Shared buffer algebra for the map aggregates (build and merge sides). */
+private[functions] object MapBuf {
+  def fold(op: Int, buf: java.util.HashMap[String, Long], k: String, v: Long): Unit = {
+    if (!buf.containsKey(k)) buf.put(k, v)
+    else {
+      val prev: Long = buf.get(k)
+      op match {
+        case MapAgg.Sum => buf.put(k, prev + v)
+        case MapAgg.Min => if (v < prev) buf.put(k, v)
+        case MapAgg.Max => if (v > prev) buf.put(k, v)
+      }
+    }
+  }
+
+  def mergeInto(op: Int, a: java.util.HashMap[String, Long],
+                b: java.util.HashMap[String, Long]): Unit = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); fold(op, a, e.getKey, e.getValue) }
+  }
+
+  /** Key-sorted entries: deterministic map order for digests/display. */
+  def toSortedMap(buf: java.util.HashMap[String, Long]): ArrayBasedMapData = {
+    val keys = new Array[String](buf.size)
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    val ks = new Array[Any](keys.length)
+    val vs = new Array[Any](keys.length)
+    i = 0
+    while (i < keys.length) {
+      ks(i) = UTF8String.fromString(keys(i)); vs(i) = buf.get(keys(i)); i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
+  def ser(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def deser(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long](Math.max(n * 2, 16))
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+              in.readLong())
+      i += 1
+    }
+    buf
+  }
 }
 
 /** The aggregate behind [[MapAgg]]. Buffer: string key → long value.
@@ -54,6 +147,7 @@ object MapAgg {
   * the SQL aggregates each entry replays); a null ARRAY likewise. Array
   * inputs must be equal-length — ragged rows fail loudly. */
 case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
+                       asState: Boolean = false,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
@@ -76,23 +170,12 @@ case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
   }
 
   override def dataType: DataType =
-    MapType(StringType, LongType, valueContainsNull = false)
+    if (asState) BinaryType
+    else MapType(StringType, LongType, valueContainsNull = false)
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long]()
-
-  private def fold(buf: java.util.HashMap[String, Long], k: String, v: Long): Unit = {
-    if (!buf.containsKey(k)) buf.put(k, v)
-    else {
-      val prev: Long = buf.get(k)
-      op match {
-        case MapAgg.Sum => buf.put(k, prev + v)
-        case MapAgg.Min => if (v < prev) buf.put(k, v)
-        case MapAgg.Max => if (v > prev) buf.put(k, v)
-      }
-    }
-  }
 
   override def update(buf: java.util.HashMap[String, Long],
                       input: InternalRow): java.util.HashMap[String, Long] = {
@@ -107,63 +190,26 @@ case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
       var i = 0
       while (i < ks.numElements()) {
         if (!ks.isNullAt(i) && !vs.isNullAt(i))
-          fold(buf, ks.getUTF8String(i).toString, vs.getLong(i))
+          MapBuf.fold(op, buf, ks.getUTF8String(i).toString, vs.getLong(i))
         i += 1
       }
-    } else fold(buf, k.asInstanceOf[UTF8String].toString, // copy out of the
-                v.asInstanceOf[Long])                     // reused unsafe row
+    } else MapBuf.fold(op, buf, k.asInstanceOf[UTF8String].toString, // copy out
+                       v.asInstanceOf[Long])           // of the reused row
     buf
   }
 
   override def merge(a: java.util.HashMap[String, Long],
                      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); fold(a, e.getKey, e.getValue) }
-    a
+    MapBuf.mergeInto(op, a, b); a
   }
 
-  /** Key-sorted entries: deterministic map order for digests/display. */
-  override def eval(buf: java.util.HashMap[String, Long]): Any = {
-    val keys = new Array[String](buf.size)
-    val it = buf.keySet().iterator()
-    var i = 0
-    while (it.hasNext) { keys(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
-    val ks = new Array[Any](keys.length)
-    val vs = new Array[Any](keys.length)
-    i = 0
-    while (i < keys.length) {
-      ks(i) = UTF8String.fromString(keys(i)); vs(i) = buf.get(keys(i)); i += 1
-    }
-    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
-  }
+  override def eval(buf: java.util.HashMap[String, Long]): Any =
+    if (asState) MapBuf.ser(buf) else MapBuf.toSortedMap(buf)
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
-    }
-    out.flush(); bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new java.util.HashMap[String, Long](Math.max(n * 2, 16))
-    var i = 0
-    while (i < n) {
-      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
-      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
-              in.readLong())
-      i += 1
-    }
-    buf
-  }
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    MapBuf.ser(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] =
+    MapBuf.deser(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): KeyedMapAgg =
     copy(mutableAggBufferOffset = o)
@@ -171,4 +217,61 @@ case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KeyedMapAgg =
     copy(left = l, right = r)
+}
+
+/** Re-merge persisted map STATES ([[MapAgg.sumMapMerge]] etc.): binary
+  * states in, final key-sorted map out (or a compacted state with
+  * `asState`). NULL states are skipped (an absent batch). */
+case class KeyedMapMergeAgg(child: Expression, op: Int,
+                            asState: Boolean = false,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mapMerge takes a binary map state, got ${other.sql}")
+    }
+
+  override def dataType: DataType =
+    if (asState) BinaryType
+    else MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      MapBuf.mergeInto(op, buf, MapBuf.deser(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+                     b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    MapBuf.mergeInto(op, a, b); a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any =
+    if (asState) MapBuf.ser(buf) else MapBuf.toSortedMap(buf)
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    MapBuf.ser(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] =
+    MapBuf.deser(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KeyedMapMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KeyedMapMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KeyedMapMergeAgg =
+    copy(child = c)
 }

@@ -314,6 +314,46 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(withNulls == Map(1 -> Map("a" -> 1L, "b" -> 2L)))
   }
 
+  test("mapAgg STATES: persisted-state re-merge == one-shot; parquet roundtrip; compaction") {
+    import graft.functions.MapAgg
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (i % 5, i % 3, s"k${rng.nextInt(8)}", rng.nextInt(999).toLong - 400L)
+    }
+    val df = rows.toDF("g", "batch", "k", "v")
+    def direct(op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      df.groupBy("g").agg(op(col("k"), col("v")).as("m"))
+        .as[(Int, Map[String, Long])].collect().toMap
+    // states per (g, batch) persisted to PARQUET (the state-table shape),
+    // read back, re-merged: must equal the one-shot build for every op
+    val dir = tmpDir("mapstate")
+    df.groupBy("g", "batch")
+      .agg(MapAgg.sumMapState(col("k"), col("v")).as("ss"),
+           MapAgg.minMapState(col("k"), col("v")).as("ns"),
+           MapAgg.maxMapState(col("k"), col("v")).as("xs"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val merged = back.groupBy("g")
+      .agg(MapAgg.sumMapMerge(col("ss")).as("sm"),
+           MapAgg.minMapMerge(col("ns")).as("nm"),
+           MapAgg.maxMapMerge(col("xs")).as("xm"))
+      .as[(Int, Map[String, Long], Map[String, Long], Map[String, Long])]
+      .collect()
+    assert(merged.map(r => r._1 -> r._2).toMap == direct(MapAgg.sumMap),
+      "sum states re-merged must equal the one-shot sumMap")
+    assert(merged.map(r => r._1 -> r._3).toMap == direct(MapAgg.minMap))
+    assert(merged.map(r => r._1 -> r._4).toMap == direct(MapAgg.maxMap))
+    // state-table COMPACTION (mapMergeState): states → one state, still
+    // mergeable downstream to the same final map
+    val compacted = back.groupBy("g")
+      .agg(MapAgg.mapMergeState(col("ss"), MapAgg.Sum).as("ss"))
+    val afterCompaction = compacted.groupBy("g")
+      .agg(MapAgg.sumMapMerge(col("ss")).as("m"))
+      .as[(Int, Map[String, Long])].collect().toMap
+    assert(afterCompaction == direct(MapAgg.sumMap),
+      "compacted states must still merge to the one-shot result")
+  }
+
   test("uniqUpTo: exact below the cap, sentinel above, split-merge invariant, bounded state") {
     import graft.functions.{Sketches, UniqUpToAgg}
     // boundary sweep: true distinct d vs cap n → min(d, n+1), for d around n
