@@ -1181,9 +1181,10 @@ object SparkEntry {
   private def cdcOracleSql: String = {
     // data-dependent literal (the lastBpeMerges pattern — Verify runs every
     // query before dumping SQL): the insert-key offset the engine actually
-    // derived. The untrained fallback is today's identity value, which is
-    // only ever compared against a dump produced with the same derivation.
-    val off = lastCdcOffset.getOrElse(1000000L)
+    // derived. The untrained fallback is an IMPOSSIBLE sentinel so a dump
+    // produced without the query having run mismatches loudly instead of
+    // vacuously passing on today's files.
+    val off = lastCdcOffset.getOrElse(-1L)
     s"""WITH base AS (SELECT user_id, count(*) AS n_clicks,
                             CAST(user_id % 10 AS INT) AS cohort
                      FROM events WHERE event_type = 'click' GROUP BY 1),

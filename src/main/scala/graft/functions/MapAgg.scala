@@ -98,18 +98,27 @@ private[functions] object MapBuf {
     while (it.hasNext) { val e = it.next(); fold(op, a, e.getKey, e.getValue) }
   }
 
-  /** Key-sorted entries: deterministic map order for digests/display. */
+  /** Key-sorted entries: deterministic map order for digests/display.
+    * Sort order is UTF-8 binary (`UTF8String.compareTo`) — the order Spark
+    * and DuckDB use for string comparison — NOT Java String natural order
+    * (UTF-16 code units), which diverges when keys mix U+E000..U+FFFF with
+    * supplementary codepoints. */
   def toSortedMap(buf: java.util.HashMap[String, Long]): ArrayBasedMapData = {
-    val keys = new Array[String](buf.size)
-    val it = buf.keySet().iterator()
+    val keys = new Array[UTF8String](buf.size)
+    val vals = new Array[Long](buf.size)
+    val it = buf.entrySet().iterator()
     var i = 0
-    while (it.hasNext) { keys(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = UTF8String.fromString(e.getKey); vals(i) = e.getValue; i += 1
+    }
+    val order = Array.range(0, keys.length).sortWith((a, b) =>
+      keys(a).compareTo(keys(b)) < 0)
     val ks = new Array[Any](keys.length)
     val vs = new Array[Any](keys.length)
     i = 0
-    while (i < keys.length) {
-      ks(i) = UTF8String.fromString(keys(i)); vs(i) = buf.get(keys(i)); i += 1
+    while (i < order.length) {
+      ks(i) = keys(order(i)); vs(i) = vals(order(i)); i += 1
     }
     new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
   }

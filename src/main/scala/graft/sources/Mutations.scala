@@ -240,6 +240,9 @@ object Mutations {
              .as("n_null"))
       .head()
     val nApplied = b.getLong(0)
+    // empty batch: the sum() columns below are NULL over zero rows — bail
+    // before touching them (public API; callers needn't pre-check isEmpty)
+    if (nApplied == 0L) return DeleteStats(0L, 0L)
     require(nApplied == b.getLong(1),
       "changes must have one row per key — compact the batch first")
     require(b.getLong(2) == 0L,

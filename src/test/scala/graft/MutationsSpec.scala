@@ -274,6 +274,22 @@ class MutationsSpec extends SparkSpec {
     assert(again == after, "re-applying the same batch must be a content no-op")
   }
 
+  test("mergeApply: an empty changes batch is a no-op returning (0,0)") {
+    val dir = tmpDir("mutm0")
+    Seq((1L, 1L, "a")).toDF("user_id", "score", "cohort")
+      .write.mode("overwrite").partitionBy("cohort").parquet(dir)
+    val before = fileState2(dir, "cohort=a")
+    val empty = Seq.empty[(Long, Long, String, String)]
+      .toDF("user_id", "score", "cohort", "op")
+    // r13 regression: the fused validation aggregate's sum() columns are
+    // NULL over zero rows and getLong NPE'd — public API must not require
+    // callers to pre-check isEmpty
+    val stats = Mutations.mergeApply(spark, dir, empty, Seq("user_id"),
+      "op", "cohort", Seq("user_id"))
+    assert(stats == Mutations.DeleteStats(0L, 0L))
+    assert(fileState2(dir, "cohort=a") == before, "table untouched")
+  }
+
   test("mergeApply: deletes can empty a partition; upserts can create one") {
     val dir = tmpDir("mutm2")
     Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("user_id", "score", "cohort")

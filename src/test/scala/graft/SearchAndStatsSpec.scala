@@ -291,6 +291,18 @@ class SearchAndStatsSpec extends SparkSpec {
       .as[Seq[String]].collect()
     entries.foreach(ks => assert(ks == ks.sorted, s"unsorted map keys: $ks"))
 
+    // ...and the sort is UTF-8 BINARY (Spark/DuckDB string order), not Java
+    // UTF-16: a supplementary codepoint (U+10000, surrogate pair, UTF-16
+    // leads 0xD800) must sort AFTER a private-use BMP char (U+E000, UTF-16
+    // 0xE000) — UTF-16 order would reverse them
+    val tricky = Seq((1, "\uE000", 1L), (1, new String(Character.toChars(0x10000)), 2L))
+      .toDF("g", "k", "v").groupBy("g")
+      .agg(MapAgg.sumMap(col("k"), col("v")).as("m"))
+      .select(transform(map_entries(col("m")), e => e("value")).as("vs"))
+      .as[Seq[Long]].collect().head
+    assert(tricky == Seq(1L, 2L),
+      "map keys must sort in UTF-8 binary order (BMP E000 < U+10000)")
+
     // ClickHouse array shape: sumMap(keyArr, valArr) == exploded scalar form
     val arr = Seq((1, Seq("a", "b", "a"), Seq(1L, 2L, 3L)),
                   (1, Seq("b"), Seq(10L)),
