@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Sketches, TextAnalysis}
+import graft.functions.{NativeExprs, Sketches, TextAnalysis}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1446,6 +1446,57 @@ object SparkEntry {
               (col("f1") =!= col("g1")).as("was_garbled"),
               md5(col("f1")).as("fixed1_md5"),
               md5(col("f2")).as("fixed2_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** HTML boilerplate extraction ([[graft.operators.HtmlExtract]] /
+    * [[graft.functions.HtmlExtractExpr]]) through the oracle gate, via the
+    * plant-inverse discipline: each document's (canonicalized) text is
+    * wrapped in a deterministic web-page template — head/title, style +
+    * script raw-text elements (one containing a fake closing tag and a bare
+    * `>`), header/nav/footer boilerplate, an HTML comment, a quoted-`>`
+    * attribute, the content split across two `<p>`s, a LINK-DENSITY
+    * borderline block whose plain-word count is doc_id % 6 against a
+    * 3-link-word anchor (kept iff `2·3 ≤ words`, i.e. doc_id % 6 ≥ 3), an
+    * entity gauntlet (named, numeric dec/hex, unknown), a list, and a
+    * below-min-words block — then extracted by the native expression. The
+    * oracle replays the rule outcomes declaratively from the raw text:
+    * which blocks survive is a closed-form function of (text, doc_id).
+    * A broken tag scanner, entity decoder, density rule, or container rule
+    * hash-mismatches. */
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame = {
+    // canonical base: identity on today's corpus (lint-checked), keeps the
+    // plant well-formed under any future regen's charset drift
+    val base = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z ]+", ""), " +", " "))
+    val w = split(base, " ")
+    val half = ceil(size(w) / lit(2.0)).cast("int")
+    val p1 = array_join(slice(w, lit(1), half), " ")
+    val p2 = array_join(slice(w, half + lit(1), size(w) - half), " ")
+    val wb = pmod(col("doc_id"), lit(6)).cast("int")
+    val bw = array_join(slice(w, lit(1), wb), " ")
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>t "), id,
+      lit("</title><style>p { color: #000; }</style>" +
+          "<script>var x = '</nope>'; if (1 > 0) x;</script></head>" +
+          "<body><header><h1>Doc "), id, lit("</h1></header>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/a\">about us</a> " +
+          "<a href=\"/c\">contact</a></nav><!-- tracking "), id,
+      lit(" --><div class=\"main\"><p>"), p1,
+      lit("</p><p data-x=\"a>b\">"), p2, lit("</p></div><p>"), bw,
+      lit(" <a href=\"#\">click here now</a></p>" +
+          "<p>a &amp; b &lt;c&gt; &quot;d&quot;&nbsp;e &bogus; &#65;&#x42;</p>" +
+          "<ul><li>alpha beta</li><li>gamma delta</li></ul><p>ok</p>" +
+          "<footer>(c) 2026 <a href=\"#\">terms</a></footer></body></html>"))
+    t(s, dir, "documents")
+      .filter(size(w) >= 4) // p1/p2 each ≥ 2 words (min-words-safe); no-op today
+      .withColumn("ex", NativeExprs.htmlExtract(html))
+      .select(col("doc_id"),
+              md5(col("ex.text")).as("extracted_md5"),
+              col("ex.n_kept").as("n_blocks_kept"),
+              col("ex.n_dropped").as("n_blocks_dropped"),
+              length(col("ex.text")).cast("long").as("n_chars_extracted"))
       .orderBy("doc_id")
   }
 
@@ -3516,6 +3567,7 @@ object SparkEntry {
     "fix_mojibake"         -> (fixMojibakeQ _),
     "uniq_upto_events"     -> (uniqUpToEvents _),
     "map_agg_state_merge"  -> (mapAggStateMerge _),
+    "html_extract"         -> (htmlExtractQ _),
   )
 
   // ----------------------------------------------------------------------
@@ -5957,6 +6009,36 @@ object SparkEntry {
                 CAST(least(count(DISTINCT user_id % 4), 6) AS BIGINT) AS up_exact,
                 CAST(least(count(DISTINCT CAST(props AS JSON)), 13) AS BIGINT) AS up_props
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // HTML extraction replayed declaratively: the plant is closed-form in
+    // (text, doc_id) — kept blocks are the two content halves, the
+    // borderline anchor block iff doc_id % 6 ≥ 3 (the 2·links ≤ words
+    // integer density test), the decoded entity gauntlet, and the two list
+    // items; dropped are title/h1/nav/footer (containers) and the 1-word
+    // block. chr(160) is the decoded &nbsp; (NOT whitespace — glues words).
+    "html_extract" ->
+      """WITH d AS (SELECT doc_id,
+                string_split(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z ]+', '', 'g'), ' +', ' ', 'g')), ' ') AS w
+              FROM documents),
+        c AS (SELECT doc_id, w, len(w) AS nw,
+                CAST(ceil(len(w) / 2.0) AS INT) AS half,
+                CAST(doc_id % 6 AS INT) AS wb
+              FROM d WHERE len(w) >= 4),
+        f AS (SELECT doc_id, wb,
+                array_to_string(list_slice(w, 1, half), ' ') || chr(10) ||
+                array_to_string(list_slice(w, half + 1, nw), ' ') ||
+                CASE WHEN wb >= 3 THEN chr(10) ||
+                  array_to_string(list_slice(w, 1, wb), ' ') ||
+                  ' click here now' ELSE '' END ||
+                chr(10) || 'a & b <c> "d"' || chr(160) || 'e &bogus; AB' ||
+                chr(10) || 'alpha beta' || chr(10) || 'gamma delta' AS ext
+              FROM c)
+        SELECT doc_id, md5(ext) AS extracted_md5,
+               CAST(5 + CASE WHEN wb >= 3 THEN 1 ELSE 0 END AS INT) AS n_blocks_kept,
+               CAST(5 + CASE WHEN wb >= 3 THEN 0 ELSE 1 END AS INT) AS n_blocks_dropped,
+               CAST(length(ext) AS BIGINT) AS n_chars_extracted
+        FROM f ORDER BY doc_id""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

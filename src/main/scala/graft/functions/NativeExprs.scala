@@ -170,6 +170,10 @@ object NativeExprs {
   def textStats(text: Column, stopwords: Seq[String]): Column =
     col(TextStatsExpr(expr(text), stopwords))
 
+  /** Main-text extraction from raw HTML (boilerplate stripped; see
+    * [[HtmlExtractExpr]]): returns struct(text, n_kept, n_dropped). */
+  def htmlExtract(html: Column): Column = col(HtmlExtractExpr(expr(html)))
+
   /** Character bigrams of an ALREADY [a-z ]-filtered text, as a byte loop —
     * the `transform(sequence, substr)` form is O(position) per substr and
     * goes quadratic on long documents. */

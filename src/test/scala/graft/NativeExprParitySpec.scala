@@ -395,6 +395,176 @@ class NativeExprParitySpec extends SparkSpec {
       expr("transform(psL, p -> CAST(p AS INT))"), 3)).collect()
   }
 
+  test("htmlExtract: native scanner == independent regex reference; edge fixtures pinned") {
+    import graft.functions.HtmlExtractExpr
+
+    /** Independent reference: a REGEX tokenizer pipeline (pre-removal of
+      * comments/raw-text elements, `<a>` regions turned into sentinel
+      * chars, block-tag matcher walk, inline strip, entity replace), vs the
+      * native single-pass char scanner. Known reference limitations, absent
+      * from these inputs by construction: quoted '>' inside NON-block
+      * inline/raw-text tag attributes, and nested `<a>`. */
+    def ref(html: String): (String, Int, Int) = {
+      var h = html
+      h = h.replaceAll("(?s)<!--.*?-->", "")
+      h = h.replaceAll("(?s)<!--.*", "") // unterminated comment
+      h = h.replaceAll("(?si)<script\\b[^>]*>.*?</script[^>]*>", "")
+      h = h.replaceAll("(?si)<script\\b[^>]*>.*", "") // unclosed raw-text
+      h = h.replaceAll("(?si)<style\\b[^>]*>.*?</style[^>]*>", "")
+      h = h.replaceAll("(?si)<style\\b[^>]*>.*", "")
+      h = h.replaceAll("<[!?][^>]*>", "")
+      h = h.replaceAll("(?i)<a(\\s(\"[^\"]*\"|'[^']*'|[^>\"'])*)?>", "\u0001")
+      h = h.replaceAll("(?i)</a\\s*>", "\u0002")
+      val blockPat = java.util.regex.Pattern.compile(
+        "(?i)<(/?)(html|head|body|title|p|div|h[1-6]|ul|ol|li|dl|dt|dd|" +
+        "table|thead|tbody|tr|td|th|blockquote|pre|br|hr|article|section|" +
+        "main|figure|figcaption|nav|header|footer|aside|form)" +
+        "\\b((\"[^\"]*\"|'[^']*'|[^>\"'])*?)(/?)>")
+      val entPat = java.util.regex.Pattern.compile(
+        "&(amp|lt|gt|quot|apos|nbsp);|&#(\\d{1,8});|&#[xX]([0-9a-fA-F]{1,7});")
+      val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+                      "quot" -> "\"", "apos" -> "'", "nbsp" -> "\u00A0")
+      def decode(seg: String): String = {
+        val m = entPat.matcher(seg); val sb = new StringBuffer
+        while (m.find()) {
+          val rep =
+            if (m.group(1) != null) named(m.group(1))
+            else {
+              val cp = if (m.group(2) != null) java.lang.Long.parseLong(m.group(2))
+                       else java.lang.Long.parseLong(m.group(3), 16)
+              if (cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+                new String(Character.toChars(cp.toInt))
+              else m.group(0)
+            }
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+        }
+        m.appendTail(sb); sb.toString
+      }
+      var dropDepth = 0; var linkOpen = false
+      var kept = 0; var dropped = 0
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      def emit(seg: String): Unit = {
+        val txt = decode(seg.replaceAll(
+          "(?s)</?[a-zA-Z](\"[^\"]*\"|'[^']*'|[^>\"'])*>", ""))
+        val toks = txt.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+        var words = 0; var linkWords = 0
+        val w = collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { tok =>
+          // link attribution: state just before the token's first real char
+          val first = tok.indexWhere(c => c != '\u0001' && c != '\u0002')
+          if (first >= 0) {
+            var st = linkOpen
+            tok.take(first).foreach { c => st = c == '\u0001' }
+            words += 1; if (st) linkWords += 1
+            w += tok.filter(c => c != '\u0001' && c != '\u0002')
+          }
+          tok.foreach { c =>
+            if (c == '\u0001') linkOpen = true
+            else if (c == '\u0002') linkOpen = false
+          }
+        }
+        if (words > 0) {
+          if (dropDepth == 0 && words >= 2 && 2 * linkWords <= words) {
+            out += w.mkString(" "); kept += 1
+          } else dropped += 1
+        }
+      }
+      val m = blockPat.matcher(h)
+      var pos = 0
+      val dropTags = Set("head", "nav", "header", "footer", "aside", "form")
+      while (m.find()) {
+        emit(h.substring(pos, m.start()))
+        val tag = m.group(2).toLowerCase
+        val closing = m.group(1) == "/"
+        val selfClosing = m.group(5) == "/"
+        if (dropTags(tag) && !selfClosing) {
+          if (closing) dropDepth = math.max(0, dropDepth - 1)
+          else dropDepth += 1
+        }
+        pos = m.end()
+      }
+      emit(h.substring(pos))
+      (out.mkString("\n"), kept, dropped)
+    }
+
+    // fixture battery: every rule and edge the scanner implements
+    val fixtures = Seq(
+      "",
+      "plain text with no tags at all",
+      "   \t\n  ",
+      "<p>one</p>",                                  // 1 word → dropped
+      "<p>two words</p>",                            // kept
+      "<p>UPPER <B>case</B> TAGS</P><DIV>second block here</DIV>",
+      "<p>half <a href='#'>link</a></p>",            // 1/2 link → kept
+      "<p>one <a href='#'>two linked</a></p>",       // 2/3 link → dropped
+      "<nav><p>inside nav dropped</p></nav><p>outside kept fine</p>",
+      "<header><div><p>nested in header</p></div></header><p>body text here</p>",
+      "text before any tag <p>then a block</p>",
+      "<p>a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;</p>",
+      "<p>nbsp&nbsp;glues and &#65;&#x42; decode</p>",
+      "<p>astral &#x1F600; entity works fine</p>",
+      "<p>unknown &bogus; entity and bare & amp stay literal</p>",
+      "<p>unterminated &amp entity stays</p>",
+      "<p>math: 1 < 2 and 3 > 2 here</p>",
+      "<ul><li>alpha one</li><li>beta two</li><li></li></ul>",
+      "<table><tr><td>cell one</td><td>cell two</td></tr></table>",
+      "line one<br/>line two<br />line three",
+      "<p>divided</p><hr/><p>by a rule</p>",
+      "<!-- a comment --><p>after comment</p>",
+      "ab<!-- glue -->cd joins words",
+      "<script>var x = '</notscript>'; if (1 > 0) {}</script><p>after script</p>",
+      "<style>p { color: red; }</style><p>after style</p>",
+      "<!DOCTYPE html><p>after doctype</p>",
+      "<?xml version='1.0'?><p>after pi</p>",
+      "<p data-x=\"a>b\">quoted gt attr</p>",
+      "<p class='x' id=\"y\" disabled>attrs galore here</p>",
+      "<blockquote>a quote block</blockquote><pre>pre formatted text</pre>",
+      "<footer>(c) 2026 <a href='#'>terms</a></footer><p>real content text</p>",
+      "<form><p>form fields dropped</p></form>",
+      "<h1>title text</h1><h2>sub title</h2><p>para text here</p>",
+      "<p>tab\tand\nnewline   collapse</p>",
+      "<p>trailing space </p><p> leading space</p>",
+      "<article><section><p>deeply nested content block</p></section></article>",
+      "<p>link <a href='#'>one</a> then <a href='#'>two more</a> words</p>")
+    fixtures.foreach { f =>
+      val got = HtmlExtractExpr.extract(f)
+      val want = ref(f)
+      assert((got.text, got.kept, got.dropped) == want, s"fixture: $f")
+    }
+
+    // scanner-only edges the regex reference can't express (pinned directly)
+    val un = HtmlExtractExpr.extract("<p>unclosed block with words")
+    assert(un.text == "unclosed block with words" && un.kept == 1)
+    assert(HtmlExtractExpr.extract("<script>never closed").text == "")
+    assert(HtmlExtractExpr.extract("<!-- never closed").text == "")
+    val stray = HtmlExtractExpr.extract("<p>stray < bracket stays text</p>")
+    assert(stray.text == "stray < bracket stays text")
+
+    // parity over the REAL corpus wrapped in the contract plant's template
+    val texts = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val w = text.split(" ")
+      val half = math.ceil(w.length / 2.0).toInt
+      val p1 = w.take(half).mkString(" ")
+      val p2 = w.drop(half).mkString(" ")
+      val bw = w.take((id % 6).toInt).mkString(" ")
+      val html =
+        s"""<!DOCTYPE html><html><head><title>t $id</title><style>p { color: #000; }</style><script>var x = '</nope>'; if (1 > 0) x;</script></head><body><header><h1>Doc $id</h1></header><nav><a href="/">home</a> <a href="/a">about us</a> <a href="/c">contact</a></nav><!-- tracking $id --><div class="main"><p>$p1</p><p data-x="a>b">$p2</p></div><p>$bw <a href="#">click here now</a></p><p>a &amp; b &lt;c&gt; &quot;d&quot;&nbsp;e &bogus; &#65;&#x42;</p><ul><li>alpha beta</li><li>gamma delta</li></ul><p>ok</p><footer>(c) 2026 <a href="#">terms</a></footer></body></html>"""
+      val got = HtmlExtractExpr.extract(html)
+      val want = ref(html)
+      assert((got.text, got.kept, got.dropped) == want, s"doc $id")
+      assert(got.kept == (if (id % 6 >= 3) 6 else 5), s"doc $id kept count")
+    }
+
+    // the EXPRESSION evaluates the shared core (one DataFrame roundtrip)
+    val viaDf = Seq("<p>two words</p><nav><p>drop me</p></nav>").toDF("h")
+      .select(NativeExprs.htmlExtract($"h").as("e"))
+      .select($"e.text", $"e.n_kept", $"e.n_dropped")
+      .as[(String, Int, Int)].collect().head
+    assert(viaDf == (("two words", 1, 1)))
+  }
+
   test("fixMojibake: repairs single/double cp1252 mojibake, leaves clean text alone") {
     import graft.functions.FixMojibakeExpr.garble
     import graft.functions.NativeExprs.fixMojibake
