@@ -2609,6 +2609,40 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val PqM = 16         // subspaces (D=64 → 4 dims each): near-random
+  private val PqKCent = 32     // unit vectors need fine subquantizers — the
+                               // top-5 cosine signal (~0.2-0.4) sits barely
+                               // above the 1/√D noise floor, so residual
+                               // variance must be cut hard (K^(-2/sd) ≈ 0.18)
+  private val PqScaleBits = 20 // fixed-point ADC precision
+  private val PqCandK = 40     // prescreen width, same as the int8 lane
+
+  // PQ sub-codebooks per (session, corpus) — learned ingest-time artifact,
+  // embedded into the data-dependent oracle as literals (quantScales twin)
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Array[Array[Double]]]]()
+  @volatile private var lastPqCodebooks: Option[Array[Array[Array[Double]]]] = None
+
+  private def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val cb = pqCodebookCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => Similarity.pqTrain(t(s, dir, "embeddings"), dim = embDim(s, dir),
+                              m = PqM, k = PqKCent))
+    lastPqCodebooks = Some(cb)
+    cb
+  }
+
+  /** Product-quantized ANN ([[Similarity.pqTopK]]): the memory-bound lane —
+    * M=8 byte codes per vector (32× residency cut vs float32 at D=64),
+    * fixed-point ADC prescreen (sum of longs: addition-order-exact), exact
+    * re-rank of the top-candK. The oracle replays the learned codebooks as
+    * literals; encoding argmin and ADC entries are pinned IEEE chains. */
+  private def annTopKPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        PqCandK, pqCodebooksFor(s, dir), PqScaleBits)
+      .orderBy("query_id", "rank")
+  }
+
   private val IvfProbes = 3
 
   private def annTopKIvf(s: SparkSession, dir: String): DataFrame = {
@@ -3568,6 +3602,7 @@ object SparkEntry {
     "uniq_upto_events"     -> (uniqUpToEvents _),
     "map_agg_state_merge"  -> (mapAggStateMerge _),
     "html_extract"         -> (htmlExtractQ _),
+    "ann_topk_pq"          -> (annTopKPq _),
   )
 
   // ----------------------------------------------------------------------
@@ -3681,6 +3716,64 @@ object SparkEntry {
               FROM cand
               JOIN embeddings qe ON qe.vec_id = cand.query_id
               JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM s)
+        SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+        FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk"""
+  }
+
+  /** DuckDB SQL for `ann_topk_pq`, generated with the LEARNED sub-codebooks
+    * embedded as a VALUES literal table (the quantOracleSql technique). The
+    * per-subspace encode distance and the query·centroid dots are written
+    * as left-assoc `+` chains — the exact IEEE sequence the engine's
+    * ascending loops execute — and the ADC entries are fixed-point longs,
+    * so codes, LUTs, the candidate cut, and the exact re-rank replay
+    * bit-for-bit. */
+  private def pqOracleSql(cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length; val kc = cb(0).length; val sd = cb(0)(0).length
+    val centVals = (for (mi <- 0 until m; ki <- 0 until kc) yield {
+      val arr = cb(mi)(ki).mkString("[", ", ", "]")
+      s"($mi, $ki, CAST($arr AS DOUBLE[]))"
+    }).mkString(", ")
+    val distChain = (1 to sd).map(j =>
+      s"(e[m*$sd+$j]-c[$j])*(e[m*$sd+$j]-c[$j])").mkString(" + ")
+    val dotChain = (1 to sd).map(j => s"e[m*$sd+$j]*c[$j]").mkString(" + ")
+    // unit-sphere projection (PqExprs.readVec): ascending squared-sum chain,
+    // one sqrt, element-wise divide — the engine's exact IEEE sequence
+    val n2Chain = (1 to m * sd).map(j => s"e[$j]*e[$j]").mkString(" + ")
+    s"""WITH cent(m, cidx, c) AS (VALUES $centVals),
+        v0 AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS e
+               FROM embeddings),
+        vn AS (SELECT vec_id, e, $n2Chain AS n2 FROM v0),
+        v AS (SELECT vec_id,
+                     CASE WHEN n2 > 0 THEN list_transform(e, x -> x / sqrt(n2))
+                          ELSE e END AS e
+              FROM vn),
+        d AS (SELECT vec_id, m, cidx, $distChain AS dist FROM v, cent),
+        code AS (SELECT vec_id, m, cidx FROM (
+            SELECT vec_id, m, cidx,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cidx) AS rn
+            FROM d) WHERE rn = 1),
+        lut AS (SELECT vec_id AS query_id, m, cidx,
+                       CAST(floor(($dotChain) * ${(1L << PqScaleBits).toDouble} + 0.5) AS BIGINT) AS l
+                FROM v, cent WHERE vec_id < $AnnQueries),
+        sc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                      CAST(sum(l.l) AS BIGINT) AS score
+               FROM code co JOIN lut l ON l.m = co.m AND l.cidx = co.cidx
+               WHERE co.vec_id <> l.query_id GROUP BY 1, 2),
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS prn
+            FROM sc) WHERE prn <= $PqCandK),
+        s AS (SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(CAST(CAST(qe.embedding AS FLOAT[]) AS DOUBLE[]),
+                                            CAST(CAST(ce.embedding AS FLOAT[]) AS DOUBLE[])) AS sim
+              FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
         r AS (SELECT query_id, neighbor_id, sim,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, neighbor_id) AS rnk
@@ -5809,6 +5902,15 @@ object SparkEntry {
     // once the query has computed them; the untrained placeholder fails
     // loudly if ever compared.
     "ann_topk_quant" -> lastQuantScales.map(quantOracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS query_id,
+                           CAST(NULL AS BIGINT) AS rank,
+                           CAST(NULL AS BIGINT) AS neighbor_id,
+                           CAST(NULL AS DOUBLE) AS cosine
+                    WHERE 1 = 0"""),
+
+    // PQ twin of the scales embedding: learned sub-codebooks as literals,
+    // pinned-IEEE encode/ADC chains; untrained placeholder fails loudly
+    "ann_topk_pq" -> lastPqCodebooks.map(pqOracleSql)
       .getOrElse("""SELECT CAST(NULL AS BIGINT) AS query_id,
                            CAST(NULL AS BIGINT) AS rank,
                            CAST(NULL AS BIGINT) AS neighbor_id,

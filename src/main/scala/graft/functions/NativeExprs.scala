@@ -174,6 +174,25 @@ object NativeExprs {
     * [[HtmlExtractExpr]]): returns struct(text, n_kept, n_dropped). */
   def htmlExtract(html: Column): Column = col(HtmlExtractExpr(expr(html)))
 
+  /** PQ codes of an array<double> vector under flattened codebooks
+    * ([[PqEncodeExpr]]); HOF reference form parity-tested. */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]],
+               normalize: Boolean = false): Column = {
+    val (flat, m, k, sd) = PqExprs.flatten(cb)
+    col(PqEncodeExpr(expr(vec), flat, m, k, sd, normalize))
+  }
+
+  /** Fixed-point ADC lookup table of a query vector ([[PqLutExpr]]). */
+  def pqLut(vec: Column, cb: Array[Array[Array[Double]]], scaleBits: Int,
+            normalize: Boolean = false): Column = {
+    val (flat, m, k, sd) = PqExprs.flatten(cb)
+    col(PqLutExpr(expr(vec), flat, m, k, sd, scaleBits, normalize))
+  }
+
+  /** ADC score: Σ_m lut[m·K + codes[m]] ([[PqAdcExpr]]). */
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    col(PqAdcExpr(expr(codes), expr(lut), k))
+
   /** Character bigrams of an ALREADY [a-z ]-filtered text, as a byte loop —
     * the `transform(sequence, substr)` form is O(position) per substr and
     * goes quadratic on long documents. */

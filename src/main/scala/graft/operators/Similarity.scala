@@ -381,6 +381,113 @@ object Similarity {
               round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Train product-quantization codebooks ([[graft.functions.PqExprs]]):
+    * M subspaces × K centroids over a DETERMINISTIC bounded sample (the
+    * `sampleN` lowest-id vectors — id order, not partition order), k-means
+    * with evenly-spread sample-vector init, `iters` Lloyd rounds,
+    * assignment ties to the lowest centroid, means folded in id order so
+    * the learned floats are bit-reproducible run to run. An INGEST-TIME
+    * artifact at scale (one bounded collect, like `quantScales` /
+    * the BPE merges) — and embedded into the oracle the same way. Returns
+    * codebooks[m][k][subDim]. */
+  def pqTrain(corpus: DataFrame, dim: Int, m: Int, k: Int,
+              sampleN: Int = 512, iters: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sd = dim / m
+    val sample = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect()
+      .map { r => // unit sphere: PQ targets cosine (PqExprs.readVec order)
+        val x = r.getSeq[Double](1).toArray
+        var n2 = 0.0; var i = 0
+        while (i < x.length) { n2 = n2 + x(i) * x(i); i += 1 }
+        if (n2 > 0.0) { val nrm = math.sqrt(n2); i = 0
+          while (i < x.length) { x(i) = x(i) / nrm; i += 1 } }
+        x
+      }
+    require(sample.nonEmpty, "empty training corpus")
+    val n = sample.length
+    Array.tabulate(m) { mi =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sd, (mi + 1) * sd))
+      // init: evenly spread over the id-ordered sample
+      val cents = Array.tabulate(k)(ki => subs(((ki.toLong * n) / k).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sd))
+        val counts = new Array[Int](k)
+        var i = 0
+        while (i < n) { // id order: deterministic float fold
+          var best = 0; var bestD = Double.MaxValue
+          var ki = 0
+          while (ki < k) {
+            var d = 0.0; var j = 0
+            while (j < sd) { val t = subs(i)(j) - cents(ki)(j); d = d + t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = ki }
+            ki += 1
+          }
+          var j = 0
+          while (j < sd) { sums(best)(j) += subs(i)(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var ki = 0
+        while (ki < k) { // empty cluster keeps its previous centroid
+          if (counts(ki) > 0) {
+            var j = 0
+            while (j < sd) { cents(ki)(j) = sums(ki)(j) / counts(ki); j += 1 }
+          }
+          ki += 1
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ-ANN: encode the corpus to M int8 codes/vector (32× residency
+    * reduction at D=64 — the memory-bound lane PQ exists for), broadcast
+    * the queries' fixed-point ADC tables, prescreen to the top `candK`
+    * by summed-long ADC score, exact-cosine re-rank to top `k`.
+    *
+    * Deterministic end to end under embedded codebooks (see
+    * [[graft.functions.PqExprs]]): codes, LUT entries, the candidate cut,
+    * and the re-rank all replay bit-for-bit in the DuckDB oracle. Same
+    * zero-corpus-shuffle shape as [[quantizedTopK]]: queries broadcast,
+    * the only exchanges carry candidate-sized frames. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, candK: Int,
+             codebooks: Array[Array[Array[Double]]], scaleBits: Int = 20,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.NativeExprs
+    val kCent = codebooks(0).length
+    val cc = corpus.select(col(idCol).as("neighbor_id"),
+      NativeExprs.pqEncode(col(vecCol).cast("array<double>"), codebooks,
+                           normalize = true).as("codes"))
+    val ql = queries.select(col(idCol).as("query_id"),
+      NativeExprs.pqLut(col(vecCol).cast("array<double>"), codebooks, scaleBits,
+                        normalize = true).as("lut"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val cand = cc.join(broadcast(ql), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", NativeExprs.pqAdc(col("codes"), col("lut"), kCent))
+      .withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cosine"), 4).as("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * within each embedding CLUSTER, vectors whose cosine similarity to a

@@ -395,6 +395,59 @@ class NativeExprParitySpec extends SparkSpec {
       expr("transform(psL, p -> CAST(p AS INT))"), 3)).collect()
   }
 
+  test("pqEncode/pqLut/pqAdc native == HOF reference forms over the real corpus") {
+    import graft.operators.Similarity
+    val cb = Similarity.pqTrain(emb, dim = 64, m = 8, k = 16)
+    val m = 8; val kc = 16; val sd = 8; val bits = 20
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq) // [m][k][sd]
+    val vec = $"embedding".cast("array<double>")
+    def sub(mi: org.apache.spark.sql.Column) = slice(vec, mi * lit(sd) + lit(1), lit(sd))
+    // HOF encode: per subspace, distances to every centroid (left-assoc
+    // aggregate fold = the native loop's order), argmin via first position
+    // of the min (ties → lowest index, as native)
+    val distsOf = (mi: org.apache.spark.sql.Column) => transform(element_at(cbLit, mi + lit(1)),
+      c => aggregate(zip_with(sub(mi), c, (x, y) => (x - y) * (x - y)),
+                     lit(0.0), (a, v) => a + v))
+    val hofCodes = transform(sequence(lit(0), lit(m - 1)),
+      mi => (array_position(distsOf(mi), array_min(distsOf(mi))) - lit(1)).cast("int"))
+    val hofLut = flatten(transform(sequence(lit(0), lit(m - 1)),
+      mi => transform(element_at(cbLit, mi + lit(1)),
+        c => floor(aggregate(zip_with(sub(mi), c, (x, y) => x * y),
+                             lit(0.0), (a, v) => a + v)
+                   * lit(math.pow(2.0, bits)) + lit(0.5)).cast("long"))))
+    val rows = emb.select(
+        NativeExprs.pqEncode(vec, cb).as("nc"), hofCodes.as("hc"),
+        NativeExprs.pqLut(vec, cb, bits).as("nl"), hofLut.as("hl"))
+      .withColumn("na", NativeExprs.pqAdc($"nc", $"nl", kc))
+      .withColumn("ha", aggregate(
+        zip_with($"hc", sequence(lit(0), lit(m - 1)),
+                 (c, mi) => element_at($"hl", mi * lit(kc) + c + lit(1))),
+        lit(0L), (a, v) => a + v))
+      .as[(Seq[Int], Seq[Int], Seq[Long], Seq[Long], Long, Long)].collect()
+    rows.foreach { case (nc, hc, nl, hl, na, ha) =>
+      assert(nc == hc, "codes")
+      assert(nl == hl, "lut")
+      assert(na == ha, "adc score")
+    }
+    // every code in range; LUT length m·k
+    rows.foreach { case (nc, _, nl, _, _, _) =>
+      assert(nc.forall(c => c >= 0 && c < kc) && nl.length == m * kc)
+    }
+    // normalized path (the cosine lane): native normalize=true must equal
+    // the HOF forms fed an explicitly unit-normalized vector (same fold
+    // order: ascending squared sum, one sqrt, element-wise divide)
+    val n2 = aggregate(transform(vec, x => x * x), lit(0.0), (a, v) => a + v)
+    val unit = when(n2 > lit(0.0),
+                    transform(vec, x => x / sqrt(n2))).otherwise(vec)
+    val ndiff = emb.select(
+        NativeExprs.pqEncode(vec, cb, normalize = true).as("a"),
+        NativeExprs.pqEncode(unit, cb).as("b"),
+        NativeExprs.pqLut(vec, cb, bits, normalize = true).as("c"),
+        NativeExprs.pqLut(unit, cb, bits).as("d"))
+      .filter(not($"a" <=> $"b") || not($"c" <=> $"d")).count()
+    assert(ndiff == 0, "normalized native path must equal HOF-normalized input")
+  }
+
   test("htmlExtract: native scanner == independent regex reference; edge fixtures pinned") {
     import graft.functions.HtmlExtractExpr
 

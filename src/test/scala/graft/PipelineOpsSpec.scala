@@ -964,6 +964,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 prescreen recall $recall at candK=40")
   }
 
+  test("PQ ANN: deterministic training, exact at full candK, high recall at the cut") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 8)
+    val cb = Similarity.pqTrain(emb, dim = 64, m = 16, k = 32)
+    // training is bit-deterministic (fixed sample order, fold order, init)
+    val cb2 = Similarity.pqTrain(emb, dim = 64, m = 16, k = 32)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
+      "pqTrain must be bit-reproducible")
+    assert(cb.length == 16 && cb.forall(_.length == 32) &&
+           cb.forall(_.forall(_.length == 4)))
+    assert(cb.flatten.flatten.forall(_.isFinite))
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // candK covering the whole corpus ⇒ exact re-rank == brute force
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, queries, 5, candK = n, cb)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bruteFull = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == bruteFull, "full-candK PQ ANN must equal brute force")
+    // contract cut: 8-byte codes + fixed-point ADC keep the true neighbours
+    val cut = Similarity.pqTopK(emb, queries, 5, candK = 40, cb)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(cut).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ prescreen recall $recall at candK=40")
+  }
+
   test("cosine math matches an in-process oracle") {
     val rows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)))
       .toDF("vec_id", "embedding")

@@ -57,6 +57,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk_ivf",          // queries x bounded centroid table (cells ≤ nlist)
     "ann_incremental_ivf",   // batch/queries x the same bounded centroid table
     "ann_topk_quant",        // int8 prescreen lane: same bounded-query broadcast
+    "ann_topk_pq",           // PQ ADC prescreen: same bounded-query broadcast
     "ngram_jaccard_neardup") // direct branch, guarded by maxDirectBroadcastBytes
 
   test("no broadcast nested-loop join outside allow-listed brute-force lanes") {
