@@ -2164,6 +2164,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // learned unigram-LM model per (session identity, sfDir) — same train-once
+  // discipline and data-dependent-oracle plumbing as the BPE merges above
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), UnigramLm.Model]()
+  @volatile private var lastUnigramModel: Option[UnigramLm.Model] = None
+
+  private def unigramModelFor(s: SparkSession, dir: String): UnigramLm.Model = {
+    val m = unigramModelCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => UnigramLm.learn(t(s, dir, "documents")))
+    lastUnigramModel = Some(m)
+    m
+  }
+
+  /** Unigram-LM (SentencePiece-style) token stats ([[UnigramLm]]): a piece
+    * vocabulary with integer costs learned by fixed-round Viterbi-EM on the
+    * corpus's own word-type dictionary, applied per doc by the native
+    * expression (integer combined-key Viterbi — the (cost, n_pieces)
+    * optimum is exact and unique on both engines). The oracle replays the
+    * LEARNED vocabulary as literals through an unrolled per-position DP
+    * ([[UnigramLm.oracleTokenSql]]). */
+  private def unigramTokens(s: SparkSession, dir: String): DataFrame = {
+    val model = unigramModelFor(s, dir)
+    val st = graft.functions.NativeExprs.unigramStats(col("text"), model)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L)).as("n_words"),
+        coalesce(st.getField("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(st.getField("unigram_cost"), lit(0L)).as("unigram_cost"))
+      .orderBy("doc_id")
+  }
+
   private def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(t(s, dir, "embeddings"))
       .orderBy("label", "pos")
@@ -3603,6 +3634,7 @@ object SparkEntry {
     "map_agg_state_merge"  -> (mapAggStateMerge _),
     "html_extract"         -> (htmlExtractQ _),
     "ann_topk_pq"          -> (annTopKPq _),
+    "unigram_tokens"       -> (unigramTokens _),
   )
 
   // ----------------------------------------------------------------------
@@ -5887,6 +5919,16 @@ object SparkEntry {
                            CAST(NULL AS BIGINT) AS n_words,
                            CAST(NULL AS BIGINT) AS n_bpe_tokens,
                            CAST(NULL AS VARCHAR) AS enc_md5
+                    WHERE 1 = 0"""),
+
+    // Unigram-LM twin of the BPE pair: learned piece costs embedded as
+    // literals, Viterbi DP unrolled per prefix length (integer arithmetic
+    // end-to-end). Untrained fallback is schema-shaped but empty → loud.
+    "unigram_tokens" -> lastUnigramModel.map(UnigramLm.oracleTokenSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_words,
+                           CAST(NULL AS BIGINT) AS n_pieces,
+                           CAST(NULL AS BIGINT) AS unigram_cost
                     WHERE 1 = 0"""),
 
     // Learned-weights replay (data-dependent, like the BPE merges): margins

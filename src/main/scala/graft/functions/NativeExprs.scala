@@ -63,6 +63,14 @@ object NativeExprs {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeTokenCountExpr(expr(text), merges))
 
+  /** Per-doc unigram-LM Viterbi stats under a learned piece vocabulary:
+    * struct<n_pieces, unigram_cost> summed over `[a-z]+` word runs of the
+    * lowercased text; matches `UnigramLm.docTokenStats` / the unrolled-DP
+    * oracle exactly (integer combined-key DP, see
+    * [[graft.operators.UnigramLm]]). */
+  def unigramStats(text: Column, model: graft.operators.UnigramLm.Model): Column =
+    col(UnigramStatsExpr(expr(text), model))
+
   /** Distinct hashed character k-shingles of the NORMALIZED text; matches
     * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
     * Normalization is composed here so the two forms agree on raw input. */
@@ -510,6 +518,73 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
       while (m.find()) total += countWord(m.group())
     }
     total
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-document unigram-LM Viterbi stats: tokenize `[a-z]+` word runs of the
+  * lowercased text (the shared word basis), run the integer combined-key
+  * Viterbi DP per word under the learned vocabulary, sum the decomposed
+  * (n_pieces, cost) pair. Same word-walk as [[BpeTokenCountExpr]]; a
+  * per-partition word→key memo makes the DP cost ∝ DISTINCT words. Exact
+  * reference forms: `UnigramLm.viterbiKeyChain` (HOF DP, what the DuckDB
+  * oracle unrolls) and `UnigramLm.docTokenStats` (distinct-word join). */
+case class UnigramStatsExpr(child: Expression, model: graft.operators.UnigramLm.Model)
+    extends UnaryExpression with CodegenFallback {
+  import graft.operators.UnigramLm.KeyMul
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("unigram_cost", LongType, nullable = false)))
+
+  @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+  @transient private lazy val wordRe = java.util.regex.Pattern.compile("[a-z]+")
+  @transient private lazy val costOf = model.costOf
+
+  private def keyOf(w: String): Long = {
+    val hit = memo.get(w)
+    if (hit != null) return hit.longValue()
+    val k = graft.operators.UnigramLm.viterbiKey(w, costOf)
+    if (memo.size() >= (1 << 16)) memo.clear() // bound executor memory
+    memo.put(w, k)
+    k
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    var pieces = 0L
+    var cost = 0L
+    def add(w: String): Unit = {
+      val k = keyOf(w)
+      pieces += k % KeyMul
+      cost += k / KeyMul
+    }
+    if (t.numBytes() == t.numChars()) {
+      // ASCII fast path: byte-run tokenization == regex [a-z]+ over lower()
+      val bytes = t.getBytes
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i <= bytes.length) {
+        if (i < bytes.length) {
+          val c = bytes(i)
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+          if (lc >= 'a' && lc <= 'z') { sb.append(lc.toChar); i += 1 }
+          else {
+            if (sb.length > 0) { add(sb.toString); sb.setLength(0) }
+            i += 1
+          }
+        } else {
+          if (sb.length > 0) add(sb.toString)
+          i += 1
+        }
+      }
+    } else {
+      val m = wordRe.matcher(t.toLowerCase.toString)
+      while (m.find()) add(m.group())
+    }
+    val row = new GenericInternalRow(2)
+    row.setLong(0, pieces)
+    row.setLong(1, cost)
+    row
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
