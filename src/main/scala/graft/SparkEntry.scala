@@ -3409,6 +3409,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-domain cap + mixture sampling
+    * ([[graft.operators.Sampling.domainCappedSample]], the RefinedWeb
+    * discipline): no language may contribute more than ~60% of the mean
+    * per-lang share (all-integer boundary — no rational-threshold rounding
+    * hazard), then every source is downsampled to the minority source's
+    * POST-CAP count. Both stages rank by the engine-agnostic multiplicative
+    * hash, so the oracle replays the kept set integer-for-integer. */
+  private def domainCappedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // two-level aggregate (never a mixed distinct-agg Expand): lang counts,
+    // then their sum/count — total and nLang in one shuffle
+    val lr = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")), count(lit(1))).head()
+    val total = lr.getLong(0); val nLang = lr.getLong(1)
+    val cap = ((6L * total) / (10L * nLang) + 1L).toInt // Long div == floor (positive)
+    val capped = Sampling.stratifiedSample(docs, "lang", "doc_id", cap)
+    val counts = capped.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val kMin = counts.agg(min(col("n"))).head().getLong(0) // group-cardinality-sized
+    val targets = counts.select(col("source"), lit(kMin).as("k"))
+    Sampling.domainCappedSample(docs, "lang", cap, "source", "doc_id", targets)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           md5(concat_ws(",",
+             transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+             .cast("binary")).as("ids_md5"))
+      .orderBy("source", "lang")
+  }
+
   /** Duplicated-span removal ([[graft.operators.Dedup.removeDuplicatedSpans]]):
     * tokens covered by any cross-document duplicated 8-gram are masked and
     * the doc rebuilt; the oracle replays the hashed pipeline and re-derives
@@ -3635,6 +3663,7 @@ object SparkEntry {
     "html_extract"         -> (htmlExtractQ _),
     "ann_topk_pq"          -> (annTopKPq _),
     "unigram_tokens"       -> (unigramTokens _),
+    "domain_capped_sample" -> (domainCappedSampleQ _),
   )
 
   // ----------------------------------------------------------------------
@@ -6183,6 +6212,32 @@ object SparkEntry {
                CAST(5 + CASE WHEN wb >= 3 THEN 0 ELSE 1 END AS INT) AS n_blocks_dropped,
                CAST(length(ext) AS BIGINT) AS n_chars_extracted
         FROM f ORDER BY doc_id""",
+
+    // RefinedWeb-style per-domain cap + mixture: both rank stages replay the
+    // same multiplicative hash; the cap and the post-cap minority target are
+    // all-integer (// is DuckDB floordiv == positive Long division).
+    "domain_capped_sample" ->
+      s"""WITH lc AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                             CAST(count(DISTINCT lang) AS BIGINT) AS nlang
+                      FROM documents),
+          cap AS (SELECT (6 * total) // (10 * nlang) + 1 AS cap FROM lc),
+          r1 AS (SELECT doc_id, lang, source,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY (doc_id * ${Sampling.Knuth}) % 1000000007, doc_id) AS rn
+                 FROM documents),
+          capped AS (SELECT r1.doc_id, r1.lang, r1.source FROM r1, cap
+                     WHERE r1.rn <= cap.cap),
+          sc AS (SELECT source, count(*) AS n FROM capped GROUP BY source),
+          kmin AS (SELECT min(n) AS k FROM sc),
+          r2 AS (SELECT c.doc_id, c.lang, c.source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY (doc_id * ${Sampling.Knuth}) % 1000000007, doc_id) AS rn
+                 FROM capped c),
+          kept AS (SELECT r2.doc_id, r2.lang, r2.source FROM r2, kmin
+                   WHERE r2.rn <= kmin.k)
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept,
+                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+          FROM kept GROUP BY source, lang ORDER BY source, lang""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

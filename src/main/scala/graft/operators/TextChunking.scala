@@ -122,4 +122,21 @@ object Sampling {
       .filter(col("__rn") <= col(kCol))
       .drop("__rn", kCol)
   }
+
+  /** Per-domain hard-cap + mixture sampling — the RefinedWeb discipline: no
+    * single DOMAIN (url host, dump shard, language …) may contribute more
+    * than `cap` rows to the mixture, regardless of the per-GROUP targets.
+    * Stage 1 keeps each domain's `cap` smallest-hash rows
+    * ([[stratifiedSample]]); stage 2 applies the per-group targets over the
+    * capped survivors ([[mixtureSample]]) — so a template-flood domain is
+    * truncated BEFORE it can consume a group's budget. Both stages rank by
+    * the same engine-agnostic multiplicative hash: the kept set is
+    * partitioning-independent, and shrinking `cap` or any target yields a
+    * SUBSET of the larger sample. Two partitioned-window shuffles (domain,
+    * then group), each a plain hash repartition — no driver data path. */
+  def domainCappedSample(df: DataFrame, domainCol: String, cap: Int,
+                         groupCol: String, idCol: String,
+                         targets: DataFrame, kCol: String = "k"): DataFrame =
+    mixtureSample(stratifiedSample(df, domainCol, idCol, cap),
+                  groupCol, idCol, targets, kCol)
 }

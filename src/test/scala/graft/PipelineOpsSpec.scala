@@ -723,6 +723,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids(1000, 1000, 4).size == 200, "oversized target keeps everything")
   }
 
+  test("domainCappedSample: cap binds before targets; subsets; partition independence") {
+    // one flooded domain (d0: 160 rows) inside group "web"; two small
+    // domains (d1, d2: 20 each) split across "web" and "books"
+    val rows = (1 to 160).map(i => (i.toLong, "d0", "web")) ++
+      (161 to 180).map(i => (i.toLong, "d1", "web")) ++
+      (181 to 200).map(i => (i.toLong, "d2", "books"))
+    val df = rows.toDF("id", "dom", "src")
+    val targets = Seq(("web", 40L), ("books", 15L)).toDF("src", "k")
+    def sample(cap: Int, parts: Int) =
+      Sampling.domainCappedSample(df.repartition(parts), "dom", cap, "src", "id", targets)
+    val kept = sample(25, 4).select($"id", $"dom", $"src").as[(Long, String, String)].collect()
+    // cap enforcement: the flooded domain contributes at most `cap` rows,
+    // so "web" lands at min(k=40, 25 + 20) and d0 can never eat the budget
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("d0") <= 25, s"cap must bind on the flooded domain: $byDom")
+    assert(byDom.getOrElse("d1", 0) > 0, "small domain must survive the flood")
+    assert(kept.count(_._3 == "web") == 40 && kept.count(_._3 == "books") == 15,
+      "per-group targets still exact on the capped survivors")
+    // subset stability in BOTH knobs: shrinking the cap or the targets nests
+    val ids25 = kept.map(_._1).toSet
+    val ids10 = sample(10, 4).select($"id").as[Long].collect().toSet
+    assert(ids10.subsetOf(ids25), "smaller cap nests inside larger")
+    val smaller = Sampling.domainCappedSample(df, "dom", 25, "src", "id",
+        Seq(("web", 12L), ("books", 6L)).toDF("src", "k"))
+      .select($"id").as[Long].collect().toSet
+    assert(smaller.subsetOf(ids25), "smaller targets nest inside larger")
+    // partitioning must not change the kept set
+    assert(sample(25, 17).select($"id").as[Long].collect().toSet == ids25,
+      "partition independence")
+  }
+
   test("winsorizedStats: matches an in-process sort-and-clip reference; outliers tamed") {
     val rnd = new scala.util.Random(31)
     val rows: Seq[(String, java.lang.Double)] =
