@@ -427,6 +427,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** ClickHouse `groupArrayMovingSum(7)` analogue: trailing 7-event value
+    * sum per user on the `events_moving_avg` frame — same (ts, event_id)
+    * order, same exact-decimal frame sum surfaced through the digit string
+    * (no divide at all, so the whole column is float-free). */
+  private def eventsMovingSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-6, Window.currentRow)
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              count(lit(1)).over(w).as("n_window"),
+              sum(dv).over(w).cast("string").cast("double").as("msum"))
+      .orderBy("event_id")
+  }
+
   /** ClickHouse `deltaSum` per user: the sum of POSITIVE value increments
     * over the (ts, event_id)-ordered stream (counter-reset-tolerant rate
     * accounting). Deltas are exact decimal differences (value has ≤2
@@ -1390,6 +1406,29 @@ object SparkEntry {
            MapAgg.minMapMerge(col("ns")).as("nm"),
            MapAgg.maxMapMerge(col("xs")).as("xm"),
            MapAgg.sumMapMerge(col("ss")).as("sm"))
+      .select(col("grp"), size(col("cm")).cast("long").as("n_keys"),
+              mapDigest(col("cm")).as("count_map"),
+              mapDigest(col("nm")).as("min_map"),
+              mapDigest(col("xm")).as("max_map"),
+              mapDigest(col("sm")).as("sum_map"))
+      .orderBy("grp")
+  }
+
+  /** ClickHouse `sumMapFiltered`/`minMapFiltered`
+    * ([[graft.functions.MapAgg.sumMapFiltered]]): the map aggregation
+    * restricted to a key keep-list, applied at UPDATE time — dropped keys
+    * never enter a buffer or the shuffle (NOT a post-agg map_filter, which
+    * would carry every key through the exchange). Same cohort frame and
+    * digest contract as `map_agg_events`; DuckDB replays the filter as
+    * `WHERE k IN (…)`. */
+  private def mapAggFiltered(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MapAgg
+    val keep = Seq("click", "purchase")
+    mapAggEventsBase(s, dir).groupBy("grp")
+      .agg(MapAgg.sumMapFiltered(col("k"), lit(1L), keep).as("cm"),
+           MapAgg.minMapFiltered(col("k"), col("v"), keep).as("nm"),
+           MapAgg.maxMapFiltered(col("k"), col("v"), keep).as("xm"),
+           MapAgg.sumMapFiltered(col("k"), col("v"), keep).as("sm"))
       .select(col("grp"), size(col("cm")).cast("long").as("n_keys"),
               mapDigest(col("cm")).as("count_map"),
               mapDigest(col("nm")).as("min_map"),
@@ -3664,6 +3703,8 @@ object SparkEntry {
     "ann_topk_pq"          -> (annTopKPq _),
     "unigram_tokens"       -> (unigramTokens _),
     "domain_capped_sample" -> (domainCappedSampleQ _),
+    "map_agg_filtered"     -> (mapAggFiltered _),
+    "events_moving_sum"    -> (eventsMovingSum _),
   )
 
   // ----------------------------------------------------------------------
@@ -6238,6 +6279,34 @@ object SparkEntry {
           SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept,
                  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
           FROM kept GROUP BY source, lang ORDER BY source, lang""",
+
+    // sumMapFiltered family: the map_agg_events contract with the keep-list
+    // replayed as a key filter before aggregation.
+    "map_agg_filtered" ->
+      """WITH e AS (SELECT user_id % 20 AS grp, event_type AS k,
+                           CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
+                    FROM events WHERE event_type IN ('click', 'purchase')),
+         g AS (SELECT grp, k, count(*) AS cnt, min(v) AS mn, max(v) AS mx,
+                      CAST(sum(v) AS BIGINT) AS sm
+               FROM e GROUP BY 1, 2)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+                md5(string_agg(k || '=' || cnt, ',' ORDER BY k)) AS count_map,
+                md5(string_agg(k || '=' || mn, ',' ORDER BY k)) AS min_map,
+                md5(string_agg(k || '=' || mx, ',' ORDER BY k)) AS max_map,
+                md5(string_agg(k || '=' || sm, ',' ORDER BY k)) AS sum_map
+         FROM g GROUP BY grp ORDER BY grp""",
+
+    // groupArrayMovingSum(7): the moving-avg frame, decimal sum through the
+    // digit string, no divide — float-free end to end.
+    "events_moving_sum" ->
+      """SELECT event_id, user_id,
+                count(*) OVER w AS n_window,
+                CAST(CAST(sum(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)))
+                            OVER w AS VARCHAR) AS DOUBLE) AS msum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

@@ -48,6 +48,18 @@ object MapAgg {
   def maxMap(key: Column, value: Column): Column =
     col(KeyedMapAgg(expr(key), expr(value), Max).toAggregateExpression())
 
+  // --- filtered forms (ClickHouse sumMapFiltered / minMapFiltered /
+  // maxMapFiltered): only `keep` keys are aggregated. The filter applies at
+  // UPDATE time, so dropped keys never enter a buffer or the shuffle —
+  // equivalent to a pre-filter, packaged as the aggregate so ClickHouse
+  // call sites port one-to-one. ---
+  def sumMapFiltered(key: Column, value: Column, keep: Seq[String]): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Sum, keyFilter = keep).toAggregateExpression())
+  def minMapFiltered(key: Column, value: Column, keep: Seq[String]): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Min, keyFilter = keep).toAggregateExpression())
+  def maxMapFiltered(key: Column, value: Column, keep: Seq[String]): Column =
+    col(KeyedMapAgg(expr(key), expr(value), Max, keyFilter = keep).toAggregateExpression())
+
   // --- persisted STATE forms (ClickHouse sumMapState / sumMapMerge; the
   // AggregatingMergeTree discipline of §2 S3, same as uniqState/uniqMerge,
   // KLL, FI and the bitmaps): the state is an opaque BinaryType blob a
@@ -157,6 +169,7 @@ private[functions] object MapBuf {
   * inputs must be equal-length — ragged rows fail loudly. */
 case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
                        asState: Boolean = false,
+                       keyFilter: Seq[String] = Nil,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
@@ -165,6 +178,14 @@ case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
   // type checks must wait for analysis to resolve the children (a
   // constructor require would fire on unresolved VOID children)
   @transient private lazy val keyIsArray = left.dataType.isInstanceOf[ArrayType]
+  // empty = unfiltered (ClickHouse sumMapFiltered semantics otherwise)
+  @transient private lazy val keepSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](keyFilter.size * 2)
+    keyFilter.foreach(s.add)
+    s
+  }
+  @inline private def keeps(k: String): Boolean =
+    keyFilter.isEmpty || keepSet.contains(k)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = (left.dataType, right.dataType) match {
@@ -198,12 +219,16 @@ case class KeyedMapAgg(left: Expression, right: Expression, op: Int,
         s"mapAgg: ragged row — ${ks.numElements()} keys vs ${vs.numElements()} values")
       var i = 0
       while (i < ks.numElements()) {
-        if (!ks.isNullAt(i) && !vs.isNullAt(i))
-          MapBuf.fold(op, buf, ks.getUTF8String(i).toString, vs.getLong(i))
+        if (!ks.isNullAt(i) && !vs.isNullAt(i)) {
+          val key = ks.getUTF8String(i).toString
+          if (keeps(key)) MapBuf.fold(op, buf, key, vs.getLong(i))
+        }
         i += 1
       }
-    } else MapBuf.fold(op, buf, k.asInstanceOf[UTF8String].toString, // copy out
-                       v.asInstanceOf[Long])           // of the reused row
+    } else {
+      val key = k.asInstanceOf[UTF8String].toString // copy out of the reused row
+      if (keeps(key)) MapBuf.fold(op, buf, key, v.asInstanceOf[Long])
+    }
     buf
   }
 

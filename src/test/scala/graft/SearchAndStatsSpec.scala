@@ -326,6 +326,43 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(withNulls == Map(1 -> Map("a" -> 1L, "b" -> 2L)))
   }
 
+  test("mapAggFiltered: keep-list == pre-filter, scalar and array lanes, split-merge") {
+    import graft.functions.MapAgg
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (i % 5, s"k${rng.nextInt(8)}", rng.nextInt(1001).toLong - 500L)
+    }
+    val keep = Seq("k1", "k4", "k6")
+    val df = rows.toDF("g", "k", "v")
+    def collectMaps(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Int, Map[String, Long], Map[String, Long], Map[String, Long])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val filtered = collectMaps(df.repartition(9).groupBy("g")
+      .agg(MapAgg.sumMapFiltered(col("k"), col("v"), keep).as("s"),
+           MapAgg.minMapFiltered(col("k"), col("v"), keep).as("n"),
+           MapAgg.maxMapFiltered(col("k"), col("v"), keep).as("x")))
+    val preFiltered = collectMaps(df.filter(col("k").isin(keep: _*)).groupBy("g")
+      .agg(MapAgg.sumMap(col("k"), col("v")).as("s"),
+           MapAgg.minMap(col("k"), col("v")).as("n"),
+           MapAgg.maxMap(col("k"), col("v")).as("x")))
+    assert(filtered == preFiltered, "filtered agg must equal pre-filter + plain agg")
+    filtered.values.foreach { case (s, _, _) =>
+      assert(s.keySet.subsetOf(keep.toSet), "no key outside the keep-list")
+    }
+    // array lane honors the same filter element-wise
+    val arr = Seq((1, Seq("a", "b", "a", "c"), Seq(1L, 2L, 3L, 4L)))
+      .toDF("g", "ks", "vs").groupBy("g")
+      .agg(MapAgg.sumMapFiltered(col("ks"), col("vs"), Seq("a")).as("m"))
+      .as[(Int, Map[String, Long])].collect().toMap
+    assert(arr == Map(1 -> Map("a" -> 4L)))
+    // empty keep-list means UNFILTERED (the plain aggregate's spelling)
+    val unf = df.groupBy("g").agg(MapAgg.sumMapFiltered(col("k"), col("v"), Nil).as("m"))
+      .as[(Int, Map[String, Long])].collect().toMap
+    val plain = df.groupBy("g").agg(MapAgg.sumMap(col("k"), col("v")).as("m"))
+      .as[(Int, Map[String, Long])].collect().toMap
+    assert(unf == plain)
+  }
+
   test("mapAgg STATES: persisted-state re-merge == one-shot; parquet roundtrip; compaction") {
     import graft.functions.MapAgg
     val rng = new scala.util.Random(11)
