@@ -82,7 +82,12 @@ def main():
         print(f"{status}: {len(rows)}"
               + ("" if status == "MATCH" or not rows
                  else "  [" + ", ".join(n for n, _ in rows) + "]"))
+    # TRUE gate: FAIL or NO_DUMP is red. TIMEOUT is tolerated — those are
+    # the known-intractable pair-join SQLs, and tools/run_fullscale.sh pairs
+    # this sweep with RecallCheck, which verifies those lanes EXACTLY on the
+    # Spark side (and itself exits 1 on any divergence).
+    return 1 if (results.get("FAIL") or results.get("NO_DUMP")) else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
