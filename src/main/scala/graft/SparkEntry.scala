@@ -1062,6 +1062,44 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** ClickHouse `welchTTest` / `studentTTest`: two-sample location tests of
+    * value between the even/odd user cohorts per event_type. Cohort sums
+    * and sums-of-squares are decimal-exact via the string route (the
+    * agg_moments technique; squares of 2-decimal values are exact 4-decimal
+    * decimals); every downstream op — means, variances, both t statistics
+    * and the Welch–Satterthwaite df — is one pinned IEEE sequence mirrored
+    * verbatim in SQL, so the doubles reproduce bit-for-bit (each IEEE
+    * op is correctly rounded; identical inputs + identical tree =
+    * identical bits). One conditional-aggregate shuffle, no Expand. */
+  private def abTTestValue(s: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    def d2d(c: Column) = c.cast("string").cast("double")
+    val isA = pmod(col("user_id"), lit(2)) === 0
+    val g = t(s, dir, "events")
+      .select(col("event_type"), isA.as("a"), dv.as("d"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("a"), 1)).as("n_a"),
+           count(when(!col("a"), 1)).as("n_b"),
+           d2d(sum(when(col("a"), col("d")))).as("sa"),
+           d2d(sum(when(col("a"), col("d") * col("d")))).as("saa"),
+           d2d(sum(when(!col("a"), col("d")))).as("sb"),
+           d2d(sum(when(!col("a"), col("d") * col("d")))).as("sbb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sa") / na; val mb = col("sb") / nb
+    val va = (col("saa") - col("sa") * ma) / (na - lit(1.0))
+    val vb = (col("sbb") - col("sb") * mb) / (nb - lit(1.0))
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    val tW = (ma - mb) / sqrt(se2)
+    val dfW = se2 * se2 / (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    val sp2 = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) / (na + nb - lit(2.0))
+    val tS = (ma - mb) / sqrt(sp2 * (lit(1.0) / na + lit(1.0) / nb))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+             ma.as("mean_a"), mb.as("mean_b"),
+             tW.as("t_welch"), dfW.as("df_welch"), tS.as("t_student"))
+      .orderBy("event_type")
+  }
+
   /** Equi-width histogram (ClickHouse `histogram`-style, fixed 10 bins over
     * the observed [min, max] per type). Bin math is one pinned IEEE
     * sequence over exact bounds; the top edge folds into the last bin. */
@@ -3767,6 +3805,7 @@ object SparkEntry {
     "domain_capped_sample" -> (domainCappedSampleQ _),
     "map_agg_filtered"     -> (mapAggFiltered _),
     "events_moving_sum"    -> (eventsMovingSum _),
+    "ab_ttest_value"       -> (abTTestValue _),
   )
 
   // ----------------------------------------------------------------------
@@ -6369,6 +6408,47 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // Welch/Student two-sample t-tests: decimal-exact cohort sums (squares
+    // of 2-decimal values are exact 4-decimal decimals), then the IDENTICAL
+    // pinned IEEE expression tree as the engine — every op correctly
+    // rounded, so t and df match bit-for-bit (the corr_value_hour pattern).
+    "ab_ttest_value" ->
+      """WITH dv AS (
+           SELECT event_type, (user_id % 2 = 0) AS a,
+                  CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d
+           FROM events),
+         s AS (
+           SELECT event_type,
+                  count(CASE WHEN a THEN 1 END) AS n_a,
+                  count(CASE WHEN NOT a THEN 1 END) AS n_b,
+                  CAST(CAST(sum(CASE WHEN a THEN d END) AS VARCHAR) AS DOUBLE) AS sa,
+                  CAST(CAST(sum(CASE WHEN a THEN d * d END) AS VARCHAR) AS DOUBLE) AS saa,
+                  CAST(CAST(sum(CASE WHEN NOT a THEN d END) AS VARCHAR) AS DOUBLE) AS sb,
+                  CAST(CAST(sum(CASE WHEN NOT a THEN d * d END) AS VARCHAR) AS DOUBLE) AS sbb
+           FROM dv GROUP BY event_type),
+         m AS (
+           SELECT event_type, n_a, n_b, sa, sb, saa, sbb,
+                  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                  sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb
+           FROM s),
+         v AS (
+           SELECT event_type, n_a, n_b, na, nb, ma, mb,
+                  (saa - sa * ma) / (na - 1.0) AS va,
+                  (sbb - sb * mb) / (nb - 1.0) AS vb
+           FROM m),
+         w AS (
+           SELECT event_type, n_a, n_b, na, nb, ma, mb, va, vb,
+                  va / na AS sea, vb / nb AS seb,
+                  (va / na) + (vb / nb) AS se2
+           FROM v)
+         SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                ma AS mean_a, mb AS mean_b,
+                (ma - mb) / sqrt(se2) AS t_welch,
+                (se2 * se2) / (((sea * sea) / (na - 1.0)) + ((seb * seb) / (nb - 1.0))) AS df_welch,
+                (ma - mb) / sqrt(((((na - 1.0) * va) + ((nb - 1.0) * vb)) / ((na + nb) - 2.0))
+                                 * ((1.0 / na) + (1.0 / nb))) AS t_student
+         FROM w ORDER BY event_type""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

@@ -326,6 +326,41 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(withNulls == Map(1 -> Map("a" -> 1L, "b" -> 2L)))
   }
 
+  test("ab_ttest_value: statistics match an independent textbook computation") {
+    // independent reference: plain Scala means/variances (Welch 1947 /
+    // Student pooled formulas), NOT the query's pinned sum-of-squares tree
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+      .as[(String, Long, Double)].collect()
+    val got = SparkEntry.queries("ab_ttest_value")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      // mirror the engine's decimal quantization of the measure (2 digits)
+      def q(d: Double) = BigDecimal(d.toString).setScale(2).toDouble
+      val a = rs.filter(_._2 % 2 == 0).map(t => q(t._3))
+      val b = rs.filter(_._2 % 2 != 0).map(t => q(t._3))
+      def meanVar(xs: Seq[Double]) = {
+        val m = xs.sum / xs.size
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+      }
+      val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+      val se2 = va / a.size + vb / b.size
+      val tW = (ma - mb) / math.sqrt(se2)
+      val dfW = se2 * se2 / (math.pow(va / a.size, 2) / (a.size - 1) +
+                             math.pow(vb / b.size, 2) / (b.size - 1))
+      val sp2 = ((a.size - 1) * va + (b.size - 1) * vb) / (a.size + b.size - 2)
+      val tS = (ma - mb) / math.sqrt(sp2 * (1.0 / a.size + 1.0 / b.size))
+      val (na, nb, gtW, gdfW, gtS) = got(et)
+      assert(na == a.size && nb == b.size, s"$et cohort sizes")
+      // different summation orders → agreement to numerical tolerance only
+      assert(math.abs(gtW - tW) < 1e-6, s"$et welch t: $gtW vs $tW")
+      assert(math.abs(gdfW - dfW) < 1e-3, s"$et welch df: $gdfW vs $dfW")
+      assert(math.abs(gtS - tS) < 1e-6, s"$et student t: $gtS vs $tS")
+    }
+  }
+
   test("mapAggFiltered: keep-list == pre-filter, scalar and array lanes, split-merge") {
     import graft.functions.MapAgg
     val rng = new scala.util.Random(11)
