@@ -2434,6 +2434,8 @@ object SparkEntry {
     quantScalesFor(s, dir) // learned int8 scales: one corpus pass, reused by every probe
     qcWeightsFor(s, dir)   // trained classifier weights: a model is the canonical
                            // ingest-time artifact — scoring is the steady-state op
+    bpeMergesFor(s, dir)   // learned tokenizer models: same artifact class —
+    unigramModelFor(s, dir) // trained once per corpus, applied per query
     // the shared MinHash pair list is the same class of corpus artifact as
     // the LSH index above — every consumer (clustering, leakage split,
     // incremental fold) reads the one materialization, so the first
