@@ -1100,6 +1100,78 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Chi-squared independence test (event_type × 3-way user cohort): are a
+    * type's cohort proportions consistent with the corpus-wide cohort
+    * margins? Cells and margins are exact integer conditional counts
+    * (pivoted into COLUMNS, so the χ² is one pinned per-row IEEE tree —
+    * there is no float summation across rows anywhere, the hazard that
+    * makes a naive Σ(o−e)²/e partition-order-dependent). The 95% df=2 gate
+    * (5.991) rides enormous headroom on a bit-identical statistic. */
+  private def chi2CohortUniformity(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), pmod(col("user_id"), lit(3)).as("c"))
+    val cells = ev.groupBy(col("event_type"))
+      .agg(count(when(col("c") === 0, 1)).as("n0"),
+           count(when(col("c") === 1, 1)).as("n1"),
+           count(when(col("c") === 2, 1)).as("n2"))
+    val margins = ev.agg(count(when(col("c") === 0, 1)).as("m0"),
+                         count(when(col("c") === 1, 1)).as("m1"),
+                         count(when(col("c") === 2, 1)).as("m2"),
+                         count(lit(1)).as("mt"))
+    val rowN = (col("n0") + col("n1") + col("n2")).cast("double")
+    def term(n: Column, m: Column) = {
+      val e = rowN * (m.cast("double") / col("mt").cast("double"))
+      (n.cast("double") - e) * (n.cast("double") - e) / e
+    }
+    val chi2 = term(col("n0"), col("m0")) + term(col("n1"), col("m1")) +
+               term(col("n2"), col("m2"))
+    cells.crossJoin(broadcast(margins))
+      .select(col("event_type"), col("n0"), col("n1"), col("n2"),
+              chi2.as("chi2"), (chi2 > lit(5.991)).as("nonuniform"))
+      .orderBy("event_type")
+  }
+
+  /** Mann-Whitney U test (ClickHouse `mannWhitneyUTest`): rank-based
+    * two-sample test of value between the even/odd user cohorts per
+    * event_type. DOUBLED midranks keep tie handling integer-exact
+    * (2·midrank = first + last = 2·rank + tiecount − 1), so 2R_A, 2U_A and
+    * the tie-correction term Σ(t³−t) are exact BIGINTs on both engines;
+    * only the final normal approximation is float — one pinned IEEE tree
+    * over integer-valued doubles, bit-identical. */
+  private def mannWhitneyValue(s: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), (pmod(col("user_id"), lit(2)) === 0).as("a"),
+              dv.as("d"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    // peers-count via a RANGE current-row frame: same partitioning+order as
+    // the rank window, so both ride ONE exchange (a partitionBy(type, d)
+    // count would demand its own)
+    val wTie = wRank.rangeBetween(Window.currentRow, Window.currentRow)
+    val ranked = ev
+      .withColumn("mr2", rank().over(wRank) * 2 + count(lit(1)).over(wTie) - 1)
+    val sums = ranked.groupBy(col("event_type"))
+      .agg(count(when(col("a"), 1)).as("n_a"),
+           count(when(!col("a"), 1)).as("n_b"),
+           sum(when(col("a"), col("mr2"))).as("r2a"))
+    val ties = ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val ua = (col("r2a").cast("double") - na * (na + lit(1.0))) / lit(2.0)
+    val mu = (na * nb) / lit(2.0)
+    val sg = sqrt(((na * nb) / lit(12.0)) *
+      ((nn + lit(1.0)) - (col("tie3").cast("double") / (nn * (nn - lit(1.0))))))
+    val z = (ua - mu) / sg
+    sums.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+              (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+              col("tie3"), z.as("z"), (abs(z) > lit(1.96)).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Equi-width histogram (ClickHouse `histogram`-style, fixed 10 bins over
     * the observed [min, max] per type). Bin math is one pinned IEEE
     * sequence over exact bounds; the top edge folds into the last bin. */
@@ -3808,6 +3880,8 @@ object SparkEntry {
     "map_agg_filtered"     -> (mapAggFiltered _),
     "events_moving_sum"    -> (eventsMovingSum _),
     "ab_ttest_value"       -> (abTTestValue _),
+    "chi2_cohort"          -> (chi2CohortUniformity _),
+    "mannwhitney_value"    -> (mannWhitneyValue _),
   )
 
   // ----------------------------------------------------------------------
@@ -6451,6 +6525,75 @@ object SparkEntry {
                 (ma - mb) / sqrt(((((na - 1.0) * va) + ((nb - 1.0) * vb)) / ((na + nb) - 2.0))
                                  * ((1.0 / na) + (1.0 / nb))) AS t_student
          FROM w ORDER BY event_type""",
+
+    // Chi-squared cohort-uniformity: integer cells/margins pivoted to
+    // columns; the statistic is the engine's pinned per-row tree verbatim —
+    // no cross-row float summation exists on either side.
+    "chi2_cohort" ->
+      """WITH ev AS (SELECT event_type, user_id % 3 AS c FROM events),
+         cells AS (SELECT event_type,
+                          count(CASE WHEN c = 0 THEN 1 END) AS n0,
+                          count(CASE WHEN c = 1 THEN 1 END) AS n1,
+                          count(CASE WHEN c = 2 THEN 1 END) AS n2
+                   FROM ev GROUP BY event_type),
+         m AS (SELECT count(CASE WHEN c = 0 THEN 1 END) AS m0,
+                      count(CASE WHEN c = 1 THEN 1 END) AS m1,
+                      count(CASE WHEN c = 2 THEN 1 END) AS m2,
+                      count(*) AS mt FROM ev),
+         j AS (SELECT cells.event_type, cells.n0, cells.n1, cells.n2,
+                      CAST(cells.n0 + cells.n1 + cells.n2 AS DOUBLE) AS rn,
+                      m.m0, m.m1, m.m2, m.mt
+               FROM cells, m),
+         e AS (SELECT event_type, n0, n1, n2, rn,
+                      rn * (CAST(m0 AS DOUBLE) / CAST(mt AS DOUBLE)) AS e0,
+                      rn * (CAST(m1 AS DOUBLE) / CAST(mt AS DOUBLE)) AS e1,
+                      rn * (CAST(m2 AS DOUBLE) / CAST(mt AS DOUBLE)) AS e2
+               FROM j),
+         t AS (SELECT event_type, n0, n1, n2,
+                      ((CAST(n0 AS DOUBLE) - e0) * (CAST(n0 AS DOUBLE) - e0) / e0
+                       + (CAST(n1 AS DOUBLE) - e1) * (CAST(n1 AS DOUBLE) - e1) / e1)
+                       + (CAST(n2 AS DOUBLE) - e2) * (CAST(n2 AS DOUBLE) - e2) / e2 AS chi2
+               FROM e)
+         SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                CAST(n2 AS BIGINT) AS n2, chi2, chi2 > 5.991 AS nonuniform
+         FROM t ORDER BY event_type""",
+
+    // Mann-Whitney U: doubled midranks (2·rank + peers − 1) keep ties
+    // integer-exact; 2R_A, 2U_A and Σ(t³−t) are exact BIGINTs, and the
+    // normal approximation is the engine's pinned tree verbatim.
+    "mannwhitney_value" ->
+      """WITH ev AS (SELECT event_type, (user_id % 2 = 0) AS a,
+                            CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d
+                     FROM events),
+         r AS (SELECT event_type, a,
+                      rank() OVER (PARTITION BY event_type ORDER BY d) * 2
+                        + count(*) OVER (PARTITION BY event_type ORDER BY d
+                            RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS mr2
+               FROM ev),
+         s AS (SELECT event_type,
+                      count(CASE WHEN a THEN 1 END) AS n_a,
+                      count(CASE WHEN NOT a THEN 1 END) AS n_b,
+                      CAST(sum(CASE WHEN a THEN mr2 END) AS BIGINT) AS r2a
+               FROM r GROUP BY 1),
+         tt AS (SELECT event_type, CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+                FROM (SELECT event_type, d, count(*) AS t FROM ev GROUP BY 1, 2) g
+                GROUP BY 1),
+         j AS (SELECT s.event_type, s.n_a, s.n_b, s.r2a, tt.tie3,
+                      CAST(s.n_a AS DOUBLE) AS na, CAST(s.n_b AS DOUBLE) AS nb
+               FROM s JOIN tt USING (event_type)),
+         f AS (SELECT event_type, n_a, n_b, r2a, tie3, na, nb, na + nb AS nn,
+                      (CAST(r2a AS DOUBLE) - na * (na + 1.0)) / 2.0 AS ua,
+                      (na * nb) / 2.0 AS mu
+               FROM j),
+         z AS (SELECT event_type, n_a, n_b, r2a, tie3,
+                      (ua - mu)
+                        / sqrt(((na * nb) / 12.0)
+                               * ((nn + 1.0) - (CAST(tie3 AS DOUBLE) / (nn * (nn - 1.0))))) AS z
+               FROM f)
+         SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie3,
+                z, abs(z) > 1.96 AS significant
+         FROM z ORDER BY event_type""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

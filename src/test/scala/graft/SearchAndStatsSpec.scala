@@ -361,6 +361,53 @@ class SearchAndStatsSpec extends SparkSpec {
     }
   }
 
+  test("chi2_cohort and mannwhitney_value match independent textbook computations") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+      .as[(String, Long, Double)].collect()
+    def q(d: Double) = BigDecimal(d.toString).setScale(2).toDouble
+    val byType = rows.groupBy(_._1)
+
+    // chi2: textbook Σ(o−e)²/e against global cohort margins
+    val margins = Array(0, 1, 2).map(c => rows.count(_._2 % 3 == c).toDouble)
+    val total = rows.size.toDouble
+    val chi2Got = SparkEntry.queries("chi2_cohort")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    byType.foreach { case (et, rs) =>
+      val obs = Array(0, 1, 2).map(c => rs.count(_._2 % 3 == c).toDouble)
+      val rowN = obs.sum
+      val want = (0 to 2).map { c =>
+        val e = rowN * margins(c) / total
+        (obs(c) - e) * (obs(c) - e) / e
+      }.sum
+      assert(math.abs(chi2Got(et) - want) < 1e-8, s"$et chi2: ${chi2Got(et)} vs $want")
+    }
+
+    // Mann-Whitney: brute midranks + tie-corrected normal approximation
+    val mwGot = SparkEntry.queries("mannwhitney_value")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(5))).toMap
+    byType.foreach { case (et, rs) =>
+      val vals = rs.map(t => (q(t._3), t._2 % 2 == 0))
+      val sorted = vals.sortBy(_._1)
+      // midrank of each row = average 1-based position of its tie group
+      val midrank = sorted.zipWithIndex.groupBy(_._1._1).map { case (v, g) =>
+        v -> g.map(_._2 + 1).sum.toDouble / g.size
+      }
+      val aVals = vals.filter(_._2)
+      val na = aVals.size.toDouble; val nb = vals.size - na; val nn = na + nb
+      val rA = aVals.map(v => midrank(v._1)).sum
+      val uA = rA - na * (na + 1) / 2
+      val tie3 = vals.groupBy(_._1).values.map(_.size.toDouble)
+        .map(t => t * t * t - t).sum
+      val sg = math.sqrt(na * nb / 12.0 * ((nn + 1) - tie3 / (nn * (nn - 1))))
+      val zWant = (uA - na * nb / 2) / sg
+      val (u2Got, zGot) = mwGot(et)
+      assert(u2Got == math.round(2 * uA), s"$et 2U: $u2Got vs ${2 * uA}")
+      assert(math.abs(zGot - zWant) < 1e-9, s"$et z: $zGot vs $zWant")
+    }
+  }
+
   test("mapAggFiltered: keep-list == pre-filter, scalar and array lanes, split-merge") {
     import graft.functions.MapAgg
     val rng = new scala.util.Random(11)
