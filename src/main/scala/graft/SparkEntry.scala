@@ -1143,21 +1143,25 @@ object SparkEntry {
     val ev = t(s, dir, "events")
       .select(col("event_type"), (pmod(col("user_id"), lit(2)) === 0).as("a"),
               dv.as("d"))
-    val wRank = Window.partitionBy(col("event_type")).orderBy(col("d"))
-    // peers-count via a RANGE current-row frame: same partitioning+order as
-    // the rank window, so both ride ONE exchange (a partitionBy(type, d)
-    // count would demand its own)
-    val wTie = wRank.rangeBetween(Window.currentRow, Window.currentRow)
-    val ranked = ev
-      .withColumn("mr2", rank().over(wRank) * 2 + count(lit(1)).over(wTie) - 1)
-    val sums = ranked.groupBy(col("event_type"))
-      .agg(count(when(col("a"), 1)).as("n_a"),
-           count(when(!col("a"), 1)).as("n_b"),
-           sum(when(col("a"), col("mr2"))).as("r2a"))
-    val ties = ev.groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("t"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    // 100-TB shape: the EVENT-sized frame passes exactly one map-side-
+    // combined groupBy; ranking happens on the tie-GROUP frame (distinct
+    // values per type — bounded by the measure's quantized domain, not the
+    // row count), where a per-type window is calendar-class small. A
+    // row-level rank window partitioned by 5 event types would funnel the
+    // whole table through 5 tasks. With [first, last] the positions of a
+    // tie group, Σ_A 2·midrank = Σ_groups cntA·(first+last)
+    // = Σ cntA·(2·cumBefore + cnt + 1) — integer-exact throughout.
+    val g = ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("a"), 1)).as("cnt_a"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = g.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    val sums = grouped.groupBy(col("event_type"))
+      .agg(sum(col("cnt_a")).as("n_a"),
+           sum(col("cnt") - col("cnt_a")).as("n_b"),
+           sum(col("cnt_a") * (col("cum_before") * 2 + col("cnt") + 1)).as("r2a"),
+           sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val nn = na + nb
     val ua = (col("r2a").cast("double") - na * (na + lit(1.0))) / lit(2.0)
@@ -1165,7 +1169,7 @@ object SparkEntry {
     val sg = sqrt(((na * nb) / lit(12.0)) *
       ((nn + lit(1.0)) - (col("tie3").cast("double") / (nn * (nn - lit(1.0))))))
     val z = (ua - mu) / sg
-    sums.join(ties, Seq("event_type"))
+    sums
       .select(col("event_type"), col("n_a"), col("n_b"),
               (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
               col("tie3"), z.as("z"), (abs(z) > lit(1.96)).as("significant"))
