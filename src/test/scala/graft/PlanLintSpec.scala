@@ -44,7 +44,10 @@ class PlanLintSpec extends SparkSpec {
     "q15_top_supplier",    // 1-row max-revenue bound joins back
     "q18_large_orders",    // global TakeOrdered boundary (as top10_customers)
     "q21_waiting_supplier", // global TakeOrdered boundary (top-100 numwait)
-    "q22_sales_opportunity") // 1-row avg-balance bound seeds the filter
+    "q22_sales_opportunity", // 1-row avg-balance bound seeds the filter
+    "chi2_cohort")         // 1-row cohort-margin frame seeds the expected
+                           // counts (the bm25_search corpus-stats pattern);
+                           // cell counts upstream aggregate distributed
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct
