@@ -975,6 +975,23 @@ object SparkEntry {
     TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Chunk-level cross-document dedup ([[Dedup.chunkLevelDedup]], the
+    * CCNet/RefinedWeb line-dedup stage at chunk granularity) over the SAME
+    * chunk stream as `doc_chunks` — the oracle reproduces the chunks (the
+    * proven doc_chunks SQL) and replays the ≥2-distinct-docs rule on md5
+    * digests. Wordless docs come back via a left join as (0, 0, md5("")). */
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val stats = Dedup.chunkLevelDedup(
+      TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+              coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+              coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy context-window packing of the same chunk stream
     * ([[TextChunking.packChunks]]); the oracle replays the integer
     * recurrence as a recursive CTE. */
@@ -3886,6 +3903,7 @@ object SparkEntry {
     "ab_ttest_value"       -> (abTTestValue _),
     "chi2_cohort"          -> (chi2CohortUniformity _),
     "mannwhitney_value"    -> (mannWhitneyValue _),
+    "chunk_dedup"          -> (chunkDedup _),
   )
 
   // ----------------------------------------------------------------------
@@ -6598,6 +6616,30 @@ object SparkEntry {
                 CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie3,
                 z, abs(z) > 1.96 AS significant
          FROM z ORDER BY event_type""",
+
+    // Chunk-level cross-doc dedup: the doc_chunks stream reproduced, md5
+    // digests grouped, the ≥2-distinct-docs rule replayed. string_agg over
+    // an all-dup doc is NULL → coalesce('') (the documented DuckDB trap).
+    "chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                    FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+         c AS (SELECT doc_id, CAST(s.start / 48 AS INT) AS chunk_idx,
+                      md5(array_to_string(list_slice(toks, s.start + 1, s.start + 64), ' ')) AS dg
+               FROM d, LATERAL (SELECT unnest(range(0, len(toks), 48)) AS start) s),
+         dup AS (SELECT dg FROM (SELECT dg, count(DISTINCT doc_id) AS nd
+                                 FROM c GROUP BY dg) x WHERE nd >= 2),
+         j AS (SELECT c.doc_id, c.chunk_idx, (dup.dg IS NOT NULL) AS isdup
+               FROM c LEFT JOIN dup USING (dg)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                        CAST(count(CASE WHEN isdup THEN 1 END) AS BIGINT) AS n_dup_chunks,
+                        md5(coalesce(string_agg(CASE WHEN NOT isdup
+                              THEN CAST(chunk_idx AS VARCHAR) END, ',' ORDER BY chunk_idx),
+                            '')) AS kept_md5
+                 FROM j GROUP BY doc_id)
+         SELECT doc.doc_id, COALESCE(agg.n_chunks, 0) AS n_chunks,
+                COALESCE(agg.n_dup_chunks, 0) AS n_dup_chunks,
+                COALESCE(agg.kept_md5, md5('')) AS kept_md5
+         FROM documents doc LEFT JOIN agg USING (doc_id) ORDER BY doc.doc_id""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

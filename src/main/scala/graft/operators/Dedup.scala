@@ -56,6 +56,35 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** CCNet/RefinedWeb-style LINE-level exact dedup at chunk granularity:
+    * a chunk is DUPLICATED when its md5 digest appears in ≥ 2 DISTINCT
+    * documents (intra-document repeats are the document's own structure and
+    * are kept — cross-corpus boilerplate is what this stage removes).
+    * Returns per-doc (n_chunks, n_dup_chunks, kept_md5 — digest of the
+    * surviving chunk indexes in order).
+    *
+    * Scale shape (the exact-dedup discipline): only (digest, doc_id) pairs
+    * shuffle — chunk TEXT never leaves its scan task; the duplicated-digest
+    * table is digest-keyed and joined back on the digest. Three shuffles
+    * total (distinct, digest groupBy, per-doc groupBy). */
+  def chunkLevelDedup(chunks: DataFrame, idCol: String = "doc_id",
+                      idxCol: String = "chunk_idx",
+                      textCol: String = "chunk_text"): DataFrame = {
+    val digested = chunks.select(col(idCol), col(idxCol),
+      md5(col(textCol).cast("binary")).as("__d"))
+    val dupDigests = digested.select(col("__d"), col(idCol)).distinct()
+      .groupBy(col("__d")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__d"), col("__nd"))
+    digested.join(dupDigests, Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+           count(col("__nd")).as("n_dup_chunks"), // non-null = duplicated
+           md5(concat_ws(",",
+             transform(sort_array(collect_list(when(col("__nd").isNull, col(idxCol)))),
+               _.cast("string"))).cast("binary")).as("kept_md5"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct character k-shingles of the normalized text, pre-hashed into the

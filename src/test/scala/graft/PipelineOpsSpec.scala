@@ -723,6 +723,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids(1000, 1000, 4).size == 200, "oversized target keeps everything")
   }
 
+  test("chunkLevelDedup: cross-doc rule, intra-doc repeats kept, digest contract") {
+    // chunks planted directly (the operator is chunk-granular): "shared"
+    // appears in docs 1+2 (duplicated), "solo" only in doc 1, "twice"
+    // twice WITHIN doc 3 (intra-doc repeat — kept by the cross-doc rule)
+    val chunks = Seq(
+      (1L, 0, "shared boilerplate"), (1L, 1, "solo content"),
+      (2L, 0, "shared boilerplate"), (2L, 1, "other content"),
+      (3L, 0, "twice"), (3L, 1, "twice"), (3L, 2, "tail")
+    ).toDF("doc_id", "chunk_idx", "chunk_text")
+    val got = Dedup.chunkLevelDedup(chunks)
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (3L, 0L)),
+      s"cross-doc duplication rule: $got")
+    // digest covers exactly the kept indexes, in order
+    val md5Doc1 = Dedup.chunkLevelDedup(chunks).filter($"doc_id" === 1)
+      .select($"kept_md5").as[String].head()
+    val expect = Seq("1").mkString(",") // chunk 0 dropped, chunk 1 kept
+    assert(md5Doc1 == java.security.MessageDigest.getInstance("MD5")
+      .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // partition independence
+    val got13 = Dedup.chunkLevelDedup(chunks.repartition(13))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got13 == got)
+    // the real corpus actually exercises the dup path (planted dup docs)
+    val real = Dedup.chunkLevelDedup(graft.operators.TextChunking.chunk(
+        Tables.documents(spark, "/root/testdata/sf0.001"), 64, 16))
+      .agg(sum($"n_dup_chunks")).as[Long].head()
+    assert(real > 0, "corpus fixture must contain duplicated chunks")
+  }
+
   test("domainCappedSample: cap binds before targets; subsets; partition independence") {
     // one flooded domain (d0: 160 rows) inside group "web"; two small
     // domains (d1, d2: 20 each) split across "web" and "books"
