@@ -1154,7 +1154,9 @@ object SparkEntry {
     * (2·midrank = first + last = 2·rank + tiecount − 1), so 2R_A, 2U_A and
     * the tie-correction term Σ(t³−t) are exact BIGINTs on both engines;
     * only the final normal approximation is float — one pinned IEEE tree
-    * over integer-valued doubles, bit-identical. */
+    * over integer-valued doubles, bit-identical. 2R_A grows as N² per
+    * group: long accumulation is exact to ~3·10⁹ rows per event_type;
+    * beyond that the sums must move to DECIMAL(38,0). */
   private def mannWhitneyValue(s: SparkSession, dir: String): DataFrame = {
     val dv = col("value").cast("string").cast("decimal(12,2)")
     val ev = t(s, dir, "events")
@@ -2451,19 +2453,22 @@ object SparkEntry {
     import java.nio.file.{Files, Path, Paths}
     val from = Paths.get(src); val to = Paths.get(dst)
     Files.createDirectories(to)
-    val it = Files.walk(from).iterator()
-    while (it.hasNext) {
-      val p: Path = it.next()
-      val rel = from.relativize(p)
-      if (rel.toString.nonEmpty) {
-        val target = to.resolve(rel)
-        if (Files.isDirectory(p)) Files.createDirectories(target)
-        else
-          try Files.createLink(target, p)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(p, target) }
+    val walk = Files.walk(from)
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val p: Path = it.next()
+        val rel = from.relativize(p)
+        if (rel.toString.nonEmpty) {
+          val target = to.resolve(rel)
+          if (Files.isDirectory(p)) Files.createDirectories(target)
+          else
+            try Files.createLink(target, p)
+            catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, target) }
+        }
       }
-    }
+    } finally walk.close()
   }
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
