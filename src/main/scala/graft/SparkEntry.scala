@@ -975,14 +975,23 @@ object SparkEntry {
     TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** The corpus chunk stream as a per-(session,dir) ingest artifact: chunk
+    * CONSUMERS (packing, chunk dedup) read the one materialization — in
+    * production the chunk table is a persisted intermediate written when
+    * docs arrive (the newBatchPairs discipline). `doc_chunks` itself still
+    * computes chunking live: it IS the chunking operator's demo. */
+  private def chunkStream(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "chunk_stream") {
+      TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16)
+    }
+
   /** Chunk-level cross-document dedup ([[Dedup.chunkLevelDedup]], the
     * CCNet/RefinedWeb line-dedup stage at chunk granularity) over the SAME
     * chunk stream as `doc_chunks` — the oracle reproduces the chunks (the
     * proven doc_chunks SQL) and replays the ≥2-distinct-docs rule on md5
     * digests. Wordless docs come back via a left join as (0, 0, md5("")). */
   private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val stats = Dedup.chunkLevelDedup(
-      TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16))
+    val stats = Dedup.chunkLevelDedup(chunkStream(s, dir))
     t(s, dir, "documents").select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -996,9 +1005,7 @@ object SparkEntry {
     * ([[TextChunking.packChunks]]); the oracle replays the integer
     * recurrence as a recursive CTE. */
   private def packedChunks(s: SparkSession, dir: String): DataFrame =
-    TextChunking.packChunks(
-        TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16),
-        budgetTokens = 150)
+    TextChunking.packChunks(chunkStream(s, dir), budgetTokens = 150)
       .orderBy("doc_id", "chunk_idx")
 
   /** Deterministic multiplicative-hash sample (~7%). */
@@ -2547,6 +2554,8 @@ object SparkEntry {
     editdistKeysFor(s, dir) // edit-distance key+gram table: same artifact
                             // class as the LSH index (appended per batch)
     retentionSourceFor(s, dir) // retention demo's sharded replay source
+    chunkStream(s, dir)     // persisted chunk table: consumers (packing,
+                            // chunk dedup) read it, chunking demo computes
     locally {                  // CDC demos' persisted profile table + the
       val stats = cdcStats(s, dir)     // derived insert-key offset — the
       cdcOffset(s, dir, stats)         // landing TARGET exists before any
