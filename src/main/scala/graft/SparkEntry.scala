@@ -1202,6 +1202,29 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** ClickHouse `simpleLinearRegression(x, y)`: least-squares slope and
+    * intercept of value against hour-of-day per type — the corr_value_hour
+    * frame, solved in closed form. Sums exact in decimal; the solve is one
+    * pinned IEEE tree mirrored in SQL (bit-identical). */
+  private def linregValueHour(s: SparkSession, dir: String): DataFrame = {
+    val dx = col("value").cast("string").cast("decimal(12,2)")
+    def d2d(c: Column) = c.cast("string").cast("double")
+    val g = t(s, dir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"), dx.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).cast("double").as("sx"),           // integer-exact
+           d2d(sum(col("y"))).as("sy"),
+           sum(col("x") * col("x")).cast("double").as("sxx"),
+           d2d(sum(col("y") * col("x").cast("decimal(4,0)"))).as("sxy"))
+    val nD = col("n").cast("double")
+    val k = (nD * col("sxy") - col("sx") * col("sy")) /
+            (nD * col("sxx") - col("sx") * col("sx"))
+    val b = (col("sy") - k * col("sx")) / nD
+    g.select(col("event_type"), col("n"), k.as("slope"), b.as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Equi-width histogram (ClickHouse `histogram`-style, fixed 10 bins over
     * the observed [min, max] per type). Bin math is one pinned IEEE
     * sequence over exact bounds; the top edge folds into the last bin. */
@@ -3918,6 +3941,7 @@ object SparkEntry {
     "chi2_cohort"          -> (chi2CohortUniformity _),
     "mannwhitney_value"    -> (mannWhitneyValue _),
     "chunk_dedup"          -> (chunkDedup _),
+    "linreg_value_hour"    -> (linregValueHour _),
   )
 
   // ----------------------------------------------------------------------
@@ -6654,6 +6678,30 @@ object SparkEntry {
                 COALESCE(agg.n_dup_chunks, 0) AS n_dup_chunks,
                 COALESCE(agg.kept_md5, md5('')) AS kept_md5
          FROM documents doc LEFT JOIN agg USING (doc_id) ORDER BY doc.doc_id""",
+
+    // simpleLinearRegression: the corr frame's exact sums, closed-form
+    // solve as the engine's pinned tree verbatim.
+    "linreg_value_hour" ->
+      """WITH dv AS (
+           SELECT event_type,
+                  CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS y,
+                  CAST(hour(ts) AS BIGINT) AS x
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(y * CAST(x AS DECIMAL(4,0))) AS VARCHAR) AS DOUBLE) AS sxy
+           FROM dv GROUP BY event_type),
+         k AS (
+           SELECT event_type, n, sx, sy,
+                  ((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+                    / ((CAST(n AS DOUBLE) * sxx) - (sx * sx)) AS slope
+           FROM s)
+         SELECT event_type, n, slope,
+                (sy - (slope * sx)) / CAST(n AS DOUBLE) AS intercept
+         FROM k ORDER BY event_type""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin
