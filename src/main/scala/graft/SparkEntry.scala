@@ -985,6 +985,32 @@ object SparkEntry {
       TextChunking.chunk(docsSharded(s, dir), chunkTokens = 64, overlap = 16)
     }
 
+  /** Historical chunk-digest index: what a production chunk-dedup pipeline
+    * PERSISTS beside the corpus (appended per ingest batch, like the LSH
+    * index) — the 80% historical slice's distinct chunk digests. */
+  private def chunkDigestIndex(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "chunk_digest_index") {
+      chunkStream(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("chunk_text").cast("binary")).as("__d")).distinct()
+    }
+
+  /** Incremental chunk dedup ([[Dedup.incrementalChunkDedup]]): the 20%
+    * batch slice probes the persisted digest index — batch digests
+    * broadcast into the index scan, the index never shuffles. Same output
+    * contract as `chunk_dedup`, restricted to batch docs. */
+  private def incrementalChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val stats = Dedup.incrementalChunkDedup(
+      chunkStream(s, dir).filter(col("doc_id") % 5 === 0),
+      chunkDigestIndex(s, dir))
+    t(s, dir, "documents").filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+              coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+              coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level cross-document dedup ([[Dedup.chunkLevelDedup]], the
     * CCNet/RefinedWeb line-dedup stage at chunk granularity) over the SAME
     * chunk stream as `doc_chunks` — the oracle reproduces the chunks (the
@@ -3942,6 +3968,7 @@ object SparkEntry {
     "mannwhitney_value"    -> (mannWhitneyValue _),
     "chunk_dedup"          -> (chunkDedup _),
     "linreg_value_hour"    -> (linregValueHour _),
+    "incremental_chunk_dedup" -> (incrementalChunkDedup _),
   )
 
   // ----------------------------------------------------------------------
@@ -6702,6 +6729,35 @@ object SparkEntry {
          SELECT event_type, n, slope,
                 (sy - (slope * sx)) / CAST(n AS DOUBLE) AS intercept
          FROM k ORDER BY event_type""",
+
+    // Incremental chunk dedup: the reproduced chunk stream split 80/20;
+    // a batch digest is dup if it exists in the historical slice OR in ≥2
+    // distinct batch docs.
+    "incremental_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                    FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+         c AS (SELECT doc_id, CAST(s.start / 48 AS INT) AS chunk_idx,
+                      md5(array_to_string(list_slice(toks, s.start + 1, s.start + 64), ' ')) AS dg
+               FROM d, LATERAL (SELECT unnest(range(0, len(toks), 48)) AS start) s),
+         hist AS (SELECT DISTINCT dg FROM c WHERE doc_id % 5 <> 0),
+         b AS (SELECT doc_id, chunk_idx, dg FROM c WHERE doc_id % 5 = 0),
+         dupb AS (SELECT dg FROM (SELECT dg, count(DISTINCT doc_id) AS nd
+                                  FROM b GROUP BY dg) x WHERE nd >= 2),
+         dup AS (SELECT dg FROM hist WHERE dg IN (SELECT dg FROM b)
+                 UNION SELECT dg FROM dupb),
+         j AS (SELECT b.doc_id, b.chunk_idx, (dup.dg IS NOT NULL) AS isdup
+               FROM b LEFT JOIN dup USING (dg)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                        CAST(count(CASE WHEN isdup THEN 1 END) AS BIGINT) AS n_dup_chunks,
+                        md5(coalesce(string_agg(CASE WHEN NOT isdup
+                              THEN CAST(chunk_idx AS VARCHAR) END, ',' ORDER BY chunk_idx),
+                            '')) AS kept_md5
+                 FROM j GROUP BY doc_id)
+         SELECT doc.doc_id, COALESCE(agg.n_chunks, 0) AS n_chunks,
+                COALESCE(agg.n_dup_chunks, 0) AS n_dup_chunks,
+                COALESCE(agg.kept_md5, md5('')) AS kept_md5
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) doc
+         LEFT JOIN agg USING (doc_id) ORDER BY doc.doc_id""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

@@ -85,6 +85,36 @@ object Dedup {
                _.cast("string"))).cast("binary")).as("kept_md5"))
   }
 
+  /** Incremental twin of [[chunkLevelDedup]] (the incremental_neardup
+    * probe-shape discipline): a NEW BATCH of chunks probes the persisted
+    * corpus chunk-digest index. A batch chunk is duplicated when its digest
+    * exists in the corpus index OR appears in ≥ 2 distinct batch docs.
+    * The batch side is the small frame — its distinct digests BROADCAST
+    * into the index scan (left-semi); the corpus-sized index is never
+    * shuffled, and the surviving digest set (≤ batch size) broadcasts back
+    * onto the batch. Same per-doc output contract as the batch operator. */
+  def incrementalChunkDedup(batchChunks: DataFrame, corpusDigests: DataFrame,
+                            idCol: String = "doc_id", idxCol: String = "chunk_idx",
+                            textCol: String = "chunk_text"): DataFrame = {
+    val bd = batchChunks.select(col(idCol), col(idxCol),
+      md5(col(textCol).cast("binary")).as("__d"))
+    val inCorpus = corpusDigests
+      .join(broadcast(bd.select(col("__d")).distinct()), Seq("__d"), "left_semi")
+      .select(col("__d")).distinct()
+    val inBatch = bd.select(col("__d"), col(idCol)).distinct()
+      .groupBy(col("__d")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__d"))
+    val dups = inCorpus.unionByName(inBatch).distinct()
+      .withColumn("__dup", lit(1))
+    bd.join(broadcast(dups), Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+           count(col("__dup")).as("n_dup_chunks"),
+           md5(concat_ws(",",
+             transform(sort_array(collect_list(when(col("__dup").isNull, col(idxCol)))),
+               _.cast("string"))).cast("binary")).as("kept_md5"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct character k-shingles of the normalized text, pre-hashed into the

@@ -755,6 +755,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(real > 0, "corpus fixture must contain duplicated chunks")
   }
 
+  test("incrementalChunkDedup == full chunkLevelDedup restricted to batch docs") {
+    // the incremental rule (in-corpus-index OR ≥2 distinct batch docs) is
+    // exactly the global ≥2-distinct-docs rule evaluated for batch docs —
+    // pin the equivalence on the real corpus
+    val chunks = graft.operators.TextChunking.chunk(
+      Tables.documents(spark, "/root/testdata/sf0.001"), 64, 16).cache()
+    val hist = chunks.filter($"doc_id" % 5 =!= 0)
+      .select(md5($"chunk_text".cast("binary")).as("__d")).distinct()
+    val batch = chunks.filter($"doc_id" % 5 === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_chunks", $"n_dup_chunks", $"kept_md5")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val inc = toMap(Dedup.incrementalChunkDedup(batch, hist))
+    val full = toMap(Dedup.chunkLevelDedup(chunks))
+      .view.filterKeys(_ % 5 == 0).toMap
+    assert(inc == full, "incremental probe must reproduce the global rule")
+    assert(inc.values.exists(_._2 > 0), "fixture must exercise the dup path")
+    chunks.unpersist()
+  }
+
   test("domainCappedSample: cap binds before targets; subsets; partition independence") {
     // one flooded domain (d0: 160 rows) inside group "web"; two small
     // domains (d1, d2: 20 each) split across "web" and "books"
