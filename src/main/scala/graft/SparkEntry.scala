@@ -2605,6 +2605,8 @@ object SparkEntry {
     retentionSourceFor(s, dir) // retention demo's sharded replay source
     chunkStream(s, dir)     // persisted chunk table: consumers (packing,
                             // chunk dedup) read it, chunking demo computes
+    chunkDigestIndex(s, dir) // historical chunk-digest index (appended per
+                             // ingest batch, like the LSH index)
     locally {                  // CDC demos' persisted profile table + the
       val stats = cdcStats(s, dir)     // derived insert-key offset — the
       cdcOffset(s, dir, stats)         // landing TARGET exists before any
