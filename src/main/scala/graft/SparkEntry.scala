@@ -1251,6 +1251,46 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Kolmogorov-Smirnov two-sample test (ClickHouse
+    * `kolmogorovSmirnovTest`): sup-distance between the even/odd cohort
+    * ECDFs of value per event_type. The statistic's NUMERATOR is exact:
+    * D = max|F_a − F_b| = max|cumA·nb − cumB·na| / (na·nb), and the max
+    * runs over INTEGERS — order-free, engine-exact. Same tie-group frame
+    * as mannwhitney_value (cum sums over distinct quantized values, never
+    * a row-level window); one divide + the 5% critical-value tree are the
+    * only floats, pinned verbatim in SQL. Long products are exact to
+    * ~3·10⁹ rows per type (the MWU bound). */
+  private def ksTestValue(s: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), (pmod(col("user_id"), lit(2)) === 0).as("a"),
+              dv.as("d"))
+    val g = ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("a"), 1)).as("cnt_a"))
+    val byType = Window.partitionBy(col("event_type"))
+    val wCum = byType.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("ca", sum(col("cnt_a")).over(wCum))
+      .withColumn("ct", sum(col("cnt")).over(wCum))
+      .withColumn("na", sum(col("cnt_a")).over(byType))
+      .withColumn("nt", sum(col("cnt")).over(byType))
+    val cb = col("ct") - col("ca")
+    val nb = col("nt") - col("na")
+    val stats = cum
+      .select(col("event_type"), col("na"), nb.as("nb"),
+              abs(col("ca") * nb - cb * col("na")).as("dn"))
+      .groupBy(col("event_type"))
+      .agg(max(col("dn")).as("d_num"), min(col("na")).as("n_a"),
+           min(col("nb")).as("n_b"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val d = col("d_num").cast("double") / (naD * nbD)
+    val crit = lit(1.358) * sqrt((naD + nbD) / (naD * nbD)) // α = 0.05
+    stats.select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+                 d.as("d_stat"), (d > crit).as("reject_same_dist"))
+      .orderBy("event_type")
+  }
+
   /** Equi-width histogram (ClickHouse `histogram`-style, fixed 10 bins over
     * the observed [min, max] per type). Bin math is one pinned IEEE
     * sequence over exact bounds; the top edge folds into the last bin. */
@@ -3971,6 +4011,7 @@ object SparkEntry {
     "chunk_dedup"          -> (chunkDedup _),
     "linreg_value_hour"    -> (linregValueHour _),
     "incremental_chunk_dedup" -> (incrementalChunkDedup _),
+    "ks_test_value"        -> (ksTestValue _),
   )
 
   // ----------------------------------------------------------------------
@@ -6760,6 +6801,38 @@ object SparkEntry {
                 COALESCE(agg.kept_md5, md5('')) AS kept_md5
          FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) doc
          LEFT JOIN agg USING (doc_id) ORDER BY doc.doc_id""",
+
+    // Kolmogorov-Smirnov: integer sup-distance numerator over the tie-group
+    // cumulative counts; only the final divide and the critical-value tree
+    // are float, mirrored verbatim.
+    "ks_test_value" ->
+      """WITH ev AS (SELECT event_type, (user_id % 2 = 0) AS a,
+                            CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d
+                     FROM events),
+         g AS (SELECT event_type, d, count(*) AS cnt,
+                      count(CASE WHEN a THEN 1 END) AS cnt_a
+               FROM ev GROUP BY 1, 2),
+         c AS (SELECT event_type,
+                      sum(cnt_a) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                      sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+                      sum(cnt_a) OVER (PARTITION BY event_type) AS na,
+                      sum(cnt) OVER (PARTITION BY event_type) AS nt
+               FROM g),
+         s AS (SELECT event_type, na, nt - na AS nb,
+                      abs(ca * (nt - na) - (ct - ca) * na) AS dn
+               FROM c),
+         m AS (SELECT event_type, CAST(max(dn) AS BIGINT) AS d_num,
+                      CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b
+               FROM s GROUP BY 1)
+         SELECT event_type, n_a, n_b, d_num,
+                CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat,
+                CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                  AS reject_same_dist
+         FROM m ORDER BY event_type""",
   )
 
   /** Shared by `map_agg_events` and its persisted-state twin

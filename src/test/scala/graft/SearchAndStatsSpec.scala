@@ -406,6 +406,26 @@ class SearchAndStatsSpec extends SparkSpec {
       assert(u2Got == math.round(2 * uA), s"$et 2U: $u2Got vs ${2 * uA}")
       assert(math.abs(zGot - zWant) < 1e-9, s"$et z: $zGot vs $zWant")
     }
+
+    // Kolmogorov-Smirnov: brute ECDF sup-distance at every observed point
+    val ksGot = SparkEntry.queries("ks_test_value")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    byType.foreach { case (et, rs) =>
+      val vals = rs.map(t => (q(t._3), t._2 % 2 == 0))
+      val a = vals.filter(_._2).map(_._1).sorted
+      val b = vals.filter(!_._2).map(_._1).sorted
+      val points = vals.map(_._1).distinct.sorted
+      val dWant = points.map { x =>
+        val fa = a.count(_ <= x).toDouble / a.size
+        val fb = b.count(_ <= x).toDouble / b.size
+        math.abs(fa - fb)
+      }.max
+      val (dNum, dStat) = ksGot(et)
+      assert(math.abs(dStat - dWant) < 1e-9, s"$et KS D: $dStat vs $dWant")
+      assert(dNum == math.round(dWant * a.size * b.size) ||
+             math.abs(dNum.toDouble / (a.size.toDouble * b.size) - dWant) < 1e-9,
+        s"$et KS numerator")
+    }
   }
 
   test("mapAggFiltered: keep-list == pre-filter, scalar and array lanes, split-merge") {
