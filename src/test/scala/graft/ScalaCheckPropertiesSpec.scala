@@ -108,6 +108,56 @@ class ScalaCheckPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("unigram viterbi: brute-force optimality and structural bounds on random vocabs") {
+    import graft.operators.UnigramLm
+    val word = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.listOf(Gen.zip(
+        Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+        Gen.choose(1L, 500000L)))
+      .map(ps => ps.toMap.toSeq) // dedup pieces
+    def cm(ps: Seq[(String, Long)]) = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      ps.foreach { case (p, c) => m.put(p, c) }
+      // singles always present (the trained-model invariant)
+      Seq("a", "b", "c").foreach(s => if (!m.containsKey(s)) m.put(s, 600000L))
+      m
+    }
+    def brute(w: String, m: java.util.HashMap[String, java.lang.Long]): Long = {
+      def go(s: String): Seq[(Long, Int)] =
+        if (s.isEmpty) Seq((0L, 0))
+        else (1 to math.min(UnigramLm.MaxPieceLen, s.length)).flatMap { l =>
+          val c = m.get(s.take(l))
+          if (c == null && l > 1) Seq.empty
+          else {
+            val pc = if (c != null) c.longValue() else UnigramLm.UnkCost
+            go(s.drop(l)).map { case (cc, nn) => (cc + pc, nn + 1) }
+          }
+        }
+      go(w).map { case (c, n) => c * UnigramLm.KeyMul + n }.min
+    }
+    check("optimal")(Prop.forAll(word, vocabGen) { (w, ps) =>
+      val m = cm(ps)
+      UnigramLm.viterbiKey(w, m) == brute(w, m)
+    })
+    check("bounds")(Prop.forAll(word, vocabGen) { (w, ps) =>
+      val m = cm(ps)
+      val key = UnigramLm.viterbiKey(w, m)
+      val n = key % UnigramLm.KeyMul
+      n >= 1 && n <= w.length // between one piece and per-char
+    })
+    // enriching the vocabulary can never worsen the optimum
+    check("monotone")(Prop.forAll(word, vocabGen, word) { (w, ps, extra) =>
+      val base = cm(ps)
+      val richer = new java.util.HashMap[String, java.lang.Long](base)
+      if (extra.length <= UnigramLm.MaxPieceLen) {
+        val prev = richer.get(extra)
+        if (prev == null || prev.longValue() > 1L) richer.put(extra, 1L) // cost 1 ≈ free
+      }
+      UnigramLm.viterbiKey(w, richer) <= UnigramLm.viterbiKey(w, base)
+    })
+  }
+
   test("stub codec: deterministic, typed, and bounded metadata") {
     val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
     check("codec")(Prop.forAll(bytesGen) { bytes =>
