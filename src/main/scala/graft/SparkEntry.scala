@@ -2500,12 +2500,13 @@ object SparkEntry {
     new java.util.LinkedHashMap[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]) =
-        // headroom above the ~16 live labels (pair list, LSH index/sigs/hot,
+        // headroom above the ~20 live labels (pair list, LSH index/sigs/hot,
         // hist assignments, batch pairs, contamination grams/bloom, sharded
         // docs, IVF centroids/layouts, editdist keys, retention source,
-        // cdc stats): an eviction would silently push a warmed ingest
-        // artifact's rebuild into some timed query
-        size() > 24
+        // cdc stats, chunk stream + digest index): an eviction would
+        // silently push a warmed ingest artifact's rebuild into some timed
+        // query
+        size() > 32
     }
   /** A materialized (localCheckpoint) intermediate built once per (session,
     * sfDir, label) — the in-session stand-in for what production persists as
