@@ -1803,6 +1803,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of with tolerance ([[AsOf.joinAsOfForward]], the `<=`
+    * direction of the ClickHouse/kdb ASOF family + pandas `merge_asof`
+    * tolerance): each purchase picks up the user's NEXT daily assignment
+    * at-or-after the purchase, nulled when it lands more than 3 days out.
+    * Oracled by DuckDB's native `ASOF LEFT JOIN` on `<=` with the
+    * tolerance replayed as a µs-exact CASE. */
+  private def asofForwardTolerance(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val assignments = dailyAssignments(s, dir)
+      .select(col("user_id"), col("assigned_at").cast("timestamp").as("assigned_ts"),
+              col("value"))
+    AsOf.joinAsOfForward(purchases, assignments, Seq("user_id"),
+                         leftTime = "ts", rightTime = "assigned_ts",
+                         payload = Seq("value"),
+                         toleranceSeconds = Some(3L * 86400L))
+      .select(col("event_id"), col("user_id"),
+              col("value").as("seg_value_next"), col("matched"))
+      .orderBy("event_id")
+  }
+
   /** Banded range join ([[graft.operators.RangeJoin.pointInInterval]]):
     * overlapping per-(priority, year) order-date windows, every order joined
     * to every window containing its date — the every-containing-interval
@@ -4027,6 +4049,7 @@ object SparkEntry {
     "linreg_value_hour"    -> (linregValueHour _),
     "incremental_chunk_dedup" -> (incrementalChunkDedup _),
     "ks_test_value"        -> (ksTestValue _),
+    "asof_forward_tolerance" -> (asofForwardTolerance _),
   )
 
   // ----------------------------------------------------------------------
@@ -4934,6 +4957,25 @@ object SparkEntry {
           SELECT p.event_id, p.user_id, a.value AS seg_value
           FROM p ASOF LEFT JOIN a
             ON p.user_id = a.user_id AND p.ts >= a.assigned_ts
+          ORDER BY p.event_id""",
+
+    // Forward ASOF (`<=`) with a µs-exact 3-day tolerance: DuckDB picks the
+    // nearest following assignment; the CASE nulls matches beyond tolerance
+    // while the row survives (merge_asof semantics).
+    "asof_forward_tolerance" ->
+      s"""WITH a AS (
+            SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS assigned_ts,
+                   count(*) >= $DailySeg AS value
+            FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2),
+          p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id,
+                 CASE WHEN a.assigned_ts IS NOT NULL
+                       AND epoch_us(a.assigned_ts) - epoch_us(p.ts) <= 259200000000
+                      THEN a.value END AS seg_value_next,
+                 (a.assigned_ts IS NOT NULL
+                  AND epoch_us(a.assigned_ts) - epoch_us(p.ts) <= 259200000000) AS matched
+          FROM p ASOF LEFT JOIN a
+            ON p.user_id = a.user_id AND p.ts <= a.assigned_ts
           ORDER BY p.event_id""",
 
     "range_join_orders" ->

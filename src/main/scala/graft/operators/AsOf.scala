@@ -59,4 +59,61 @@ object AsOf {
       .select(leftCols.toIndexedSeq.map(col) ++
               payload.map(p => col("__p").getField(p).as(p)): _*)
   }
+
+  /** FORWARD as-of join with an optional tolerance — the `<=` direction of
+    * the ClickHouse/kdb ASOF family: for every left row, attach the payload
+    * of the EARLIEST right row with the same key and `rightTime >=
+    * leftTime`; when `toleranceSeconds` is set, a match farther than the
+    * tolerance is nulled out (the row survives, pandas `merge_asof
+    * tolerance` semantics). Same merge formulation and cost as
+    * [[joinAsOf]] — one shuffle on the key, a `first(…, ignoreNulls)` over
+    * the FOLLOWING frame — with the matched right timestamp carried inside
+    * the payload struct so the tolerance test compares columns of the SAME
+    * matched row. Appends a `matched` boolean after the payload columns. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String],
+                      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns
+    val leftOther = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
+    val rightClean = right.filter(
+      (col(rightTime).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.select((payload.map(col) :+ col(rightTime).as("__rt")): _*).schema.fields)
+    // tags: left 0, right 1 — at equal timestamps the left row's FOLLOWING
+    // frame (currentRow →) contains the equal-time right row, giving the
+    // inclusive `rightTime >= leftTime` semantics
+    val r = rightClean.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(1).as("__tag") :+
+        struct((payload.map(col) :+ col(rightTime).as("__rt")): _*).as("__p")) ++
+        leftOther.map(c => lit(null).as(c)): _*)
+    val l = left.select(
+      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(0).as("__tag") :+
+        lit(null).cast(payloadType).as("__p")) ++
+        leftOther.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = r.unionByName(l)
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+    // tolerance at MICROSECOND resolution for timestamps — a seconds cast
+    // floors sub-second parts and disagrees with any engine comparing exact
+    // epochs at the boundary; integral time columns compare raw
+    val isTs = left.schema(leftTime).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    def units(c: Column) = if (isTs) unix_micros(c) else c.cast("long")
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        val bound = if (isTs) tol * 1000000L else tol
+        col("__p").isNotNull &&
+          (units(col("__p").getField("__rt")) - units(col("__t"))) <= bound
+      case None => col("__p").isNotNull
+    }
+    filled.filter(col("__tag") === 0)
+      .withColumn("__ok", withinTol)
+      .withColumnRenamed("__t", leftTime)
+      .select(leftCols.toIndexedSeq.map(col) ++
+              payload.map(p => when(col("__ok"), col("__p").getField(p)).as(p)) :+
+              col("__ok").as("matched"): _*)
+  }
 }

@@ -394,6 +394,41 @@ class InvariantSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("forward as-of with tolerance == brute-force earliest-at-or-after oracle") {
+    val left = (0 until 300).map { i =>
+      (s"k${rnd.nextInt(8)}", 1000L + rnd.nextInt(1000), i.toLong)
+    }.toDF("k", "t", "left_id")
+    val rightRows = (0 until 120).map { i =>
+      (s"k${rnd.nextInt(10)}", 1000L + rnd.nextInt(1000), s"p$i")
+    }
+    val rightDistinct = rightRows.groupBy(r => (r._1, r._2)).map(_._2.last).toSeq
+    val right = rightDistinct.toDF("k", "rt", "payload")
+    val tol = 150L
+    val got = operators.AsOf.joinAsOfForward(left, right, Seq("k"),
+        leftTime = "t", rightTime = "rt", payload = Seq("payload"),
+        toleranceSeconds = Some(tol))
+      .select($"left_id", $"payload", $"matched")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val byKey = rightDistinct.groupBy(_._1)
+    val want = left.as[(String, Long, Long)].collect().map { case (k, t, id) =>
+      val next = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 >= t).sortBy(_._2).headOption
+      val ok = next.exists(_._2 - t <= tol) // tolerance nulls far matches
+      id -> (if (ok) next.map(_._3) else None, ok)
+    }.toMap
+    assert(got == want)
+    // without tolerance every at-or-after match is kept
+    val gotAll = operators.AsOf.joinAsOfForward(left, right, Seq("k"),
+        "t", "rt", Seq("payload"))
+      .select($"left_id", $"payload").as[(Long, Option[String])].collect().toMap
+    val wantAll = left.as[(String, Long, Long)].collect().map { case (k, t, id) =>
+      id -> byKey.getOrElse(k, Seq.empty).filter(_._2 >= t).sortBy(_._2)
+        .headOption.map(_._3)
+    }.toMap
+    assert(gotAll == wantAll)
+  }
+
   test("as-of join honours genuine nulls in the newest right row") {
     val left = Seq(("k", 30L, 1L)).toDF("k", "t", "left_id")
     val right = Seq(("k", 10L, Some("old")), ("k", 20L, None))
