@@ -443,6 +443,17 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** ClickHouse `exponentialMovingAverage` / `exponentialTimeDecayedSum`
+    * ([[EventAnalytics.exponentialMovingStats]]): per-user decay
+    * recurrences in (ts, event_id) order — α=1/4 index EMA and a
+    * day-granular half-life decayed sum. Exact-power-of-two decay factors
+    * (no exp/pow) + pinned fold order make every step one correctly-
+    * rounded IEEE op; the oracle replays the identical recurrence through
+    * a recursive CTE (the packed_chunks discipline) bit-for-bit. */
+  private def eventsEma(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.exponentialMovingStats(t(s, dir, "events"))
+      .orderBy("event_id")
+
   /** ClickHouse `deltaSum` per user: the sum of POSITIVE value increments
     * over the (ts, event_id)-ordered stream (counter-reset-tolerant rate
     * accounting). Deltas are exact decimal differences (value has ≤2
@@ -1181,6 +1192,57 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Cramér's V, bias-corrected V, and the contingency coefficient
+    * (ClickHouse `cramersV` / `cramersVBiasCorrected` / `contingency`)
+    * over the `chi2_cohort` contingency table (event_type × 3 cohorts).
+    * Per-row χ² terms are chi2_cohort's pinned per-row IEEE tree; the
+    * GLOBAL χ² is a left fold over the event_type-sorted term list
+    * (collect_list over the #event_type-sized frame → array_sort →
+    * aggregate), a pinned sequential float sum DuckDB replays with
+    * `list_reduce(list(... ORDER BY event_type))` — the seeds differ
+    * (0.0 vs first element) but 0.0 + x ≡ x for the non-negative terms,
+    * so the sums agree bit-for-bit. Everything downstream is one shared
+    * correctly-rounded tree over exact integers. */
+  private def cramersVCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), pmod(col("user_id"), lit(3)).as("c"))
+    val cells = ev.groupBy(col("event_type"))
+      .agg(count(when(col("c") === 0, 1)).as("n0"),
+           count(when(col("c") === 1, 1)).as("n1"),
+           count(when(col("c") === 2, 1)).as("n2"))
+    val margins = ev.agg(count(when(col("c") === 0, 1)).as("m0"),
+                         count(when(col("c") === 1, 1)).as("m1"),
+                         count(when(col("c") === 2, 1)).as("m2"),
+                         count(lit(1)).as("mt"))
+    val rowN = (col("n0") + col("n1") + col("n2")).cast("double")
+    def term(n: Column, m: Column) = {
+      val e = rowN * (m.cast("double") / col("mt").cast("double"))
+      (n.cast("double") - e) * (n.cast("double") - e) / e
+    }
+    val chi2r = term(col("n0"), col("m0")) + term(col("n1"), col("m1")) +
+                term(col("n2"), col("m2"))
+    val g = cells.crossJoin(broadcast(margins))
+      .select(col("event_type"), chi2r.as("chi2r"), col("mt"))
+      .agg(aggregate(
+             array_sort(collect_list(struct(col("event_type"), col("chi2r")))),
+             lit(0.0), (acc, x) => acc + x.getField("chi2r")).as("chi2"),
+           count(lit(1)).as("r"),
+           max(col("mt")).as("n"))
+    val nD = col("n").cast("double")
+    val rD = col("r").cast("double")
+    val kD = least(col("r") - 1, lit(2L)).cast("double") // min(r−1, c−1), c=3
+    val phi2 = col("chi2") / nD
+    val phi2c = greatest(lit(0.0),
+                         phi2 - (rD - lit(1.0)) * lit(2.0) / (nD - lit(1.0)))
+    val rT = rD - (rD - lit(1.0)) * (rD - lit(1.0)) / (nD - lit(1.0))
+    val cT = lit(3.0) - lit(4.0) / (nD - lit(1.0))
+    g.select(col("n"), col("r"), col("chi2"),
+             sqrt(col("chi2") / (nD * kD)).as("cramers_v"),
+             sqrt(phi2c / least(rT - lit(1.0), cT - lit(1.0)))
+               .as("cramers_v_corrected"),
+             sqrt(col("chi2") / (col("chi2") + nD)).as("contingency_coef"))
+  }
+
   /** Mann-Whitney U test (ClickHouse `mannWhitneyUTest`): rank-based
     * two-sample test of value between the even/odd user cohorts per
     * event_type. DOUBLED midranks keep tie handling integer-exact
@@ -1822,6 +1884,29 @@ object SparkEntry {
                          toleranceSeconds = Some(3L * 86400L))
       .select(col("event_id"), col("user_id"),
               col("value").as("seg_value_next"), col("matched"))
+      .orderBy("event_id")
+  }
+
+  /** BACKWARD as-of with tolerance — pandas `merge_asof`'s DEFAULT form
+    * (direction='backward', tolerance): each purchase picks up the user's
+    * latest daily assignment at-or-before the purchase, nulled when it is
+    * more than 2 days stale. Completes the ASOF matrix next to
+    * `asof_assignment` (backward, no tolerance) and
+    * `asof_forward_tolerance`. Oracled by DuckDB's native `ASOF LEFT JOIN`
+    * on `>=` with the tolerance replayed as a µs-exact CASE. */
+  private def asofBackwardTolerance(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val assignments = dailyAssignments(s, dir)
+      .select(col("user_id"), col("assigned_at").cast("timestamp").as("assigned_ts"),
+              col("value"))
+    AsOf.joinAsOf(purchases, assignments, Seq("user_id"),
+                  leftTime = "ts", rightTime = "assigned_ts",
+                  payload = Seq("value"),
+                  toleranceSeconds = Some(2L * 86400L))
+      .select(col("event_id"), col("user_id"),
+              col("value").as("seg_value_prev"), col("matched"))
       .orderBy("event_id")
   }
 
@@ -2501,6 +2586,53 @@ object SparkEntry {
         coalesce(st.getField("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(st.getField("unigram_cost"), lit(0L)).as("unigram_cost"))
       .orderBy("doc_id")
+  }
+
+  /** CCNet perplexity filter (Wenzek et al.) on the learned unigram LM —
+    * the canonical stage between lang-id and quality classification: each
+    * doc's LM cost-per-token (integer milli-cost `(unigram_cost·1000) DIV
+    * n_pieces` — exact on any engine), bucketed head/middle/tail per
+    * language by EXACT discrete terciles (positional picks at ceil(n/3),
+    * ceil(2n/3) over the (score, doc_id)-ordered per-lang frame — the
+    * winsorized_stats bounds discipline, all-integer so no rational-
+    * threshold rounding hazard). Docs with no tokenizable words land in an
+    * explicit 'empty' bucket. Per-lang exact quantiles sort within the
+    * language partition — at 100 TB you'd sample per lang first; exact is
+    * the contract here. */
+  private def ccnetPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val model = unigramModelFor(s, dir)
+    val st = graft.functions.NativeExprs.unigramStats(col("text"), model)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+              st.getField("n_pieces").as("np"),
+              st.getField("unigram_cost").as("uc"))
+      .withColumn("score", expr("CASE WHEN np > 0 THEN (uc * 1000) DIV np END"))
+    val wRank = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
+    val ranked = scored.filter(col("np") > 0)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wLang))
+    val bucketed = ranked
+      .withColumn("b1", max(when(col("rn") === expr("(n + 2) DIV 3"),
+                                 col("score"))).over(wLang))
+      .withColumn("b2", max(when(col("rn") === expr("(2 * n + 2) DIV 3"),
+                                 col("score"))).over(wLang))
+      .withColumn("bucket",
+        when(col("score") <= col("b1"), lit("head"))
+          .when(col("score") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+      .unionByName(scored.filter(col("np") <= 0)
+        .select(col("doc_id"), col("lang"), col("score"),
+                lit("empty").as("bucket")))
+    bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("score")).as("min_score"),
+           max(col("score")).as("max_score"),
+           md5(concat_ws(",",
+             transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+             .cast("binary")).as("ids_md5"))
+      .orderBy("lang", "bucket")
   }
 
   private def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
@@ -4050,6 +4182,10 @@ object SparkEntry {
     "incremental_chunk_dedup" -> (incrementalChunkDedup _),
     "ks_test_value"        -> (ksTestValue _),
     "asof_forward_tolerance" -> (asofForwardTolerance _),
+    "asof_backward_tolerance" -> (asofBackwardTolerance _),
+    "events_ema"           -> (eventsEma _),
+    "cramers_v_cohort"     -> (cramersVCohort _),
+    "ccnet_perplexity_buckets" -> (ccnetPerplexityBuckets _),
   )
 
   // ----------------------------------------------------------------------
@@ -4976,6 +5112,25 @@ object SparkEntry {
                   AND epoch_us(a.assigned_ts) - epoch_us(p.ts) <= 259200000000) AS matched
           FROM p ASOF LEFT JOIN a
             ON p.user_id = a.user_id AND p.ts <= a.assigned_ts
+          ORDER BY p.event_id""",
+
+    // Backward ASOF (`>=`) with a µs-exact 2-day tolerance — pandas
+    // merge_asof's default form: nearest preceding assignment, nulled when
+    // more than 2 days stale, row survives with matched=false.
+    "asof_backward_tolerance" ->
+      s"""WITH a AS (
+            SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS assigned_ts,
+                   count(*) >= $DailySeg AS value
+            FROM events WHERE event_type = '${ClickSeg.eventType}' GROUP BY 1, 2),
+          p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id,
+                 CASE WHEN a.assigned_ts IS NOT NULL
+                       AND epoch_us(p.ts) - epoch_us(a.assigned_ts) <= 172800000000
+                      THEN a.value END AS seg_value_prev,
+                 (a.assigned_ts IS NOT NULL
+                  AND epoch_us(p.ts) - epoch_us(a.assigned_ts) <= 172800000000) AS matched
+          FROM p ASOF LEFT JOIN a
+            ON p.user_id = a.user_id AND p.ts >= a.assigned_ts
           ORDER BY p.event_id""",
 
     "range_join_orders" ->
@@ -6365,6 +6520,47 @@ object SparkEntry {
                            CAST(NULL AS BIGINT) AS unigram_cost
                     WHERE 1 = 0"""),
 
+    // CCNet perplexity buckets: the unigram DP CTE chain (learned vocab as
+    // literals) feeds integer milli-cost scores; tercile bounds are exact
+    // positional picks replayed in SQL — all-integer end to end.
+    "ccnet_perplexity_buckets" -> lastUnigramModel.map { m =>
+      s"""WITH ${UnigramLm.oracleStatsCtes(m)},
+          sc AS (SELECT d.doc_id, d.lang,
+                        coalesce(per.n_pieces, 0) AS np,
+                        CASE WHEN coalesce(per.n_pieces, 0) > 0
+                             THEN (per.unigram_cost * 1000) // per.n_pieces END AS score
+                 FROM documents d LEFT JOIN per USING (doc_id)),
+          ranked AS (SELECT doc_id, lang, score,
+                            row_number() OVER (PARTITION BY lang
+                                               ORDER BY score, doc_id) AS rn,
+                            count(*) OVER (PARTITION BY lang) AS n
+                     FROM sc WHERE np > 0),
+          bounds AS (SELECT lang,
+                            max(CASE WHEN rn = (n + 2) // 3 THEN score END) AS b1,
+                            max(CASE WHEN rn = (2 * n + 2) // 3 THEN score END) AS b2
+                     FROM ranked GROUP BY lang),
+          bucketed AS (
+            SELECT r.doc_id, r.lang, r.score,
+                   CASE WHEN r.score <= b.b1 THEN 'head'
+                        WHEN r.score <= b.b2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked r JOIN bounds b USING (lang)
+            UNION ALL
+            SELECT doc_id, lang, score, 'empty' FROM sc WHERE np <= 0)
+          SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(min(score) AS BIGINT) AS min_score,
+                 CAST(max(score) AS BIGINT) AS max_score,
+                 md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
+                                         ORDER BY doc_id), '')) AS ids_md5
+          FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket"""
+    }.getOrElse("""SELECT CAST(NULL AS VARCHAR) AS lang,
+                          CAST(NULL AS VARCHAR) AS bucket,
+                          CAST(NULL AS BIGINT) AS n_docs,
+                          CAST(NULL AS BIGINT) AS min_score,
+                          CAST(NULL AS BIGINT) AS max_score,
+                          CAST(NULL AS VARCHAR) AS ids_md5
+                   WHERE 1 = 0"""),
+
     // Learned-weights replay (data-dependent, like the BPE merges): margins
     // reproduce bit-for-bit because scoring is a pinned IEEE sequence.
     "quality_classifier" -> lastQcWeights.map(qcOracleSql)
@@ -6645,20 +6841,51 @@ object SparkEntry {
           FROM kept GROUP BY source, lang ORDER BY source, lang""",
 
     // sumMapFiltered family: the map_agg_events contract with the keep-list
-    // replayed as a key filter before aggregation.
+    // replayed as a key filter before aggregation. The engine groups the
+    // UNFILTERED base frame, so a cohort with no kept keys still emits a row
+    // (empty maps, n_keys=0) — the oracle LEFT JOINs from the full cohort
+    // list with md5('')-coalesced digests to match.
     "map_agg_filtered" ->
       """WITH e AS (SELECT user_id % 20 AS grp, event_type AS k,
                            CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
                     FROM events WHERE event_type IN ('click', 'purchase')),
          g AS (SELECT grp, k, count(*) AS cnt, min(v) AS mn, max(v) AS mx,
                       CAST(sum(v) AS BIGINT) AS sm
-               FROM e GROUP BY 1, 2)
-         SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+               FROM e GROUP BY 1, 2),
+         agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
                 md5(string_agg(k || '=' || cnt, ',' ORDER BY k)) AS count_map,
                 md5(string_agg(k || '=' || mn, ',' ORDER BY k)) AS min_map,
                 md5(string_agg(k || '=' || mx, ',' ORDER BY k)) AS max_map,
                 md5(string_agg(k || '=' || sm, ',' ORDER BY k)) AS sum_map
-         FROM g GROUP BY grp ORDER BY grp""",
+         FROM g GROUP BY grp),
+         allg AS (SELECT DISTINCT user_id % 20 AS grp FROM events)
+         SELECT allg.grp, coalesce(agg.n_keys, 0) AS n_keys,
+                coalesce(agg.count_map, md5('')) AS count_map,
+                coalesce(agg.min_map, md5('')) AS min_map,
+                coalesce(agg.max_map, md5('')) AS max_map,
+                coalesce(agg.sum_map, md5('')) AS sum_map
+         FROM allg LEFT JOIN agg USING (grp) ORDER BY allg.grp""",
+
+    // exponentialMovingAverage / exponentialTimeDecayedSum: the engine's
+    // recurrences replayed step-for-step through a recursive CTE. Decay
+    // factors are exact powers of two (1.0 / (1<<Δdays), Δ clamped 62) and
+    // α=1/4 is an exact binary fraction, so every step is one correctly-
+    // rounded IEEE op in the identical tree — bit-equality, no libm.
+    "events_ema" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(value AS DOUBLE) AS v,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, rn, day, v, v AS tds, v AS ema
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn, e.day, e.v,
+                  e.v + r.tds * (1.0 / CAST((CAST(1 AS BIGINT) << least(e.day - r.day, 62)) AS DOUBLE)),
+                  0.25 * e.v + 0.75 * r.ema
+           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, ema, tds FROM r ORDER BY event_id""",
 
     // groupArrayMovingSum(7): the moving-avg frame, decimal sum through the
     // digit string, no divide — float-free end to end.
@@ -6744,6 +6971,53 @@ object SparkEntry {
          SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
                 CAST(n2 AS BIGINT) AS n2, chi2, chi2 > 5.991 AS nonuniform
          FROM t ORDER BY event_type""",
+
+    // Cramér's V / bias-corrected V / contingency coefficient: per-row χ²
+    // terms are chi2_cohort's tree; the global χ² is the SAME left fold
+    // (list_reduce over the event_type-ordered list vs the engine's
+    // 0.0-seeded fold — equal because 0.0 + x ≡ x for x ≥ 0); the V/C
+    // trees mirror the engine op-for-op over exact integer n and r.
+    "cramers_v_cohort" ->
+      """WITH ev AS (SELECT event_type, user_id % 3 AS c FROM events),
+         cells AS (SELECT event_type,
+                          count(CASE WHEN c = 0 THEN 1 END) AS n0,
+                          count(CASE WHEN c = 1 THEN 1 END) AS n1,
+                          count(CASE WHEN c = 2 THEN 1 END) AS n2
+                   FROM ev GROUP BY event_type),
+         m AS (SELECT count(CASE WHEN c = 0 THEN 1 END) AS m0,
+                      count(CASE WHEN c = 1 THEN 1 END) AS m1,
+                      count(CASE WHEN c = 2 THEN 1 END) AS m2,
+                      count(*) AS mt FROM ev),
+         j AS (SELECT cells.event_type,
+                      CAST(cells.n0 + cells.n1 + cells.n2 AS DOUBLE) AS rn,
+                      cells.n0, cells.n1, cells.n2, m.m0, m.m1, m.m2, m.mt
+               FROM cells, m),
+         tr AS (SELECT event_type,
+                       ((CAST(n0 AS DOUBLE) - rn * (CAST(m0 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        * (CAST(n0 AS DOUBLE) - rn * (CAST(m0 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        / (rn * (CAST(m0 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        + (CAST(n1 AS DOUBLE) - rn * (CAST(m1 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        * (CAST(n1 AS DOUBLE) - rn * (CAST(m1 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        / (rn * (CAST(m1 AS DOUBLE) / CAST(mt AS DOUBLE))))
+                        + (CAST(n2 AS DOUBLE) - rn * (CAST(m2 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        * (CAST(n2 AS DOUBLE) - rn * (CAST(m2 AS DOUBLE) / CAST(mt AS DOUBLE)))
+                        / (rn * (CAST(m2 AS DOUBLE) / CAST(mt AS DOUBLE))) AS chi2r,
+                       mt
+                FROM j),
+         g AS (SELECT list_reduce(list(chi2r ORDER BY event_type), (a, b) -> a + b) AS chi2,
+                      CAST(count(*) AS BIGINT) AS r,
+                      CAST(max(mt) AS BIGINT) AS n
+               FROM tr)
+         SELECT n, r, chi2,
+                sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r - 1, 2) AS DOUBLE))) AS cramers_v,
+                sqrt(greatest(0.0, chi2 / CAST(n AS DOUBLE)
+                                   - (CAST(r AS DOUBLE) - 1.0) * 2.0 / (CAST(n AS DOUBLE) - 1.0))
+                     / least((CAST(r AS DOUBLE)
+                              - (CAST(r AS DOUBLE) - 1.0) * (CAST(r AS DOUBLE) - 1.0)
+                                / (CAST(n AS DOUBLE) - 1.0)) - 1.0,
+                             (3.0 - 4.0 / (CAST(n AS DOUBLE) - 1.0)) - 1.0)) AS cramers_v_corrected,
+                sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coef
+         FROM g""",
 
     // Mann-Whitney U: doubled midranks (2·rank + peers − 1) keep ties
     // integer-exact; 2R_A, 2U_A and Σ(t³−t) are exact BIGINTs, and the

@@ -554,6 +554,10 @@ case class UnigramStatsExpr(child: Expression, model: graft.operators.UnigramLm.
     var pieces = 0L
     var cost = 0L
     def add(w: String): Unit = {
+      // words of length ≥ KeyMul are outside the tokenizer contract (their
+      // n_pieces would overflow the packed key): zero contribution, matching
+      // UnigramLm.docTokenStats and the oracle's LEFT JOIN
+      if (w.length >= KeyMul) return
       val k = keyOf(w)
       pieces += k % KeyMul
       cost += k / KeyMul

@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param payload right-side columns to carry onto left rows (renamed as
-    *                given); all other right columns are dropped. */
+    *                given); all other right columns are dropped.
+    * @param toleranceSeconds when set, a match farther in the past than the
+    *                tolerance is nulled out (pandas `merge_asof` backward
+    *                tolerance) and a `matched` boolean is APPENDED after the
+    *                payload columns; when None the output shape is exactly
+    *                `leftCols ++ payload` (unchanged legacy contract). */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
     val leftOther = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
     // ASOF semantics: a right row with a NULL timestamp or NULL key can never
@@ -38,26 +44,52 @@ object AsOf {
     // are a null STRUCT, while a right row whose payload fields are null is a
     // non-null struct of nulls — so `last(…, ignoreNulls)` skips placeholders
     // but honours genuine nulls, and all carried fields come from the SAME
-    // right row (no cross-row mixing).
+    // right row (no cross-row mixing). The matched right timestamp rides
+    // inside the struct so the tolerance test compares columns of the SAME
+    // matched row.
     val payloadType = org.apache.spark.sql.types.StructType(
-      right.select(payload.map(col): _*).schema.fields)
+      right.select((payload.map(col) :+ col(rightTime).as("__rt")): _*).schema.fields)
     val r = rightClean.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
-        struct(payload.map(col): _*).as("__p")) ++
+        struct((payload.map(col) :+ col(rightTime).as("__rt")): _*).as("__p")) ++
         leftOther.map(c => lit(null).as(c)): _*)
     val l = left.select(
       (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__tag") :+
         lit(null).cast(payloadType).as("__p")) ++
         leftOther.map(col): _*)
+    // tertiary xxhash64(__p) tiebreak: equal (key, rightTime) right rows
+    // would otherwise make last(__p) partition-order nondeterministic; the
+    // hash orders ties by payload content (left placeholders hash to the
+    // null-input constant — a single tie class, harmless)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(col("__t"), col("__tag"), xxhash64(col("__p")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = r.unionByName(l)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
-    filled.filter(col("__tag") === 1)
-      .withColumnRenamed("__t", leftTime)
-      .select(leftCols.toIndexedSeq.map(col) ++
-              payload.map(p => col("__p").getField(p).as(p)): _*)
+    val isTs = left.schema(leftTime).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    def units(c: Column) = if (isTs) unix_micros(c) else c.cast("long")
+    val base = filled.filter(col("__tag") === 1)
+    toleranceSeconds match {
+      case None =>
+        base.withColumnRenamed("__t", leftTime)
+          .select(leftCols.toIndexedSeq.map(col) ++
+                  payload.map(p => col("__p").getField(p).as(p)): _*)
+      case Some(tol) =>
+        // µs-exact tolerance, mirroring joinAsOfForward; NULL-leftTime rows
+        // (nulls-first here means an all-null PRECEDING frame — no match
+        // anyway) still land matched=false via the coalesce
+        val bound = if (isTs) tol * 1000000L else tol
+        val ok = coalesce(
+          col("__t").isNotNull && col("__p").isNotNull &&
+            (units(col("__t")) - units(col("__p").getField("__rt"))) <= bound,
+          lit(false))
+        base.withColumn("__ok", ok)
+          .withColumnRenamed("__t", leftTime)
+          .select(leftCols.toIndexedSeq.map(col) ++
+                  payload.map(p => when(col("__ok"), col("__p").getField(p)).as(p)) :+
+                  col("__ok").as("matched"): _*)
+    }
   }
 
   /** FORWARD as-of join with an optional tolerance — the `<=` direction of
@@ -91,8 +123,11 @@ object AsOf {
       (keys.map(col) :+ col(leftTime).as("__t") :+ lit(0).as("__tag") :+
         lit(null).cast(payloadType).as("__p")) ++
         leftOther.map(col): _*)
+    // same deterministic tiebreak as joinAsOf: among equal (key, rightTime)
+    // right rows, first(__p) picks the smallest payload hash, not whichever
+    // partition order served up
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(col("__t"), col("__tag"), xxhash64(col("__p")))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = r.unionByName(l)
       .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
@@ -109,8 +144,13 @@ object AsOf {
           (units(col("__p").getField("__rt")) - units(col("__t"))) <= bound
       case None => col("__p").isNotNull
     }
+    // a left row with NULL leftTime sorts NULLS FIRST in the ascending
+    // window, so its FOLLOWING frame spans the whole partition and it would
+    // "match" the earliest right row — ASOF semantics (and every SQL engine's
+    // NULL comparison) say it matches nothing. Null the match instead of
+    // dropping the row; coalesce pins `matched` to a real boolean.
     filled.filter(col("__tag") === 0)
-      .withColumn("__ok", withinTol)
+      .withColumn("__ok", coalesce(col("__t").isNotNull && withinTol, lit(false)))
       .withColumnRenamed("__t", leftTime)
       .select(leftCols.toIndexedSeq.map(col) ++
               payload.map(p => when(col("__ok"), col("__p").getField(p)).as(p)) :+

@@ -192,4 +192,67 @@ object EventAnalytics {
       .withColumn("twa",
         col("vt_sum") / col("total_seconds").cast("double"))
   }
+
+  /** Exponential moving stats — the ClickHouse
+    * `exponentialMovingAverage` / `exponentialTimeDecayedSum` family
+    * (reference generalization: the moving-window lane next to
+    * `groupArrayMovingAvg/Sum`). Per key, in strict (ts, id) order:
+    *
+    *  - `ema`: index-stepped EMA with α = 1/4 —
+    *    `ema_1 = v_1; ema_i = 0.25·v_i + 0.75·ema_{i−1}`
+    *  - `tds`: day-granular half-life time-decayed sum —
+    *    `tds_1 = v_1; tds_i = v_i + tds_{i−1} · 2^(−Δdays)`
+    *
+    * Engine-portability without exp/pow (neither is correctly rounded, so
+    * cross-engine bit-equality would be luck): the decay factor is
+    * `1.0 / (1 << Δdays)` with Δ clamped to 62 — an exact power of two
+    * looked up from a 63-entry literal table. Multiplying by an exact
+    * power of two is EXACT; α = 1/4 and 1−α = 3/4 are exact binary
+    * fractions; every remaining add/multiply is one correctly-rounded IEEE
+    * op in a pinned left-fold order — so a recursive-CTE replay of the
+    * identical tree (the packed_chunks discipline) is bit-identical.
+    *
+    * A decay recurrence is inherently sequential per key, so each key's
+    * run is collected into an ordered array and folded in one projection
+    * (arrays are per-key-sized — bounded; the groupBy is the only
+    * shuffle). */
+  def exponentialMovingStats(events: DataFrame, keyCol: String = "user_id",
+                             tsCol: String = "ts", idCol: String = "event_id",
+                             valCol: String = "value"): DataFrame = {
+    val DayUs = 86400000000L
+    // exact epoch day: subtract the µs remainder first, so the double
+    // division is integer-valued and therefore exact (no floor-after-
+    // rounding hazard at midnight boundaries)
+    val us = unix_micros(col(tsCol))
+    val day = ((us - pmod(us, lit(DayUs))) / lit(DayUs)).cast("long")
+    val decays = array((0 to 62).map(d => lit(1.0 / (1L << d).toDouble)): _*)
+    val rows = array_sort(collect_list(struct(
+      col(tsCol).as("ts"), col(idCol).as("id"), day.as("day"),
+      col(valCol).cast("double").as("v"))))
+    val outType = "array<struct<id:bigint,tds:double,ema:double>>"
+    val init = struct(lit(-1L).as("pd"), lit(0.0).as("tds"),
+                      lit(0.0).as("ema"),
+                      lit(null).cast(outType).as("out"))
+    val folded = aggregate(
+      col("__rows"), init,
+      (acc, x) => {
+        val first = acc.getField("pd") === lit(-1L)
+        val dd = least(x.getField("day") - acc.getField("pd"), lit(62L))
+        val decay = element_at(decays, dd.cast("int") + lit(1))
+        val v = x.getField("v")
+        val tds = when(first, v).otherwise(v + acc.getField("tds") * decay)
+        val ema = when(first, v)
+          .otherwise(lit(0.25) * v + lit(0.75) * acc.getField("ema"))
+        struct(x.getField("day").as("pd"), tds.as("tds"), ema.as("ema"),
+               concat(coalesce(acc.getField("out"), array().cast(outType)),
+                      array(struct(x.getField("id").as("id"),
+                                   tds.as("tds"), ema.as("ema")))).as("out"))
+      })
+    events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
+      .groupBy(col(keyCol))
+      .agg(rows.as("__rows"))
+      .select(col(keyCol), explode(folded.getField("out")).as("r"))
+      .select(col("r.id").as(idCol), col(keyCol),
+              col("r.ema").as("ema"), col("r.tds").as("tds"))
+  }
 }

@@ -59,21 +59,37 @@ object UnigramLm {
 
   /** Train from the corpus: one vocabulary-sized shuffle, then a driver EM
     * loop. Deterministic end-to-end (count-desc/piece-asc total orders,
-    * StrictMath.log, fixed round count). */
+    * StrictMath.log, fixed round count).
+    *
+    * Words of length ≥ [[KeyMul]] are OUTSIDE the tokenizer contract (their
+    * n_pieces would overflow the packed key bits) — excluded from training
+    * and skipped at apply time by every scorer (native expr, docTokenStats,
+    * oracle), so all sides agree. `maxWordLen` derives from the FULL
+    * word-type table, not the top-`maxVocab` dictionary: the oracle's DP
+    * unroll must reach every word the engine scores, including tail types
+    * longer than any dictionary word (the UNK single-char branch covers
+    * their unseen characters). */
   def learn(docs: DataFrame, vocabSize: Int = 200, emRounds: Int = 3,
             maxVocab: Int = 20000, textCol: String = "text"): Model = {
-    val types = BpeModel.wordFrequencies(docs, textCol)
+    val wf = BpeModel.wordFrequencies(docs, textCol)
+      .filter(length(col("word")) < KeyMul.toInt)
+    val fullMaxRow = wf.agg(max(length(col("word")))).collect()(0)
+    val fullMax = if (fullMaxRow.isNullAt(0)) 1 else fullMaxRow.getInt(0)
+    val types = wf
       .orderBy(col("n").desc, col("word"))
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    train(types, vocabSize, emRounds)
+    train(types, vocabSize, emRounds, fullMaxWordLen = Some(fullMax))
   }
 
-  /** Driver-side trainer over the word-type dictionary. */
+  /** Driver-side trainer over the word-type dictionary.
+    * @param fullMaxWordLen max word length over the FULL (filtered) corpus
+    *        word-type table when the dictionary is a truncated top-K of it;
+    *        defaults to the dictionary's own max. */
   def train(wordFreq: Seq[(String, Long)], vocabSize: Int,
-            emRounds: Int): Model = {
+            emRounds: Int, fullMaxWordLen: Option[Int] = None): Model = {
     require(wordFreq.nonEmpty, "unigram training needs a non-empty dictionary")
-    val maxLen = wordFreq.iterator.map(_._1.length).max
+    val maxLen = fullMaxWordLen.getOrElse(wordFreq.iterator.map(_._1.length).max)
     require(maxLen < KeyMul, s"word length $maxLen breaks key packing (KeyMul=$KeyMul)")
 
     // ---- seed: substring counting (weighted by word-type frequency) ----
@@ -250,7 +266,17 @@ object UnigramLm {
     * (one CTE per prefix length; integer arithmetic end-to-end, so the
     * optimum matches the engine exactly). Pieces are [a-z]+ by construction
     * — asserted, no SQL escaping needed. */
-  def oracleTokenSql(model: Model): String = {
+  def oracleTokenSql(model: Model): String =
+    s"""WITH ${oracleStatsCtes(model)}
+        SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
+               COALESCE(per.n_pieces, 0) AS n_pieces,
+               COALESCE(per.unigram_cost, 0) AS unigram_cost
+        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+
+  /** The WITH-body CTE chain (w, v, d0…dK, seg, per) the token oracle and
+    * the CCNet perplexity-bucket oracle share: `per` carries exact
+    * (doc_id, n_words, n_pieces, unigram_cost) for every doc with ≥1 word. */
+  def oracleStatsCtes(model: Model): String = {
     model.pieces.foreach { case (p, _) =>
       require(p.matches("[a-z]+"), s"piece must be [a-z]+: '$p'")
     }
@@ -260,29 +286,40 @@ object UnigramLm {
     val dpCtes = (1 to maxLen).map { k =>
       val branches = (1 to math.min(MaxPieceLen, k)).map { l =>
         val j = k - l
-        s"""SELECT d.word, d.key + (v.cost * $KeyMul + 1) AS key
-            FROM d$j d JOIN v ON v.piece = substr(d.word, ${j + 1}, $l)
-            WHERE length(d.word) >= $k"""
+        // UNK single-char branch (l == 1 LEFT JOIN + coalesce): a character
+        // outside the learned vocabulary costs UnkCost, exactly as
+        // viterbiKey's fallback — tail word types beyond the top-maxVocab
+        // dictionary can carry characters no dictionary word has
+        if (l == 1)
+          s"""SELECT d.word, d.key + (coalesce(v.cost, $UnkCost) * $KeyMul + 1) AS key
+              FROM d$j d LEFT JOIN v ON v.piece = substr(d.word, ${j + 1}, 1)
+              WHERE length(d.word) >= $k"""
+        else
+          s"""SELECT d.word, d.key + (v.cost * $KeyMul + 1) AS key
+              FROM d$j d JOIN v ON v.piece = substr(d.word, ${j + 1}, $l)
+              WHERE length(d.word) >= $k"""
       }.mkString(" UNION ALL ")
       s"d$k AS (SELECT word, min(key) AS key FROM ($branches) u GROUP BY word)"
     }.mkString(",\n        ")
     val segBranches = (1 to maxLen)
       .map(k => s"SELECT word, key FROM d$k WHERE length(word) = $k")
       .mkString(" UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    // w keeps EVERY word (n_words counts them all); the LEFT JOIN to seg
+    // zero-contributes words outside the tokenizer contract (length ≥
+    // KeyMul, which the engine's scorers skip). Every word shorter than
+    // that has a seg row: maxWordLen is the full-table max and the UNK
+    // branch completes any DP path.
+    s"""w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
                    FROM documents),
         v(piece, cost) AS (SELECT * FROM (VALUES $vocabValues) t(piece, cost)),
-        d0 AS (SELECT DISTINCT word, CAST(0 AS BIGINT) AS key FROM w),
+        d0 AS (SELECT DISTINCT word, CAST(0 AS BIGINT) AS key FROM w
+               WHERE length(word) < $KeyMul),
         $dpCtes,
         seg AS ($segBranches),
         per AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-                       CAST(sum(s.key % $KeyMul) AS BIGINT) AS n_pieces,
-                       CAST(sum(s.key // $KeyMul) AS BIGINT) AS unigram_cost
-                FROM w JOIN seg s USING (word) GROUP BY w.doc_id)
-        SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
-               COALESCE(per.n_pieces, 0) AS n_pieces,
-               COALESCE(per.unigram_cost, 0) AS unigram_cost
-        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+                       CAST(sum(coalesce(s.key % $KeyMul, 0)) AS BIGINT) AS n_pieces,
+                       CAST(sum(coalesce(s.key // $KeyMul, 0)) AS BIGINT) AS unigram_cost
+                FROM w LEFT JOIN seg s USING (word) GROUP BY w.doc_id)"""
   }
 
   /** Reference DATAFRAME form of the per-doc stats via the distinct-word
@@ -291,14 +328,19 @@ object UnigramLm {
   def docTokenStats(docs: DataFrame, model: Model,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("word"))
-    val vocab = words.select(col("word")).distinct()
+    // words of length ≥ KeyMul are outside the tokenizer contract: counted
+    // in n_words, zero contribution to pieces/cost (mirrors the native
+    // expression's skip and the oracle's LEFT JOIN)
+    val vocab = words.filter(length(col("word")) < KeyMul.toInt)
+      .select(col("word")).distinct()
       .withColumn("key", viterbiKeyChain(col("word"), model))
-    words.join(vocab, Seq("word"))
+    words.join(vocab, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
-           sum(col("key") % KeyMul).as("n_pieces"),
+           sum(coalesce(col("key") % KeyMul, lit(0L))).as("n_pieces"),
            // keys are ≤ maxLen·maxCost·KeyMul ≈ 8e10 < 2^53, so the double
            // division is exact and the cast truncation equals floordiv
-           sum(floor(col("key") / lit(KeyMul)).cast("long")).as("unigram_cost"))
+           sum(coalesce(floor(col("key") / lit(KeyMul)).cast("long"), lit(0L)))
+             .as("unigram_cost"))
   }
 }

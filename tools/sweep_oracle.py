@@ -25,13 +25,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+# Lanes whose brute-force pair-join SQL is known-intractable at sf0.1 (hours
+# in DuckDB); RecallCheck verifies exactly these EXACTLY on the Spark side
+# (tools/run_fullscale.sh step 3). A TIMEOUT on any OTHER lane is red — a
+# newly-slow oracle has no Spark-side cover.
+EXPECTED_TIMEOUT = {
+    "containment_neardup", "dedup_clusters", "dedup_keep_best",
+    "incremental_clusters", "incremental_neardup", "leakage_split",
+    "minhash_neardup", "ngram_jaccard_neardup", "editdist_neardup",
+    "simhash_neardup", "semantic_dedup", "exact_substring_spans",
+    "dedup_spans", "dup_ngram_frac",
+}
+
+
 def run_oracle(sql: str, q):
-    con = duckdb.connect()
-    for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
-                "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
-    q.put(con.execute(sql).fetchdf())
+    # exceptions must reach the parent as an explicit marker: an uncaught
+    # error here kills the child silently, q.get times out, and a BROKEN
+    # oracle would classify as (tolerated) TIMEOUT instead of FAIL
+    try:
+        con = duckdb.connect()
+        for tbl in ["region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
+        q.put(("ok", con.execute(sql).fetchdf()))
+    except Exception as e:
+        q.put(("error", f"{type(e).__name__}: {e}"))
 
 
 def compare(name: str, sql: str):
@@ -44,12 +63,18 @@ def compare(name: str, sql: str):
     p = mp.Process(target=run_oracle, args=(sql, q))
     p.start()
     try:
-        ora_df = canon(q.get(timeout=timeout_s))
+        status, payload = q.get(timeout=timeout_s)
     except Exception:
         p.terminate()
         p.join()
-        return ("TIMEOUT", None)
+        if name in EXPECTED_TIMEOUT:
+            return ("TIMEOUT", None)
+        return ("FAIL", f"unexpected oracle timeout after {timeout_s}s "
+                        "(not in EXPECTED_TIMEOUT)")
     p.join()
+    if status == "error":
+        return ("FAIL", f"oracle error: {payload}")
+    ora_df = canon(payload)
     if list(spark_df.columns) != list(ora_df.columns):
         return ("FAIL", f"columns {list(spark_df.columns)} vs {list(ora_df.columns)}")
     if len(spark_df) != len(ora_df):
