@@ -120,6 +120,18 @@ object Bench {
       name -> math.min(t1, (System.nanoTime() - t0) / 1e9)
     }
     val steadyTotal = total - rerun.map(_._2).sum + steady.map(_._2).sum
+    // cold-ratio telemetry (soft gate): first-run / steady for the rerun
+    // set. On a quiet host a non-streaming query above ~3 flags a cold
+    // artifact being billed to the first timed run (the r09 editdist
+    // class) — read it from the artifact instead of ad-hoc profiling.
+    // Streaming lifecycles legitimately carry per-query scaffolding and sit
+    // higher; contention episodes inflate every ratio in a time window
+    // (check `starts`/`calibrations` first, as always).
+    val steadyMap = steady.toMap
+    val coldRatio = rerun.collect {
+      case (name, t1) if steadyMap.getOrElse(name, 0.0) > 0.0 =>
+        name -> t1 / steadyMap(name)
+    }
     calibrate()
     val calibration = calibrations.sorted.apply(calibrations.size / 2)
     // explicit ROOT locale: the default-locale `f` interpolator would print a
@@ -143,7 +155,7 @@ object Bench {
     // per-position cost (should warmup ever regress) is attributable
     val orderJson = results.map { case (n, _) => qstr(n) }.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"order":$orderJson,"queries":${fmt(results)},"starts":${fmt(starts)},"steady":${fmt(steady)},"steady_total":${num(steadyTotal)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"order":$orderJson,"queries":${fmt(results)},"starts":${fmt(starts)},"steady":${fmt(steady)},"steady_total":${num(steadyTotal)},"cold_ratio":${fmt(coldRatio)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     val headline = Seq(

@@ -58,6 +58,12 @@ object NativeExprs {
   /** Stopword/CJK language ID; matches `TextAnalysis.langId`. */
   def langId(text: Column): Column = col(LangIdExpr(expr(text)))
 
+  /** Registrable domain of a URL (ClickHouse
+    * `cutToFirstSignificantSubdomain`): one label + public suffix, via the
+    * embedded suffix-lite table; matches
+    * `TextAnalysis.registeredDomainHof`. */
+  def registeredDomain(url: Column): Column = col(RegisteredDomainExpr(expr(url)))
+
   /** Per-doc learned-BPE token count under `merges`; matches
     * `BpeModel.docTokenCounts` / the replace-chain column form exactly. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
@@ -591,6 +597,80 @@ case class UnigramStatsExpr(child: Expression, model: graft.operators.UnigramLm.
     row
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Registrable-domain extraction — the RefinedWeb per-domain-cap key
+  * (ClickHouse `cutToFirstSignificantSubdomain`, the tutorial-scale slice of
+  * the Public Suffix List idea). One pure string pass, no allocation beyond
+  * the label split (the LangIdExpr discipline):
+  *
+  *  1. authority = after `scheme://` (scheme optional), cut at `/ ? #`,
+  *     after the last `@` (userinfo), before `:` (port); trailing dot
+  *     (FQDN form) stripped; lowercased with UTF8String's own toLowerCase
+  *     so case folding matches SQL `lower()` exactly.
+  *  2. all-numeric labels → the host IS the key (IPv4 literal).
+  *  3. longest suffix match against [[RegisteredDomainExpr.Suffixes]]
+  *     (3-label, then 2-label, else the TLD); registrable domain = one
+  *     label + suffix; a host that IS a public suffix returns itself.
+  *
+  * NULL for hosts that are empty or malformed (empty label). The embedded
+  * table is deliberately a small documented subset — the operator contract
+  * is the LOOKUP STRUCTURE (longest-match over multi-label suffixes), and
+  * the full PSL is a drop-in data swap. */
+case class RegisteredDomainExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import RegisteredDomainExpr._
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val schemeAt = s.indexOf("://")
+    val rest = if (schemeAt >= 0) s.substring(schemeAt + 3) else s
+    var end = rest.length
+    var j = 0
+    while (j < end) {
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?' || c == '#') end = j else j += 1
+    }
+    val auth = rest.substring(0, end)
+    val at = auth.lastIndexOf('@')
+    val hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    val cp = hostPort.indexOf(':')
+    var host = if (cp >= 0) hostPort.substring(0, cp) else hostPort
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    host = UTF8String.fromString(host).toLowerCase.toString
+    val labels = host.split('.')
+    if (labels.isEmpty || labels.exists(_.isEmpty)) return null
+    if (labels.forall(l => l.forall(c => c >= '0' && c <= '9')))
+      return UTF8String.fromString(host) // IPv4 literal
+    val n = labels.length
+    def joinLast(k: Int) = labels.slice(n - k, n).mkString(".")
+    val sufLen =
+      if (n >= 3 && Suffixes.contains(joinLast(3))) 3
+      else if (n >= 2 && Suffixes.contains(joinLast(2))) 2
+      else 1
+    UTF8String.fromString(if (n <= sufLen) host else joinLast(sufLen + 1))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object RegisteredDomainExpr {
+  /** Public-suffix-lite: the multi-label entries the longest-match consults
+    * (1-label TLDs need no table — they are the default rule). A documented
+    * subset of the Public Suffix List's two shapes: country second-level
+    * registries and private registrable platforms. */
+  val Suffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "co.in", "net.in", "org.in",
+    "co.nz", "net.nz", "org.nz",
+    "co.kr", "co.za", "com.mx", "com.tr", "com.sg", "com.hk",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "s3.amazonaws.com", "cloudfront.net")
 }
 
 case class NormalizeTextExpr(child: Expression)

@@ -120,6 +120,41 @@ object TextAnalysis {
     }.getField("lang")
   }
 
+  /** Registrable domain of a URL — native single-pass expression
+    * ([[graft.functions.RegisteredDomainExpr]]);
+    * [[registeredDomainHof]] is the reference form. */
+  def registeredDomain(url: Column): Column = NativeExprs.registeredDomain(url)
+
+  /** Reference SQL-function implementation of [[registeredDomain]]
+    * (interpreted; parity-tested). Same parse: after `scheme://`, cut at
+    * `/?#`, after the last `@`, before `:`, trailing dot stripped,
+    * lowercased; IPv4 literals pass through; longest 3/2-label suffix
+    * match, else the TLD; one label + suffix. */
+  def registeredDomainHof(url: Column): Column = {
+    import graft.functions.RegisteredDomainExpr.Suffixes
+    val rest = when(instr(url, "://") > 0, substring_index(url, "://", -1))
+      .otherwise(url)
+    val auth = substring_index(split(rest, "[/?#]", 2).getItem(0), "@", -1)
+    val host0 = lower(split(auth, ":", 2).getItem(0))
+    val host = regexp_replace(host0, "\\.$", "")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val malformed = length(host) === 0 || exists(labels, l => length(l) === 0)
+    val isIp = !exists(labels, l => l.rlike("[^0-9]"))
+    val sufs = array(Suffixes.toSeq.sorted.map(lit): _*)
+    // get() (0-based, null out-of-bounds), never element_at(-k): ANSI mode
+    // throws on out-of-range indices and the n-guards below only protect
+    // the CONDITIONS, not an eagerly-invalid index
+    val last2 = concat_ws(".", get(labels, n - 2), get(labels, n - 1))
+    val last3 = concat_ws(".", get(labels, n - 3), last2)
+    val sufLen = when(n >= 3 && array_contains(sufs, last3), 3)
+      .when(n >= 2 && array_contains(sufs, last2), 2)
+      .otherwise(1)
+    when(malformed, lit(null).cast("string"))
+      .when(isIp || n <= sufLen, host)
+      .otherwise(array_join(slice(labels, n - sufLen, sufLen + 1), "."))
+  }
+
   /** Word n-grams of the text (empty below n words). */
   def wordNgrams(text: Column, n: Int): Column = {
     val ws = words(text)

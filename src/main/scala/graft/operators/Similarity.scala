@@ -513,6 +513,69 @@ object Similarity {
     * Returns the corpus plus a `kept` boolean (false = semantic duplicate
     * of a lower-id cluster-mate); callers filter `kept` for the deduped
     * corpus. */
+  /** Argmax-cosine assignment against a driver-side centroid table embedded
+    * as literals: struct(c = cosine(vec, centroid_i), i), folded with a
+    * strictly-greater comparison — ties keep the LOWEST centroid index.
+    * One projection, no shuffle, no broadcast variable (k·dim literals ride
+    * the plan). The per-centroid squared norm the cosine needs is computed
+    * by [[graft.functions.NativeExprs.cosineSim]]'s left-assoc loop — the
+    * identical IEEE sequence a generated oracle replays with the norm
+    * embedded as a literal. */
+  def kmeansArgmax(vec: Column, cents: Array[Array[Double]]): Column = {
+    // array_max over (c, −i) structs, NOT a when-chain fold: the fold
+    // duplicates the partial result per step (2^k expression copies — blows
+    // the codegen method limit at k=8 and re-evaluates cosines), while the
+    // array form evaluates each cosine once and stays whole-stage-codegen.
+    // max of (c, −i) == strictly-greater-advances fold: ties keep lowest i.
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.toSeq.map(lit): _*)).as("c"),
+             lit(-i).as("ni"))
+    }: _*)
+    val bm = array_max(scored)
+    struct(bm.getField("c").as("c"), (-bm.getField("ni")).as("i"))
+  }
+
+  /** Distributed fixed-round Lloyd's k-means over the embedding column —
+    * the trainer that frees IVF cells / semantic dedup from pre-supplied
+    * labels (promotes [[pqTrain]]'s driver-sample k-means to the full
+    * corpus). Init = the k vectors with the smallest engine-agnostic
+    * multiplicative hash of their id (spread + deterministic, the
+    * stratifiedSample rank); each round = ONE corpus scan: centroids ride
+    * the plan as literals into an argmax-cosine projection
+    * ([[kmeansArgmax]]), then [[labelCentroids]]' decimal-exact
+    * per-dimension means (order-independent under any partitioning) are
+    * collected — a (k·dim)-sized frame, never the corpus. Empty clusters
+    * keep their previous centroid (the pqTrain rule). Fixed round count +
+    * exact means + deterministic init/tie-breaks ⇒ bit-reproducible
+    * centroids run to run, so they embed into a DuckDB oracle as literals
+    * (the pqTrain/srp discipline). An INGEST-TIME artifact at scale. */
+  def kmeansTrain(corpus: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Double]] = {
+    val hash = pmod(col(idCol) * lit(graft.operators.Sampling.Knuth),
+                    lit(1000000007L))
+    var cents: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(hash, col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "kmeansTrain: empty corpus")
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.withColumn(
+        "__label", kmeansArgmax(col(vecCol), cents).getField("i").cast("long"))
+      val next = labelCentroids(assigned, "__label", vecCol)
+        .select(col("__label"), col("pos"), col("centroid"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (l, rows) =>
+          (l, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+      cents = Array.tabulate(cents.length)(i => next.getOrElse(i.toLong, cents(i)))
+      it += 1
+    }
+    cents
+  }
+
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     clusterCol: String = "label",

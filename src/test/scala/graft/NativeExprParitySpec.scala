@@ -24,6 +24,44 @@ class NativeExprParitySpec extends SparkSpec {
     }
   }
 
+  test("registeredDomain: native == SQL-function reference, pinned edge cases") {
+    val urls = Seq(
+      "https://www.site1.co.uk/p/1", "http://a.b.Site7.github.io:8080/p/7?x=1",
+      "site3.com", "http://192.168.0.4/x", "https://user:pw@blog.site2.com.au/x#f",
+      "https://co.uk/", "https://example.com./y", "http://", "https://..a.com/",
+      "ftp://cdn.www.site9.org", "https://s3.amazonaws.com/bucket",
+      "https://x.s3.amazonaws.com/bucket", "HTTPS://WWW.EXAMPLE.COM",
+      "host.with.many.labels.net", "localhost", "a@b.com", null)
+    val df = urls.toDF("url")
+    val rows = df.select(
+        NativeExprs.registeredDomain($"url").as("native"),
+        TextAnalysis.registeredDomainHof($"url").as("ref"))
+      .as[(Option[String], Option[String])].collect()
+    urls.zip(rows).foreach { case (u, (n, r)) =>
+      assert(n == r, s"url '$u': native $n vs reference $r")
+    }
+    val expect = Map(
+      "https://www.site1.co.uk/p/1" -> Some("site1.co.uk"),
+      "http://a.b.Site7.github.io:8080/p/7?x=1" -> Some("site7.github.io"),
+      "site3.com" -> Some("site3.com"),
+      "http://192.168.0.4/x" -> Some("192.168.0.4"),
+      "https://user:pw@blog.site2.com.au/x#f" -> Some("site2.com.au"),
+      "https://co.uk/" -> Some("co.uk"),
+      "https://example.com./y" -> Some("example.com"),
+      "http://" -> None,
+      "https://..a.com/" -> None,
+      "ftp://cdn.www.site9.org" -> Some("site9.org"),
+      "https://s3.amazonaws.com/bucket" -> Some("s3.amazonaws.com"),
+      "https://x.s3.amazonaws.com/bucket" -> Some("x.s3.amazonaws.com"),
+      "HTTPS://WWW.EXAMPLE.COM" -> Some("example.com"),
+      "host.with.many.labels.net" -> Some("labels.net"),
+      "localhost" -> Some("localhost"),
+      "a@b.com" -> Some("b.com"))
+    urls.zip(rows).collect { case (u, (n, _)) if u != null =>
+      expect.get(u).foreach(e => assert(n == e, s"url '$u': got $n, want $e"))
+    }
+  }
+
   test("multiply-shift signature match-fraction estimates jaccard") {
     import graft.functions.MinHashRef
     val texts = docs.limit(60).select(TextAnalysis.normalized($"text"))

@@ -45,9 +45,12 @@ class PlanLintSpec extends SparkSpec {
     "q18_large_orders",    // global TakeOrdered boundary (as top10_customers)
     "q21_waiting_supplier", // global TakeOrdered boundary (top-100 numwait)
     "q22_sales_opportunity", // 1-row avg-balance bound seeds the filter
-    "chi2_cohort")         // 1-row cohort-margin frame seeds the expected
+    "chi2_cohort",         // 1-row cohort-margin frame seeds the expected
                            // counts (the bm25_search corpus-stats pattern);
                            // cell counts upstream aggregate distributed
+    "cramers_v_cohort")    // chi2_cohort's margins frame + a global fold
+                           // over the #event_type-sized term list — one
+                           // scalar V/C row; cells aggregate distributed
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct
