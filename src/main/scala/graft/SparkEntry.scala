@@ -3407,6 +3407,40 @@ object SparkEntry {
       .select(col("doc_id"), col("n_hits"), col("tf_total"), col("dl"))
       .orderBy("doc_id")
 
+  /** Reciprocal-rank fusion (Cormack et al.'s RRF, the standard hybrid-
+    * search combiner): BM25 top-20 fused with an all-integer raw-term-
+    * frequency ranking of the SAME query — both rankings derive from one
+    * [[CorpusModel.bm25Scores]] tf pass, no re-tokenization per ranker.
+    * rrf(d) = Σ_r 1/(60 + rank_r(d)), absent rankings contribute 0; each
+    * term is one correctly-rounded division of exact integers, the sum is
+    * one pinned addition — so scores (and the final ranking) reproduce
+    * bit-for-bit. Rank windows run over the two LIMIT-20 frames — bounded
+    * by construction (PlanLint allow-listed like bm25_search's stats row). */
+  private def hybridRrfSearch(s: SparkSession, dir: String): DataFrame = {
+    // ONE tf pass: both rankings are windows over the same matching-doc-
+    // sized score frame (a per-ranker orderBy+limit would re-run the whole
+    // tokenize/tf/df pipeline per ranker — measured 10 exchanges vs 6)
+    val scores = CorpusModel.bm25Scores(t(s, dir, "documents"), Bm25Terms)
+    val rBm = row_number()
+      .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
+    val rTf = row_number()
+      .over(Window.orderBy(col("tf_total").desc, col("n_hits").desc,
+                           col("doc_id"))).cast("long")
+    scores
+      .withColumn("rank_bm25", when(rBm <= 20, rBm))
+      .withColumn("rank_tf", when(rTf <= 20, rTf))
+      .filter(col("rank_bm25").isNotNull || col("rank_tf").isNotNull)
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(60L) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("rank_tf")), lit(0.0)))
+      .withColumn("final_rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tf"),
+              col("rrf_score"), col("final_rank"))
+      .orderBy("final_rank")
+  }
+
   /** Incremental near-dup — the daily-ingest shape: docs with doc_id % 5 == 0
     * replay as the NEW batch against the remaining 80% as the historical
     * corpus, whose persisted LSH index is probed without recomputing any
@@ -4387,6 +4421,7 @@ object SparkEntry {
     "ccnet_perplexity_buckets" -> (ccnetPerplexityBuckets _),
     "kmeans_assign"        -> (kmeansAssignQ _),
     "url_domain_caps"      -> (urlDomainCaps _),
+    "hybrid_rrf_search"    -> (hybridRrfSearch _),
   )
 
   // ----------------------------------------------------------------------
@@ -6496,6 +6531,52 @@ object SparkEntry {
          FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
          ORDER BY doc_id""",
 
+    // Reciprocal-rank fusion: the bm25_search scored frame feeds BOTH
+    // rankings (BM25, raw tf); rrf terms are 1.0/(60+rank) divisions of
+    // exact integers — bit-identical, so the fused ranking replays exactly.
+    "hybrid_rrf_search" ->
+      """WITH nrm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         dls AS (SELECT doc_id,
+                        len(list_filter(string_split(t, ' '), x -> x <> '')) AS dl
+                 FROM nrm),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+         tok AS (SELECT nrm.doc_id, dls.dl,
+                        unnest(string_split(nrm.t, ' ')) AS term
+                 FROM nrm JOIN dls USING (doc_id)),
+         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                FROM tok WHERE term IN ('spark', 'vector', 'customer')
+                GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+                  sum(ln((CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+                          / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf.tf AS DOUBLE) * 2.2
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * CAST(tf.dl AS DOUBLE)
+                                  / (CAST(stats.sum_dl AS DOUBLE) / stats.n))))
+                      ORDER BY tf.term) AS score,
+                  count(*) AS n_hits, CAST(sum(tf.tf) AS BIGINT) AS tf_total
+           FROM tf JOIN dfreq USING (term), stats
+           GROUP BY tf.doc_id),
+         a AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+               FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)),
+         b AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY tf_total DESC, n_hits DESC, doc_id) AS BIGINT) AS rank_tf
+               FROM (SELECT * FROM scored
+                     ORDER BY tf_total DESC, n_hits DESC, doc_id LIMIT 20)),
+         f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                      a.rank_bm25, b.rank_tf,
+                      coalesce(CAST(1.0 AS DOUBLE) / (60 + a.rank_bm25), 0.0)
+                        + coalesce(CAST(1.0 AS DOUBLE) / (60 + b.rank_tf), 0.0) AS rrf_score
+               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT doc_id, rank_bm25, rank_tf, rrf_score,
+                CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS final_rank
+         FROM f ORDER BY final_rank""",
+
     // Cluster closure recomputed via the recursive CTE (as dedup_clusters),
     // then the same all-integer multiplicative split hash on the canonical
     // cluster id; singletons fall back to their own id through the LEFT JOIN.
@@ -7121,14 +7202,17 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events),
          r AS (
-           SELECT user_id, event_id, rn, day, v, v AS tds, v AS ema
+           SELECT user_id, event_id, rn, day, v,
+                  v AS tds, CAST(1.0 AS DOUBLE) AS tdn, v AS ema
            FROM e WHERE rn = 1
            UNION ALL
            SELECT e.user_id, e.event_id, e.rn, e.day, e.v,
                   e.v + r.tds * (1.0 / CAST((CAST(1 AS BIGINT) << least(e.day - r.day, 62)) AS DOUBLE)),
+                  1.0 + r.tdn * (1.0 / CAST((CAST(1 AS BIGINT) << least(e.day - r.day, 62)) AS DOUBLE)),
                   0.25 * e.v + 0.75 * r.ema
            FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-         SELECT event_id, user_id, ema, tds FROM r ORDER BY event_id""",
+         SELECT event_id, user_id, ema, tds, tds / tdn AS tdavg
+         FROM r ORDER BY event_id""",
 
     // groupArrayMovingSum(7): the moving-avg frame, decimal sum through the
     // digit string, no divide — float-free end to end.

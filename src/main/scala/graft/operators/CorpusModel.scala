@@ -124,7 +124,19 @@ object CorpusModel {
     * per-term profiles) are broken by id. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], topK: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bm25Scores(docs, queryTerms, k1, b, textCol, idCol)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+
+  /** The pre-limit BM25 score frame — one row per document matching ≥1
+    * query term, with (score, n_hits, tf_total, dl). Exposed so rank-fusion
+    * operators ([[SparkEntry]]'s `hybrid_rrf_search`) can derive SEVERAL
+    * rankings (BM25, raw term-frequency) from the one tf pass instead of
+    * re-tokenizing per ranker. */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = docs.select(col(idCol).as("doc_id"),
       filter(split(TextAnalysis.normalized(col(textCol)), " "), t => t =!= "").as("w"))
@@ -149,8 +161,6 @@ object CorpusModel {
              lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
            count(lit(1)).as("n_hits"), sum(col("tf")).as("tf_total"),
            first(col("dl")).as("dl"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topK)
   }
 
   /** Exact phrase search via POSITIONAL postings — the scalable form of

@@ -202,6 +202,10 @@ object EventAnalytics {
     *    `ema_1 = v_1; ema_i = 0.25·v_i + 0.75·ema_{i−1}`
     *  - `tds`: day-granular half-life time-decayed sum —
     *    `tds_1 = v_1; tds_i = v_i + tds_{i−1} · 2^(−Δdays)`
+    *  - `tdavg`: ClickHouse `exponentialTimeDecayedAvg` — `tds / tdn`
+    *    where `tdn` is the identically-decayed COUNT
+    *    (`tdn_1 = 1; tdn_i = 1 + tdn_{i−1} · 2^(−Δdays)`); one final
+    *    correctly-rounded division per row
     *
     * Engine-portability without exp/pow (neither is correctly rounded, so
     * cross-engine bit-equality would be luck): the decay factor is
@@ -229,9 +233,9 @@ object EventAnalytics {
     val rows = array_sort(collect_list(struct(
       col(tsCol).as("ts"), col(idCol).as("id"), day.as("day"),
       col(valCol).cast("double").as("v"))))
-    val outType = "array<struct<id:bigint,tds:double,ema:double>>"
+    val outType = "array<struct<id:bigint,tds:double,ema:double,tdavg:double>>"
     val init = struct(lit(-1L).as("pd"), lit(0.0).as("tds"),
-                      lit(0.0).as("ema"),
+                      lit(0.0).as("tdn"), lit(0.0).as("ema"),
                       lit(null).cast(outType).as("out"))
     val folded = aggregate(
       col("__rows"), init,
@@ -241,18 +245,23 @@ object EventAnalytics {
         val decay = element_at(decays, dd.cast("int") + lit(1))
         val v = x.getField("v")
         val tds = when(first, v).otherwise(v + acc.getField("tds") * decay)
+        val tdn = when(first, lit(1.0))
+          .otherwise(lit(1.0) + acc.getField("tdn") * decay)
         val ema = when(first, v)
           .otherwise(lit(0.25) * v + lit(0.75) * acc.getField("ema"))
-        struct(x.getField("day").as("pd"), tds.as("tds"), ema.as("ema"),
+        struct(x.getField("day").as("pd"), tds.as("tds"), tdn.as("tdn"),
+               ema.as("ema"),
                concat(coalesce(acc.getField("out"), array().cast(outType)),
                       array(struct(x.getField("id").as("id"),
-                                   tds.as("tds"), ema.as("ema")))).as("out"))
+                                   tds.as("tds"), ema.as("ema"),
+                                   (tds / tdn).as("tdavg")))).as("out"))
       })
     events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
       .groupBy(col(keyCol))
       .agg(rows.as("__rows"))
       .select(col(keyCol), explode(folded.getField("out")).as("r"))
       .select(col("r.id").as(idCol), col(keyCol),
-              col("r.ema").as("ema"), col("r.tds").as("tds"))
+              col("r.ema").as("ema"), col("r.tds").as("tds"),
+              col("r.tdavg").as("tdavg"))
   }
 }

@@ -48,9 +48,13 @@ class PlanLintSpec extends SparkSpec {
     "chi2_cohort",         // 1-row cohort-margin frame seeds the expected
                            // counts (the bm25_search corpus-stats pattern);
                            // cell counts upstream aggregate distributed
-    "cramers_v_cohort")    // chi2_cohort's margins frame + a global fold
+    "cramers_v_cohort",    // chi2_cohort's margins frame + a global fold
                            // over the #event_type-sized term list — one
                            // scalar V/C row; cells aggregate distributed
+    "hybrid_rrf_search")   // rank windows over the two LIMIT-20 ranker
+                           // frames (bounded by construction); the tf pass
+                           // upstream aggregates distributed, 1-row corpus
+                           // stats as in bm25_search
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct
