@@ -429,6 +429,74 @@ class InvariantSpec extends SparkSpec {
     assert(gotAll == wantAll)
   }
 
+  test("backward as-of with tolerance == brute-force latest-at-or-before oracle") {
+    val left = (0 until 300).map { i =>
+      (s"k${rnd.nextInt(8)}", 1000L + rnd.nextInt(1000), i.toLong)
+    }.toDF("k", "t", "left_id")
+    val rightRows = (0 until 120).map { i =>
+      (s"k${rnd.nextInt(10)}", 1000L + rnd.nextInt(1000), s"p$i")
+    }
+    val rightDistinct = rightRows.groupBy(r => (r._1, r._2)).map(_._2.last).toSeq
+    val right = rightDistinct.toDF("k", "rt", "payload")
+    val tol = 150L
+    val got = operators.AsOf.joinAsOf(left, right, Seq("k"),
+        leftTime = "t", rightTime = "rt", payload = Seq("payload"),
+        toleranceSeconds = Some(tol))
+      .select($"left_id", $"payload", $"matched")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val byKey = rightDistinct.groupBy(_._1)
+    val want = left.as[(String, Long, Long)].collect().map { case (k, t, id) =>
+      val prev = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t).sortBy(_._2).lastOption
+      val ok = prev.exists(t - _._2 <= tol) // tolerance nulls stale matches
+      id -> (if (ok) prev.map(_._3) else None, ok)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("forward as-of: NULL left time never matches (nulls-first frame trap)") {
+    val left = Seq(("k", Some(30L), 1L), ("k", None: Option[Long], 2L))
+      .toDF("k", "t", "left_id")
+    val right = Seq(("k", 40L, "late")).toDF("k", "rt", "payload")
+    val got = operators.AsOf.joinAsOfForward(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), toleranceSeconds = Some(100L))
+      .select($"left_id", $"payload", $"matched")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (Some("late"), true))
+    // the NULL-time row sorts NULLS FIRST — its FOLLOWING frame spans the
+    // partition, so without the guard it would "match" the earliest right
+    assert(got(2L) == (None, false))
+  }
+
+  test("as-of equal-timestamp right ties resolve identically under any partitioning") {
+    val left = Seq(("k", 30L, 1L)).toDF("k", "t", "left_id")
+    val dup = Seq(("k", 10L, "a"), ("k", 10L, "b"), ("k", 10L, "c"))
+    def run(parts: Int, forward: Boolean) = {
+      val right = dup.toDF("k", "rt", "payload").repartition(parts)
+      val j = if (forward)
+        operators.AsOf.joinAsOfForward(left, right, Seq("k"), "t", "rt",
+          Seq("payload")).select($"payload")
+      else
+        operators.AsOf.joinAsOf(
+          left.withColumn("t", lit(30L)), right, Seq("k"), "t", "rt",
+          Seq("payload")).select($"payload")
+      j.as[Option[String]].collect().toSeq
+    }
+    // backward: the three rt=10 rows tie; the payload-hash tiebreak must
+    // pick the same winner regardless of partition order
+    val b = (1 to 7).map(run(_, forward = false))
+    assert(b.distinct.size == 1, s"backward tie winner varies: $b")
+    // forward with left t=5: all three are at-or-after ties
+    val leftEarly = Seq(("k", 5L, 1L)).toDF("k", "t", "left_id")
+    def runF(parts: Int) = operators.AsOf.joinAsOfForward(leftEarly,
+        dup.toDF("k", "rt", "payload").repartition(parts), Seq("k"), "t", "rt",
+        Seq("payload")).select($"payload").as[Option[String]].collect().toSeq
+    val f = (1 to 7).map(runF)
+    assert(f.distinct.size == 1, s"forward tie winner varies: $f")
+  }
+
   test("as-of join honours genuine nulls in the newest right row") {
     val left = Seq(("k", 30L, 1L)).toDF("k", "t", "left_id")
     val right = Seq(("k", 10L, Some("old")), ("k", 20L, None))

@@ -116,6 +116,43 @@ class UnigramLmSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("words at/over KeyMul chars are skipped by every scorer; n_words still counts them") {
+    val model = UnigramLm.train(Seq(("ab", 10L), ("a", 6L), ("b", 5L)),
+                                vocabSize = 8, emRounds = 1)
+    val longWord = "a" * UnigramLm.KeyMul.toInt // 64 chars — outside the contract
+    val docs = Seq((1L, s"ab $longWord ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    // native expression: the long word contributes nothing
+    val st = functions.NativeExprs.unigramStats(col("text"), model)
+    val native = docs.select($"doc_id",
+        st.getField("n_pieces").as("np"), st.getField("unigram_cost").as("uc"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(native(0)._2 == native(1)._2 && native(0)._3 == native(1)._3,
+      "64-char word changed n_pieces/cost — scorer is not skipping it")
+    // docTokenStats reference form: identical skip, n_words counts ALL words
+    val ref = UnigramLm.docTokenStats(docs, model)
+      .select($"doc_id", $"n_words", $"n_pieces", $"unigram_cost")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ref(0)._2 == 3 && ref(1)._2 == 2, "n_words must count skipped words")
+    assert((ref(0)._3, ref(0)._4) == (native(0)._2, native(0)._3))
+    assert((ref(1)._3, ref(1)._4) == (native(1)._2, native(1)._3))
+  }
+
+  test("full-table maxWordLen: tail word types longer than any dictionary word " +
+       "still get complete oracle DP coverage") {
+    // 'zzzzzzzz' (8 chars, unseen char) appears once — outside any top-K
+    // dictionary cut by frequency, but the model's maxWordLen must still
+    // reach it and the oracle's UNK branch must cost it
+    val docs = (1 to 30).map(i => (i.toLong, "ab ab ab")).toDF("doc_id", "text")
+      .union(Seq((31L, "ab zzzzzzzz")).toDF("doc_id", "text"))
+    val model = UnigramLm.learn(docs, vocabSize = 8, emRounds = 1, maxVocab = 2)
+    assert(model.maxWordLen >= 8,
+      s"maxWordLen ${model.maxWordLen} derived from the truncated dictionary")
+    val sql = UnigramLm.oracleTokenSql(model)
+    assert(sql.contains("d8 "), "DP unroll must reach length-8 words")
+    assert(sql.contains(s"coalesce(v.cost, ${UnigramLm.UnkCost})"),
+      "oracle DP needs the UNK single-char branch for unseen characters")
+  }
+
   test("oracle SQL embeds every piece and unrolls the DP to maxWordLen") {
     val model = UnigramLm.Model(
       Seq(("a", 100L), ("ab", 180L), ("b", 150L)), maxWordLen = 4)
