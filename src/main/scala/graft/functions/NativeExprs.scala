@@ -640,7 +640,9 @@ case class RegisteredDomainExpr(child: Expression)
     if (host.endsWith(".")) host = host.substring(0, host.length - 1)
     if (host.isEmpty) return null
     host = UTF8String.fromString(host).toLowerCase.toString
-    val labels = host.split('.')
+    // limit -1: Java's default split DROPS trailing empty labels, silently
+    // accepting a host ending in ".." as well-formed; SQL split keeps them
+    val labels = host.split("\\.", -1)
     if (labels.isEmpty || labels.exists(_.isEmpty)) return null
     if (labels.forall(l => l.forall(c => c >= '0' && c <= '9')))
       return UTF8String.fromString(host) // IPv4 literal

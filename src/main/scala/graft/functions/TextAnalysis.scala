@@ -132,7 +132,11 @@ object TextAnalysis {
     * match, else the TLD; one label + suffix. */
   def registeredDomainHof(url: Column): Column = {
     import graft.functions.RegisteredDomainExpr.Suffixes
-    val rest = when(instr(url, "://") > 0, substring_index(url, "://", -1))
+    // after the FIRST "://" (substring_index(…, -1) cuts at the LAST — a
+    // later "://" in the path/query would swallow the authority; caught by
+    // the fuzz lane)
+    val rest = when(instr(url, "://") > 0,
+                    url.substr(instr(url, "://") + lit(3), length(url)))
       .otherwise(url)
     val auth = substring_index(split(rest, "[/?#]", 2).getItem(0), "@", -1)
     val host0 = lower(split(auth, ":", 2).getItem(0))

@@ -62,6 +62,23 @@ class NativeExprParitySpec extends SparkSpec {
     }
   }
 
+  test("registeredDomain: native == reference on 400 fuzzed URL-ish strings") {
+    val rnd = new scala.util.Random(7)
+    val frags = Seq("http://", "https://", "://", "//", "www.", "a.b.", ".",
+      "..", "site", "SITE", "co.uk", "github.io", "com", "x", "@", ":", ":8080",
+      "/p/1", "?q=1", "#f", "192.168.0.1", "9", "", " ")
+    val urls = (0 until 400).map { _ =>
+      (0 until rnd.nextInt(6)).map(_ => frags(rnd.nextInt(frags.size))).mkString
+    }
+    val rows = urls.toDF("url").select(
+        NativeExprs.registeredDomain($"url").as("native"),
+        TextAnalysis.registeredDomainHof($"url").as("ref"))
+      .as[(Option[String], Option[String])].collect()
+    urls.zip(rows).foreach { case (u, (n, r)) =>
+      assert(n == r, s"fuzz url '$u': native $n vs reference $r")
+    }
+  }
+
   test("multiply-shift signature match-fraction estimates jaccard") {
     import graft.functions.MinHashRef
     val texts = docs.limit(60).select(TextAnalysis.normalized($"text"))
