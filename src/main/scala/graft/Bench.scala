@@ -66,9 +66,20 @@ object Bench {
       val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
         sfDir.replaceAll("sf[0-9.]+$", "sf0.001"))
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-        SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        // a dead warm pass must be VISIBLE (the warmStreamingRuntime
+        // incident class): failures stay non-fatal — the warm is an
+        // optimization — but their names + exception classes are printed so
+        // a silently-reverted ~13% normalized win shows up in the bench log
+        val warmFails = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        SparkEntry.queries.foreach { case (name, fn) =>
+          try fn(spark, warmDir).count()
+          catch { case t: Throwable =>
+            warmFails += ((name, t.getClass.getSimpleName)) }
         }
+        if (warmFails.nonEmpty)
+          System.err.println(s"[bench] WARM PASS FAILURES (${warmFails.size}/" +
+            s"${SparkEntry.queries.size}): " +
+            warmFails.map { case (n, e) => s"$n:$e" }.mkString(", "))
       }
     }
     // machine-contention calibration: a fixed-cost 10M-row codegen scan with

@@ -452,7 +452,79 @@ object SparkEntry {
     * a recursive CTE (the packed_chunks discipline) bit-for-bit. */
   private def eventsEma(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.exponentialMovingStats(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"),
+              col("ema"), col("tds"), col("tdavg"))
       .orderBy("event_id")
+
+  /** The remaining ClickHouse decay pair — `exponentialTimeDecayedMax` /
+    * `exponentialTimeDecayedCount` — off the same per-key fold as
+    * [[eventsEma]] (one recurrence pass computes the whole family; this
+    * query surfaces the max/count lanes). Same exact power-of-two decay,
+    * same recursive-CTE oracle shape. */
+  private def eventsDecayMax(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.exponentialMovingStats(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"),
+              col("tdmax"), col("tdcount"))
+      .orderBy("event_id")
+
+  /** LTTB downsampling ([[EventAnalytics.lttbDownsample]]): each user's
+    * (ts, value) series reduced to 10 visually-representative points —
+    * integer-exact triangle areas (cross-product form, centroid division
+    * multiplied away), so the selected point SET replays exactly in the
+    * oracle's unrolled bucket walk. */
+  private def eventsLttb(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.lttbDownsample(t(s, dir, "events"), k = 10)
+      .orderBy("user_id", "pos")
+
+  private def lttbOracleSql: String = {
+    val k = 10; val km2 = k - 2
+    val steps = (1 to km2).map { b =>
+      val nextEnd = if (b == km2) "p.n" else s"((${b + 1} * (p.n - 2)) // $km2 + 1)"
+      s"""c$b AS (SELECT p.user_id, CAST(count(*) AS HUGEINT) AS m,
+                        CAST(sum(p.x) AS HUGEINT) AS sx,
+                        CAST(sum(p.y) AS HUGEINT) AS sy
+                 FROM p2 p JOIN big USING (user_id)
+                 WHERE p.i >= (($b * (p.n - 2)) // $km2 + 1) AND p.i < $nextEnd
+                 GROUP BY p.user_id),
+         s$b AS (SELECT p.user_id,
+                        (min(struct_pack(na := -abs(
+                             (c.m * pv.x - c.sx) * (c.m * p.y - c.sy)
+                           - (c.m * p.x - c.sx) * (c.m * pv.y - c.sy)),
+                           i := p.i))).i AS sel_i
+                 FROM p2 p
+                 JOIN s${b - 1} sp ON sp.user_id = p.user_id
+                 JOIN p2 pv ON pv.user_id = p.user_id AND pv.i = sp.sel_i
+                 JOIN c$b c ON c.user_id = p.user_id
+                 WHERE p.i >= ((${b - 1} * (p.n - 2)) // $km2 + 1)
+                   AND p.i < (($b * (p.n - 2)) // $km2 + 1)
+                 GROUP BY p.user_id)"""
+    }.mkString(",\n         ")
+    val unions = (1 to km2).map(b => s"SELECT user_id, sel_i FROM s$b")
+      .mkString(" UNION ALL ")
+    s"""WITH pts AS (
+           SELECT user_id, event_id, epoch_us(ts) AS xa,
+                  CAST(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         p2 AS (SELECT user_id, event_id, xa, y, i, n,
+                       xa - min(xa) OVER (PARTITION BY user_id) AS x
+                FROM pts),
+         big AS (SELECT DISTINCT user_id FROM p2 WHERE n > $k),
+         s0 AS (SELECT user_id, 0 AS sel_i FROM big),
+         $steps,
+         allsel AS (
+           SELECT user_id, sel_i FROM s0
+           UNION ALL $unions
+           UNION ALL SELECT p.user_id, p.n - 1 AS sel_i
+                     FROM (SELECT DISTINCT user_id, n FROM p2 WHERE n > $k) p
+           UNION ALL SELECT user_id, i AS sel_i FROM p2 WHERE n <= $k)
+         SELECT p.user_id, CAST(row_number() OVER (PARTITION BY p.user_id
+                                                   ORDER BY p.i) AS BIGINT) AS pos,
+                p.xa AS sel_us, p.y AS sel_v100
+         FROM p2 p JOIN allsel a ON a.user_id = p.user_id AND a.sel_i = p.i
+         ORDER BY p.user_id, pos"""
+  }
 
   /** ClickHouse `deltaSum` per user: the sum of POSITIVE value increments
     * over the (ts, event_id)-ordered stream (counter-reset-tolerant rate
@@ -1243,6 +1315,44 @@ object SparkEntry {
              sqrt(col("chi2") / (col("chi2") + nD)).as("contingency_coef"))
   }
 
+  /** One-way ANOVA F-test (ClickHouse `analysisOfVariance` — the k-sample
+    * extension of [[abTTestValue]]'s location tests): does mean(value)
+    * differ across the event types? Per-group count/sum/sum-of-squares are
+    * decimal-exact via the string route (squares of 2-decimal values are
+    * exact 4-decimal decimals); the grand Σv and Σv² are DECIMAL sums of
+    * the per-group decimals (order-free, exact), and the one float
+    * cross-group reduction — Σᵢ (Σv_i)²/n_i — folds in pinned event_type
+    * order (the cramers_v list-fold discipline). The closing F arithmetic
+    * is one pinned IEEE tree mirrored verbatim in SQL. One conditional-
+    * aggregate shuffle; the final fold is a 1-row global aggregate over
+    * the #event_type-sized frame (PlanLint scalar-output class). */
+  private def anovaValue(s: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    def d2d(c: Column) = c.cast("string").cast("double")
+    val g = t(s, dir, "events")
+      .select(col("event_type"), dv.as("d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("d")).as("s1d"),
+           sum(col("d") * col("d")).as("s2d"))
+    val term = d2d(col("s1d")) * d2d(col("s1d")) / col("n").cast("double")
+    val f = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("n_total"),
+        d2d(sum(col("s1d"))).as("sg"),
+        d2d(sum(col("s2d"))).as("sqg"),
+        aggregate(array_sort(collect_list(struct(col("event_type"),
+                                                 term.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("tsum"))
+    val nD = col("n_total").cast("double")
+    val ssb = col("tsum") - col("sg") * col("sg") / nD
+    val ssw = col("sqg") - col("tsum")
+    f.select(col("k"), col("n_total"),
+             ssb.as("ss_between"), ssw.as("ss_within"),
+             ((ssb / (col("k") - 1).cast("double"))
+                / (ssw / (col("n_total") - col("k")).cast("double"))).as("f_stat"))
+  }
+
   /** Mann-Whitney U test (ClickHouse `mannWhitneyUTest`): rank-based
     * two-sample test of value between the even/odd user cohorts per
     * event_type. DOUBLED midranks keep tie handling integer-exact
@@ -1450,14 +1560,24 @@ object SparkEntry {
     * read-time argMax — the collapse already did the merge). The oracle
     * recomputes the log and picks max-slice rows; MutationsSpec pins the
     * byte-identity of untouched partitions and idempotency. */
+  /** Key for every corpus-constant probe cache below: (session identity,
+    * dir, SOURCE-table file fingerprint). The fingerprint term makes a
+    * same-JVM rewrite of the source parquet re-probe instead of serving
+    * stale constants — the Tables rewrite-reprobe invariant (pinned by
+    * EventsTsUnitSpec for schema/unit probes) extended to these caches; the
+    * tree walk is TTL-memoized in the batch mains, so per-lookup cost stays
+    * off the timed path there. */
+  private def probeKey(s: SparkSession, dir: String, table: String): (Int, String, Long) =
+    (System.identityHashCode(s), dir, Tables.tableFingerprint(dir, table))
+
   // click-stream time bounds: corpus constants (the domainCapFor caching
   // class) — probing them per execution billed one driver job to every
   // timed run of the collapse lifecycle; warmed at ingest
   private val collapseBoundsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), (Long, Long)]()
   private def collapseBoundsFor(s: SparkSession, dir: String): (Long, Long) =
     collapseBoundsCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
+      probeKey(s, dir, "events"), _ => {
         val b = t(s, dir, "events").filter(col("event_type") === "click")
           .agg(min(unix_micros(col("ts"))).as("lo"),
                max(unix_micros(col("ts"))).as("hi")).head()
@@ -2613,6 +2733,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // learned WordPiece vocabulary per (session identity, sfDir) — same
+  // train-once discipline and data-dependent-oracle plumbing as the BPE
+  // merges / unigram model above
+  private val wordpieceModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), WordPiece.Model]()
+  @volatile private var lastWordpieceModel: Option[WordPiece.Model] = None
+
+  private def wordpieceModelFor(s: SparkSession, dir: String): WordPiece.Model = {
+    val m = wordpieceModelCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => WordPiece.learn(t(s, dir, "documents")))
+    lastWordpieceModel = Some(m)
+    m
+  }
+
+  /** WordPiece (BERT-family) tokenization stats ([[WordPiece]]): a
+    * likelihood-merged vocabulary learned from the corpus's own word-type
+    * dictionary, applied per doc by the native greedy longest-match
+    * expression. Beyond counts, `wp_sig` (the summed per-word boundary
+    * signature) pins the exact SEGMENTATION each side produced. The oracle
+    * replays the LEARNED vocabulary as literals through a precomputed
+    * longest-match table + unrolled greedy walk
+    * ([[WordPiece.oracleTokenSql]]). */
+  private def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val model = wordpieceModelFor(s, dir)
+    val st = graft.functions.NativeExprs.wordpieceStats(col("text"), model)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L)).as("n_words"),
+        coalesce(st.getField("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(st.getField("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(st.getField("wp_sig"), lit(0L)).as("wp_sig"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet perplexity filter (Wenzek et al.) on the learned unigram LM —
     * the canonical stage between lang-id and quality classification: each
     * doc's LM cost-per-token (integer milli-cost `(unigram_cost·1000) DIV
@@ -2621,44 +2775,56 @@ object SparkEntry {
     * ceil(2n/3) over the (score, doc_id)-ordered per-lang frame — the
     * winsorized_stats bounds discipline, all-integer so no rational-
     * threshold rounding hazard). Docs with no tokenizable words land in an
-    * explicit 'empty' bucket. Per-lang exact quantiles sort within the
-    * language partition — at 100 TB you'd sample per lang first; exact is
-    * the contract here. */
+    * explicit 'empty' bucket.
+    *
+    * Plan shape for 100 TB (CCNet itself buckets against PRECOMPUTED
+    * quantile boundaries, never by ranking the corpus): a rank window
+    * partitioned by `lang` would shuffle every document by a handful of
+    * skewed language keys — English alone funnels most of a real corpus
+    * through one task. Instead the ONE per-doc DP scoring scan collapses
+    * immediately into a (lang, has-tokens, score) GROUP frame (value-domain
+    * granularity — the Mann-Whitney tie-group discipline; score is an
+    * integer milli-cost, so distinct values per lang are bounded far below
+    * doc count), carrying each group's doc_id list for the bucket digests.
+    * Tercile bounds are cumulative-count picks over that tiny frame — the
+    * score at position r is `min{s : cum(s) ≥ r}`, identical to the
+    * positional pick because the order is (score, doc_id) — and the
+    * #langs-sized bounds frame broadcasts back. No window ever touches a
+    * doc-sized frame. */
   private def ccnetPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     val model = unigramModelFor(s, dir)
     val st = graft.functions.NativeExprs.unigramStats(col("text"), model)
-    // ONE scan, one window exchange: the empty lane rides the same frame as
-    // a (lang, has-tokens) sub-partition instead of a union branch — a
-    // second branch re-runs the whole per-doc DP scoring pass (measured
-    // ~2× scan cost) and adds an exchange
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
               st.getField("n_pieces").as("np"),
               st.getField("unigram_cost").as("uc"))
       .withColumn("score", expr("CASE WHEN np > 0 THEN (uc * 1000) DIV np END"))
       .withColumn("__tok", col("np") > 0)
-    val wRank = Window.partitionBy(col("lang"), col("__tok"))
-      .orderBy(col("score"), col("doc_id"))
-    val wPart = Window.partitionBy(col("lang"), col("__tok"))
-    val bucketed = scored
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wPart))
-      .withColumn("b1", max(when(col("rn") === expr("(n + 2) DIV 3"),
-                                 col("score"))).over(wPart))
-      .withColumn("b2", max(when(col("rn") === expr("(2 * n + 2) DIV 3"),
-                                 col("score"))).over(wPart))
+    // map-side partial agg collapses the doc-sized frame to value-domain
+    // granularity in the one corpus shuffle; the empty lane rides along as
+    // the __tok=false sub-group (a union branch would re-run the DP scan)
+    val grp = scored.groupBy(col("lang"), col("__tok"), col("score"))
+      .agg(count(lit(1)).as("c"), collect_list(col("doc_id")).as("ids"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+    val wAll = Window.partitionBy(col("lang"))
+    val bounds = grp.filter(col("__tok"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= expr("(n + 2) DIV 3"), col("score"))).as("b1"),
+           min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("score"))).as("b2"))
+    grp.join(broadcast(bounds), Seq("lang"), "left")
       .withColumn("bucket",
         when(!col("__tok"), lit("empty"))
           .when(col("score") <= col("b1"), lit("head"))
           .when(col("score") <= col("b2"), lit("middle"))
           .otherwise(lit("tail")))
-      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
-    bucketed.groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("n_docs"),
            min(col("score")).as("min_score"),
            max(col("score")).as("max_score"),
            md5(concat_ws(",",
-             transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+             transform(array_sort(flatten(collect_list(col("ids")))), _.cast("string")))
              .cast("binary")).as("ids_md5"))
       .orderBy("lang", "bucket")
   }
@@ -3414,30 +3580,60 @@ object SparkEntry {
     * rrf(d) = Σ_r 1/(60 + rank_r(d)), absent rankings contribute 0; each
     * term is one correctly-rounded division of exact integers, the sum is
     * one pinned addition — so scores (and the final ranking) reproduce
-    * bit-for-bit. Rank windows run over the two LIMIT-20 frames — bounded
-    * by construction (PlanLint allow-listed like bm25_search's stats row). */
+    * bit-for-bit.
+    *
+    * Plan shape for 100 TB: each ranker's top-20 is a TakeOrderedAndProject
+    * over the ONCE-materialized score frame (distributed per-partition
+    * top-k, driver merge of 20·P rows) — never a rank window over the
+    * matching-doc-sized frame, which would funnel every scored document
+    * through one task. Ranks over ranks > 20 contribute nothing to RRF
+    * (absent = 0), so cutting BEFORE ranking is semantically exact. The
+    * rank assignment itself is window-free: a constant-size global fold
+    * (collect_list → array_sort → posexplode) over ≤20 rows per ranker and
+    * ≤40 fused rows (the bounded single-partition aggregates PlanLint
+    * allow-lists, like bm25_search's 1-row corpus stats). */
   private def hybridRrfSearch(s: SparkSession, dir: String): DataFrame = {
-    // ONE tf pass: both rankings are windows over the same matching-doc-
-    // sized score frame (a per-ranker orderBy+limit would re-run the whole
-    // tokenize/tf/df pipeline per ranker — measured 10 exchanges vs 6)
+    // ONE tf pass, materialized: both top-20 cuts read the checkpointed
+    // frame instead of re-running the tokenize/tf/df pipeline per ranker
     val scores = CorpusModel.bm25Scores(t(s, dir, "documents"), Bm25Terms)
-    val rBm = row_number()
-      .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
-    val rTf = row_number()
-      .over(Window.orderBy(col("tf_total").desc, col("n_hits").desc,
-                           col("doc_id"))).cast("long")
-    scores
-      .withColumn("rank_bm25", when(rBm <= 20, rBm))
-      .withColumn("rank_tf", when(rTf <= 20, rTf))
-      .filter(col("rank_bm25").isNotNull || col("rank_tf").isNotNull)
+      .localCheckpoint(true)
+    // positional ranks for a ≤20-row frame without a WindowExec: sort key
+    // ascending = desired order (negating a finite double/long is exact),
+    // doc_id breaks ties, payload fields after the unique tie-break never
+    // participate in the comparison
+    def foldRanks(top: DataFrame, sortKey: Column, rankName: String): DataFrame =
+      top.agg(array_sort(collect_list(struct(sortKey.as("k"),
+                col("doc_id").as("doc_id")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("pos", "x")))
+        .select(col("x.doc_id").as("doc_id"),
+                (col("pos") + 1).cast("long").as(rankName))
+    val bmR = foldRanks(
+      scores.orderBy(col("score").desc, col("doc_id")).limit(20),
+      negate(col("score")), "rank_bm25")
+    val tfR = foldRanks(
+      scores.orderBy(col("tf_total").desc, col("n_hits").desc,
+                     col("doc_id")).limit(20),
+      struct(negate(col("tf_total")).as("t"), negate(col("n_hits")).as("h")),
+      "rank_tf")
+    // union-of-top-20s fusion: one hash aggregate over ≤40 rows (a full
+    // outer join would plan a sort-merge over two exchanges for the same
+    // constant-size result)
+    val fused = bmR.withColumn("rank_tf", lit(null).cast("long"))
+      .unionByName(tfR.withColumn("rank_bm25", lit(null).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("rank_bm25")).as("rank_bm25"),
+           max(col("rank_tf")).as("rank_tf"))
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(60L) + col("rank_bm25")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60L) + col("rank_tf")), lit(0.0)))
-      .withColumn("final_rank",
-        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
-          .cast("long"))
-      .select(col("doc_id"), col("rank_bm25"), col("rank_tf"),
-              col("rrf_score"), col("final_rank"))
+    fused.agg(array_sort(collect_list(struct(negate(col("rrf_score")).as("k"),
+          col("doc_id").as("doc_id"), col("rank_bm25").as("rank_bm25"),
+          col("rank_tf").as("rank_tf")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "x")))
+      .select(col("x.doc_id").as("doc_id"), col("x.rank_bm25").as("rank_bm25"),
+              col("x.rank_tf").as("rank_tf"),
+              negate(col("x.k")).as("rrf_score"),
+              (col("pos") + 1).cast("long").as("final_rank"))
       .orderBy("final_rank")
   }
 
@@ -3997,7 +4193,7 @@ object SparkEntry {
   // the bloom BYTES are a per-(session, dir) constant: re-head()ing the
   // 1-row materialized frame billed a driver job to every probe execution
   private val contamBloomCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Byte]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Array[Byte]]()
 
   private def contamArtifacts(s: SparkSession, dir: String): (DataFrame, Array[Byte]) = {
     val cg = materialized(s, dir, "contam_corpus_grams") {
@@ -4005,7 +4201,7 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0), ContamN)
     }
     val bytes = contamBloomCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
+      probeKey(s, dir, "documents"), _ => {
         val bloomDf = materialized(s, dir, "contam_gram_bloom") {
           import s.implicits._
           val b = Dedup.buildGramBloom(cg, math.max(1L, cg.count()))
@@ -4050,10 +4246,10 @@ object SparkEntry {
   // minority-source count: a corpus constant (domainCapFor caching class);
   // warmed at ingest
   private val rebalanceKMinCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), java.lang.Long]()
   private def rebalanceKMinFor(s: SparkSession, dir: String): Long =
     rebalanceKMinCache.computeIfAbsent(
-      (System.identityHashCode(s), dir),
+      probeKey(s, dir, "documents"),
       _ => t(s, dir, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n")).agg(min(col("n"))).head().getLong(0))
       .longValue()
@@ -4079,9 +4275,9 @@ object SparkEntry {
   // class): derived once per (session, dir) at ingest, consumed per query —
   // re-deriving them would bill two driver-scalar jobs to every run
   private val domainCapCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Int, Long, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), (Int, Long, Seq[String])]()
   private def domainCapFor(s: SparkSession, dir: String): (Int, Long, Seq[String]) =
-    domainCapCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    domainCapCache.computeIfAbsent(probeKey(s, dir, "documents"), _ => {
       val docs = t(s, dir, "documents")
       // two-level aggregate (never a mixed distinct-agg Expand): lang
       // counts, then their sum/count — total and nLang in one shuffle
@@ -4126,9 +4322,9 @@ object SparkEntry {
   // same 60%-of-mean integer rule) as domainCapFor, keyed on the EXTRACTED
   // domain instead of a clean label — derived once per (session, dir)
   private val urlDomainCapCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Int, Long, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), (Int, Long, Seq[String])]()
   private def urlDomainCapFor(s: SparkSession, dir: String): (Int, Long, Seq[String]) =
-    urlDomainCapCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    urlDomainCapCache.computeIfAbsent(probeKey(s, dir, "documents"), _ => {
       val docs = docsWithUrlDomain(s, dir)
       val dr = docs.groupBy(col("domain")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n")), count(lit(1))).head()
@@ -4174,6 +4370,67 @@ object SparkEntry {
              transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
              .cast("binary")).as("ids_md5"))
       .orderBy("source", "lang")
+  }
+
+  // learned DSIR bucket weights per (session identity, sfDir) — the
+  // train-once + data-dependent-oracle discipline of the tokenizer models:
+  // one feature pass fits both bucket models (raw + the lang='en' target
+  // slice), the ≤1024-row count frame collects, integer weights embed in
+  // plan and oracle alike
+  private val dsirWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dsir.Weights]()
+  @volatile private var lastDsirWeights: Option[Dsir.Weights] = None
+
+  private def dsirWeightsFor(s: SparkSession, dir: String): Dsir.Weights = {
+    val w = dsirWeightsCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => Dsir.learnWeights(
+        Dsir.features(docsSharded(s, dir),
+                      extra = Seq((col("lang") === "en").as("t"))), "t"))
+    lastDsirWeights = Some(w)
+    w
+  }
+
+  /** DSIR importance resampling ([[graft.operators.Dsir]], Xie et al.):
+    * hashed-ngram importance weights fit against the English slice as the
+    * target domain, every doc scored by the integer-exact weight sum, and
+    * the top 20% kept by the deterministic (score desc, doc_id) order —
+    * ranked with the distributed two-pass [[Ranks.globalRowNumber]], never
+    * a global window (scores are near-unique integers, so the value-domain
+    * bounds trick can't shrink this one). The oracle replays the learned
+    * weights as literals over the same portable 60-bit gram hash. */
+  private def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val w = dsirWeightsFor(s, dir)
+    val scored = Dsir.docScores(Dsir.features(docsSharded(s, dir)), w)
+    val (kept, _) = Dsir.select(scored)
+    kept.select(col("doc_id"), col("n_feats"), col("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirOracleSql(w: Dsir.Weights): String = {
+    val parse15 = (1 to 15).map { j =>
+      val pow = 1L << (4 * (15 - j)) // 16^(15-j)
+      s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    val values = w.byBucket.toSeq.sorted
+      .map { case (b, wt) => s"($b,CAST($wt AS BIGINT))" }.mkString(",")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id, unnest(ws) AS gram FROM w
+              UNION ALL
+              SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS gram
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+        h AS (SELECT doc_id, ($parse15) % ${Dsir.Buckets} AS b
+              FROM (SELECT doc_id, md5(gram) AS m FROM g)),
+        wt(b, wt) AS (SELECT * FROM (VALUES $values) t(b, wt)),
+        sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                      CAST(sum(coalesce(wt.wt, ${w.default})) AS BIGINT) AS dsir_score
+               FROM h LEFT JOIN wt USING (b) GROUP BY h.doc_id),
+        ranked AS (SELECT doc_id, n_feats, dsir_score,
+                          row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS r,
+                          count(*) OVER () AS n
+                   FROM sc)
+        SELECT doc_id, n_feats, dsir_score FROM ranked
+        WHERE r <= (n + 4) // 5 ORDER BY doc_id"""
   }
 
   /** Duplicated-span removal ([[graft.operators.Dedup.removeDuplicatedSpans]]):
@@ -4422,6 +4679,11 @@ object SparkEntry {
     "kmeans_assign"        -> (kmeansAssignQ _),
     "url_domain_caps"      -> (urlDomainCaps _),
     "hybrid_rrf_search"    -> (hybridRrfSearch _),
+    "wordpiece_tokens"     -> (wordpieceTokens _),
+    "dsir_sample"          -> (dsirSample _),
+    "events_decay_max"     -> (eventsDecayMax _),
+    "anova_value"          -> (anovaValue _),
+    "events_lttb"          -> (eventsLttb _),
   )
 
   // ----------------------------------------------------------------------
@@ -6802,6 +7064,27 @@ object SparkEntry {
                            CAST(NULL AS BIGINT) AS unigram_cost
                     WHERE 1 = 0"""),
 
+    // WordPiece twin: learned vocabulary as literals, the greedy
+    // longest-match walk replayed as a precomputed match table + unrolled
+    // step chain. Untrained fallback is schema-shaped but empty → loud.
+    "wordpiece_tokens" -> lastWordpieceModel.map(WordPiece.oracleTokenSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_words,
+                           CAST(NULL AS BIGINT) AS n_pieces,
+                           CAST(NULL AS BIGINT) AS n_unk,
+                           CAST(NULL AS BIGINT) AS wp_sig
+                    WHERE 1 = 0"""),
+
+    // DSIR: learned integer bucket weights as literals over the portable
+    // 60-bit gram hash; the top-20% cut replays with a rank window (DuckDB
+    // is single-node — the engine side uses the distributed two-pass rank).
+    // Untrained fallback is schema-shaped but empty → loud.
+    "dsir_sample" -> lastDsirWeights.map(dsirOracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_feats,
+                           CAST(NULL AS BIGINT) AS dsir_score
+                    WHERE 1 = 0"""),
+
     // CCNet perplexity buckets: the unigram DP CTE chain (learned vocab as
     // literals) feeds integer milli-cost scores; tercile bounds are exact
     // positional picks replayed in SQL — all-integer end to end.
@@ -7214,6 +7497,32 @@ object SparkEntry {
          SELECT event_id, user_id, ema, tds, tds / tdn AS tdavg
          FROM r ORDER BY event_id""",
 
+    // exponentialTimeDecayedMax/Count: the same recursive replay — greatest
+    // against the decayed running max (a positive constant factors out of
+    // max, so the recurrence IS the definition), tdn surfaced directly.
+    "events_decay_max" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(value AS DOUBLE) AS v,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, rn, day, v,
+                  v AS tdmax, CAST(1.0 AS DOUBLE) AS tdn
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn, e.day, e.v,
+                  greatest(e.v, r.tdmax * (1.0 / CAST((CAST(1 AS BIGINT) << least(e.day - r.day, 62)) AS DOUBLE))),
+                  1.0 + r.tdn * (1.0 / CAST((CAST(1 AS BIGINT) << least(e.day - r.day, 62)) AS DOUBLE))
+           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, tdmax, tdn AS tdcount
+         FROM r ORDER BY event_id""",
+
+    // LTTB: the definitional replay — same integer bucket boundaries, same
+    // HUGEINT cross-product areas (the engine's DECIMAL(38,0) and HUGEINT
+    // agree on every exact integer), min((−area, i)) tie rule both sides.
+    "events_lttb" -> lttbOracleSql,
+
     // groupArrayMovingSum(7): the moving-avg frame, decimal sum through the
     // digit string, no divide — float-free end to end.
     "events_moving_sum" ->
@@ -7225,6 +7534,35 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // One-way ANOVA: decimal-exact group/grand sums through the digit
+    // string; the one cross-group float reduction (Σ (Σv_i)²/n_i) replays
+    // as the same pinned event_type-ordered fold (list_reduce), then the
+    // identical IEEE F tree.
+    "anova_value" ->
+      """WITH dv AS (SELECT event_type,
+                CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d
+              FROM events),
+         g AS (SELECT event_type, count(*) AS n,
+                      sum(d) AS s1d, sum(d * d) AS s2d
+               FROM dv GROUP BY event_type),
+         t AS (SELECT event_type, n, s1d, s2d,
+                      CAST(CAST(s1d AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(s1d AS VARCHAR) AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS tg
+               FROM g),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(n) AS BIGINT) AS n_total,
+                      CAST(CAST(sum(s1d) AS VARCHAR) AS DOUBLE) AS sg,
+                      CAST(CAST(sum(s2d) AS VARCHAR) AS DOUBLE) AS sqg,
+                      list_reduce(list(tg ORDER BY event_type), (a, b) -> a + b) AS tsum
+               FROM t)
+         SELECT k, n_total,
+                tsum - sg * sg / CAST(n_total AS DOUBLE) AS ss_between,
+                sqg - tsum AS ss_within,
+                ((tsum - sg * sg / CAST(n_total AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                  / ((sqg - tsum) / CAST(n_total - k AS DOUBLE)) AS f_stat
+         FROM f""",
 
     // Welch/Student two-sample t-tests: decimal-exact cohort sums (squares
     // of 2-decimal values are exact 4-decimal decimals), then the IDENTICAL

@@ -132,6 +132,16 @@ object Tables {
     computeFingerprint(path)
   }
 
+  /** File-identity fingerprint of a table under `sfDir`, for folding into
+    * probe-cache keys OUTSIDE this object (SparkEntry's corpus-constant
+    * caches — collapse bounds, rebalance/domain caps, contamination bloom):
+    * a same-JVM rewrite of the source parquet re-probes instead of serving
+    * stale constants, the same rewrite-reprobe invariant the schema/unit
+    * probes here already honor (and EventsTsUnitSpec pins). Batch mains
+    * memoize the underlying tree walk via -Dgraft.fp.ttlMs. */
+  private[graft] def tableFingerprint(sfDir: String, name: String): Long =
+    pathFingerprint(s"$sfDir/$name.parquet")
+
   private def computeFingerprint(path: String): Long = {
     val root = new java.io.File(path)
     var h = root.lastModified ^ java.lang.Long.rotateLeft(root.length, 32)

@@ -77,6 +77,13 @@ object NativeExprs {
   def unigramStats(text: Column, model: graft.operators.UnigramLm.Model): Column =
     col(UnigramStatsExpr(expr(text), model))
 
+  /** Per-doc WordPiece greedy-encoding stats under a learned vocabulary:
+    * struct<n_pieces, n_unk, wp_sig> summed over `[a-z]+` word runs of the
+    * lowercased text; matches `WordPiece.docTokenStats` / the unrolled
+    * greedy-walk oracle exactly (see [[graft.operators.WordPiece]]). */
+  def wordpieceStats(text: Column, model: graft.operators.WordPiece.Model): Column =
+    col(WordpieceStatsExpr(expr(text), model))
+
   /** Distinct hashed character k-shingles of the NORMALIZED text; matches
     * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
     * Normalization is composed here so the two forms agree on raw input. */
@@ -594,6 +601,81 @@ case class UnigramStatsExpr(child: Expression, model: graft.operators.UnigramLm.
     val row = new GenericInternalRow(2)
     row.setLong(0, pieces)
     row.setLong(1, cost)
+    row
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-document WordPiece stats: tokenize `[a-z]+` word runs of the
+  * lowercased text (the shared word basis), greedy longest-match-first
+  * encode per word under the learned vocabulary (`##` continuations, one
+  * `[UNK]` for unmatchable or over-long words), sum the (n_pieces, n_unk,
+  * boundary-sig) triple. Same word-walk as [[UnigramStatsExpr]]; a
+  * per-partition word→packed-stats memo makes the greedy cost ∝ DISTINCT
+  * words. Exact reference forms: `WordPiece.wordpieceChain` (HOF walk, what
+  * the DuckDB oracle unrolls) and `WordPiece.docTokenStats`. */
+case class WordpieceStatsExpr(child: Expression, model: graft.operators.WordPiece.Model)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("n_unk", LongType, nullable = false),
+    StructField("wp_sig", LongType, nullable = false)))
+
+  // packed memo value: sig·256 + np·2 + unk — np ≤ 63 (≤ word length) and
+  // sig < 2^30 (mod 1e9+7), so the pack fits comfortably in a long
+  @transient private lazy val memo = new java.util.HashMap[String, java.lang.Long]()
+  @transient private lazy val wordRe = java.util.regex.Pattern.compile("[a-z]+")
+  @transient private lazy val pieces = model.pieceSet
+  @transient private lazy val maxMatch = model.maxMatchLen
+
+  private def packedOf(w: String): Long = {
+    val hit = memo.get(w)
+    if (hit != null) return hit.longValue()
+    val (np, sig, unk) = graft.operators.WordPiece.encodeWord(w, pieces, maxMatch)
+    val packed = sig * 256L + np * 2L + (if (unk) 1L else 0L)
+    if (memo.size() >= (1 << 16)) memo.clear() // bound executor memory
+    memo.put(w, packed)
+    packed
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    var np = 0L
+    var unk = 0L
+    var sig = 0L
+    def add(w: String): Unit = {
+      val packed = packedOf(w)
+      sig += packed / 256L
+      np += (packed % 256L) / 2L
+      unk += packed % 2L
+    }
+    if (t.numBytes() == t.numChars()) {
+      // ASCII fast path: byte-run tokenization == regex [a-z]+ over lower()
+      val bytes = t.getBytes
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i <= bytes.length) {
+        if (i < bytes.length) {
+          val c = bytes(i)
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+          if (lc >= 'a' && lc <= 'z') { sb.append(lc.toChar); i += 1 }
+          else {
+            if (sb.length > 0) { add(sb.toString); sb.setLength(0) }
+            i += 1
+          }
+        } else {
+          if (sb.length > 0) add(sb.toString)
+          i += 1
+        }
+      }
+    } else {
+      val m = wordRe.matcher(t.toLowerCase.toString)
+      while (m.find()) add(m.group())
+    }
+    val row = new GenericInternalRow(3)
+    row.setLong(0, np)
+    row.setLong(1, unk)
+    row.setLong(2, sig)
     row
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -75,15 +75,16 @@ object CorpusModel {
     * exact integer inputs, so any engine computes identical bits. Returns the
     * top-k terms per document by (score desc, term asc).
     *
-    * Scale shape: three key-partitioned shuffles — (doc, term) term counts,
-    * a per-term window that reads document frequency off the tf frame in
-    * place (tf has exactly ONE row per (doc, term), so `count(*) OVER
-    * (PARTITION BY term)` IS df — no separate groupBy + join re-shuffle,
-    * and no vocabulary-sized broadcast), and the per-document top-k window
-    * — plus one metadata-sized driver scalar (the corpus row count, same
-    * footprint as [[bigramModel]]'s collect). No global window, no
-    * broadcast of anything corpus-sized; a hot term costs one partition
-    * either way, the same skew profile as the join it replaces. */
+    * Scale shape: document frequency is a `groupBy(term)` aggregate over
+    * the (doc, term) tf frame — map-side partial counts, so a hot term
+    * ships ONE row per input partition instead of co-locating its whole
+    * posting list in a single task the way `count(*) OVER (PARTITION BY
+    * term)` would — joined back by BROADCAST (the df frame is
+    * vocabulary-sized: Heaps'-law-bounded, orders of magnitude below the
+    * corpus; tf has exactly one row per (doc, term), so the count IS df).
+    * The remaining shuffles are the (doc, term) count and the per-document
+    * top-k window (per-doc bounded), plus one metadata-sized driver scalar
+    * (the corpus row count, same footprint as [[bigramModel]]'s collect). */
   def topTermsByRarity(docs: DataFrame, k: Int, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     val n = docs.count()
@@ -92,12 +93,12 @@ object CorpusModel {
               explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // round BEFORE ranking so emitted scores and rank order can never
     // disagree; ties at equal rounded score break on the term string
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(byTerm))
+    tf.join(broadcast(dfreq), "term")
       .withColumn("score",
         round(col("tf").cast("double") * lit((n + 1).toDouble) / (col("df") + 1), 4))
       .withColumn("__rn", row_number().over(w))

@@ -206,6 +206,13 @@ object EventAnalytics {
     *    where `tdn` is the identically-decayed COUNT
     *    (`tdn_1 = 1; tdn_i = 1 + tdn_{i−1} · 2^(−Δdays)`); one final
     *    correctly-rounded division per row
+    *  - `tdmax`: ClickHouse `exponentialTimeDecayedMax` —
+    *    `max_j (v_j · 2^(−(day_i − day_j)))`, computed by the exact
+    *    recurrence `tdmax_1 = v_1; tdmax_i = max(v_i, tdmax_{i−1} ·
+    *    2^(−Δdays))` (a positive constant factors out of max, so the
+    *    recurrence is the definition for ANY value signs)
+    *  - `tdcount`: ClickHouse `exponentialTimeDecayedCount` — `tdn`
+    *    surfaced directly
     *
     * Engine-portability without exp/pow (neither is correctly rounded, so
     * cross-engine bit-equality would be luck): the decay factor is
@@ -219,7 +226,14 @@ object EventAnalytics {
     * A decay recurrence is inherently sequential per key, so each key's
     * run is collected into an ordered array and folded in one projection
     * (arrays are per-key-sized — bounded; the groupBy is the only
-    * shuffle). */
+    * shuffle). CONSCIOUS TRADE: the fold appends to the output array with
+    * `concat(out, array(elem))`, which copies the accumulated array each
+    * step — O(n²) element copies per key. That is acceptable because per-
+    * key event cardinality is bounded (a user's own event run, tens to
+    * low thousands — the same bound every per-user collect_list lane in
+    * this file relies on), and Catalyst offers no O(1)-append array
+    * builder inside `aggregate`; a key with millions of events would need
+    * the per-key run split into day-range segments first. */
   def exponentialMovingStats(events: DataFrame, keyCol: String = "user_id",
                              tsCol: String = "ts", idCol: String = "event_id",
                              valCol: String = "value"): DataFrame = {
@@ -233,15 +247,21 @@ object EventAnalytics {
     val rows = array_sort(collect_list(struct(
       col(tsCol).as("ts"), col(idCol).as("id"), day.as("day"),
       col(valCol).cast("double").as("v"))))
-    val outType = "array<struct<id:bigint,tds:double,ema:double,tdavg:double>>"
-    val init = struct(lit(-1L).as("pd"), lit(0.0).as("tds"),
-                      lit(0.0).as("tdn"), lit(0.0).as("ema"),
-                      lit(null).cast(outType).as("out"))
+    val outType =
+      "array<struct<id:bigint,tds:double,ema:double,tdavg:double,tdmax:double,tdn:double>>"
+    // explicit `seen` flag, NOT a pd sentinel: epoch day -1 is a legitimate
+    // value (1969-12-31), so a magic previous-day would reset the recurrence
+    // for a key whose run starts that day. dd is clamped at 0 from below
+    // too — pre-1970 first rows would otherwise drive element_at to index 0
+    val init = struct(lit(false).as("seen"), lit(0L).as("pd"),
+                      lit(0.0).as("tds"), lit(0.0).as("tdn"), lit(0.0).as("ema"),
+                      lit(0.0).as("tdmax"), lit(null).cast(outType).as("out"))
     val folded = aggregate(
       col("__rows"), init,
       (acc, x) => {
-        val first = acc.getField("pd") === lit(-1L)
-        val dd = least(x.getField("day") - acc.getField("pd"), lit(62L))
+        val first = !acc.getField("seen")
+        val dd = least(greatest(x.getField("day") - acc.getField("pd"), lit(0L)),
+                       lit(62L))
         val decay = element_at(decays, dd.cast("int") + lit(1))
         val v = x.getField("v")
         val tds = when(first, v).otherwise(v + acc.getField("tds") * decay)
@@ -249,12 +269,15 @@ object EventAnalytics {
           .otherwise(lit(1.0) + acc.getField("tdn") * decay)
         val ema = when(first, v)
           .otherwise(lit(0.25) * v + lit(0.75) * acc.getField("ema"))
-        struct(x.getField("day").as("pd"), tds.as("tds"), tdn.as("tdn"),
-               ema.as("ema"),
+        val tdmax = when(first, v)
+          .otherwise(greatest(v, acc.getField("tdmax") * decay))
+        struct(lit(true).as("seen"), x.getField("day").as("pd"),
+               tds.as("tds"), tdn.as("tdn"), ema.as("ema"), tdmax.as("tdmax"),
                concat(coalesce(acc.getField("out"), array().cast(outType)),
                       array(struct(x.getField("id").as("id"),
                                    tds.as("tds"), ema.as("ema"),
-                                   (tds / tdn).as("tdavg")))).as("out"))
+                                   (tds / tdn).as("tdavg"),
+                                   tdmax.as("tdmax"), tdn.as("tdn")))).as("out"))
       })
     events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
       .groupBy(col(keyCol))
@@ -262,6 +285,93 @@ object EventAnalytics {
       .select(col(keyCol), explode(folded.getField("out")).as("r"))
       .select(col("r.id").as(idCol), col(keyCol),
               col("r.ema").as("ema"), col("r.tds").as("tds"),
-              col("r.tdavg").as("tdavg"))
+              col("r.tdavg").as("tdavg"), col("r.tdmax").as("tdmax"),
+              col("r.tdn").as("tdcount"))
+  }
+
+  /** LTTB — largest-triangle-three-buckets downsampling (Steinarsson '15;
+    * the standard time-series sketch): per key, reduce the (ts, value)
+    * series to `k` points — first and last always kept, the middle n−2
+    * points split into k−2 contiguous buckets (integer-DIV boundaries
+    * `start_b = (b−1)(n−2) DIV (k−2) + 1`), each bucket contributing the
+    * point maximizing the triangle area with the PREVIOUSLY selected point
+    * and the NEXT bucket's centroid. Series with ≤ k points pass through
+    * whole.
+    *
+    * Engine-portability: areas are exact integers — the centroid division
+    * is multiplied away (comparing m²·area within a bucket preserves the
+    * argmax), x is the µs offset from the series start, y the centi-scaled
+    * value, and the cross product `(m·x_a − Σx)(m·y_c − Σy) − (m·x_c −
+    * Σx)(m·y_a − Σy)` is computed in DECIMAL(38,0) (DuckDB: HUGEINT) —
+    * no float anywhere, so the selected SET is bit-portable. Ties take the
+    * earliest point (strict >, ascending scan) — `min((−area, i))` on both
+    * engines.
+    *
+    * Like the decay recurrence above, selection is sequential per key
+    * (bucket b's choice depends on b−1's): each key's run is collected
+    * once and the whole walk happens in one projection — per-key-bounded
+    * arrays, the groupBy is the only shuffle. */
+  def lttbDownsample(events: DataFrame, k: Int, keyCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     valCol: String = "value"): DataFrame = {
+    require(k >= 3, "LTTB needs k >= 3 (first + last + one bucket)")
+    val xAbs = unix_micros(col(tsCol))
+    val v100 = (col(valCol).cast("string").cast("decimal(12,2)") * lit(100))
+      .cast("long")
+    val rows = array_sort(collect_list(struct(
+      xAbs.as("x"), col(idCol).as("id"), v100.as("y"))))
+    val grouped = events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
+      .groupBy(col(keyCol))
+      .agg(rows.as("__p"))
+    val pts = col("__p")
+    val n = size(pts)
+    def pt(i: Column) = element_at(pts, i + lit(1)) // 0-based index
+    def xOf(i: Column) = pt(i).getField("x") - pt(lit(0)).getField("x")
+    def yOf(i: Column) = pt(i).getField("y")
+    val km2 = k - 2
+    // exact integer DIV for small non-negatives: (a − a%b)/b is an
+    // integer-valued double division (both ≪ 2^53), then exact cast
+    def idiv(a: Column, b: Int): Column =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("int")
+    def bStart(b: Column) = idiv((b - 1) * (n - 2), km2) + 1
+    def bEnd(b: Column) = idiv(b * (n - 2), km2) + 1
+    val init = struct(lit(0).as("prev"), array().cast("array<int>").as("sel"))
+    val folded = aggregate(
+      sequence(lit(1), lit(km2)), init,
+      (st, b) => {
+        val start = bStart(b)
+        val end = bEnd(b)
+        // next anchor: bucket b+1's centroid, or the last point for b = k−2
+        val nstart = end
+        val nend = when(b === km2, n).otherwise(bEnd(b + 1))
+        val m = (nend - nstart).cast("long")
+        val sums = aggregate(sequence(nstart, nend - 1),
+          struct(lit(0L).as("sx"), lit(0L).as("sy")),
+          (acc, i) => struct((acc.getField("sx") + xOf(i)).as("sx"),
+                             (acc.getField("sy") + yOf(i)).as("sy")))
+        val sx = sums.getField("sx")
+        val sy = sums.getField("sy")
+        val prev = st.getField("prev")
+        val best = aggregate(sequence(start, end - 1),
+          struct(lit(-1).as("i"), lit(null).cast("decimal(38,0)").as("a")),
+          (acc, i) => {
+            val f1 = (m * xOf(prev) - sx).cast("decimal(18,0)")
+            val f2 = (m * yOf(i) - sy).cast("decimal(18,0)")
+            val f3 = (m * xOf(i) - sx).cast("decimal(18,0)")
+            val f4 = (m * yOf(prev) - sy).cast("decimal(18,0)")
+            val area = abs(f1 * f2 - f3 * f4).cast("decimal(38,0)")
+            when(acc.getField("i") === -1 || area > acc.getField("a"),
+                 struct(i.as("i"), area.as("a")))
+              .otherwise(acc)
+          }).getField("i")
+        struct(best.as("prev"),
+               concat(st.getField("sel"), array(best)).as("sel"))
+      })
+    val selAll = concat(array(lit(0)), folded.getField("sel"), array(n - 1))
+    val sel = when(n <= k, sequence(lit(0), n - 1)).otherwise(selAll)
+    grouped
+      .select(col(keyCol), posexplode(transform(sel, i => pt(i))).as(Seq("pos0", "p")))
+      .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"),
+              col("p.x").as("sel_us"), col("p.y").as("sel_v100"))
   }
 }

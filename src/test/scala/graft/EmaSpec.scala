@@ -23,15 +23,56 @@ class EmaSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_id", "value")
     val got = EventAnalytics.exponentialMovingStats(df)
       .orderBy("event_id")
-      .as[(Long, Long, Double, Double, Double)].collect()
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
     // ema: 2.0; 0.25*4+0.75*2 = 2.5; 0.25*8+0.75*2.5 = 3.875
     // tds: 2.0; 4+2*1 = 6.0 (Δ=0 → decay 1); 8+6*(1/4) = 9.5 (Δ=2)
     // tdn: 1.0; 2.0; 1+2*(1/4) = 1.5  → tdavg 2.0, 3.0, 9.5/1.5
+    // tdmax: 2.0; max(4, 2·1) = 4.0; max(8, 4·1/4) = 8.0
     val want = Seq(
-      (1L, 1L, 2.0, 2.0, 2.0),
-      (2L, 1L, 2.5, 6.0, 3.0),
-      (3L, 1L, 3.875, 9.5, 9.5 / 1.5),
-      (4L, 2L, 10.0, 10.0, 10.0))
+      (1L, 1L, 2.0, 2.0, 2.0, 2.0, 1.0),
+      (2L, 1L, 2.5, 6.0, 3.0, 4.0, 2.0),
+      (3L, 1L, 3.875, 9.5, 9.5 / 1.5, 8.0, 1.5),
+      (4L, 2L, 10.0, 10.0, 10.0, 10.0, 1.0))
+    assert(got.toSeq == want)
+  }
+
+  test("tdmax recurrence: a decayed old peak can still dominate a small new value") {
+    // peak 16 at day 0, small values after: day 2 → max(1, 16/4) = 4;
+    // day 3 → max(1, 4/2) = 2 — the decayed peak wins twice, then a fresh
+    // larger value takes over at day 4: max(3, 2/2) = 3
+    val df = Seq(
+      (1L, ts(0, 0), 1L, 16.0),
+      (1L, ts(2, 0), 2L, 1.0),
+      (1L, ts(3, 0), 3L, 1.0),
+      (1L, ts(4, 0), 4L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = EventAnalytics.exponentialMovingStats(df)
+      .orderBy("event_id")
+      .select($"event_id", $"tdmax", $"tdcount")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(16.0, 4.0, 2.0, 3.0))
+    // tdn: 1; 1 + 1/4 = 1.25; 1 + 1.25/2 = 1.625; 1 + 1.625/2 = 1.8125
+    assert(got.map(_._3) == Seq(1.0, 1.25, 1.625, 1.8125))
+  }
+
+  test("pre-1970 runs: epoch day -1 is a real day, not a first-row sentinel") {
+    // first event lands on 1969-12-31 (epoch day -1): a pd=-1 sentinel
+    // would make the SECOND event also read as first (recurrence reset),
+    // and a pre-1970 day gap must clamp at 0 from below, never index the
+    // decay table at 0 (the r15 ADVICE trap)
+    val df = Seq(
+      (1L, ts(-1, 10), 1L, 2.0), // epoch day -1
+      (1L, ts(-1, 20), 2L, 4.0), // same day: decay 1, NOT a reset
+      (1L, ts(1, 5), 3L, 8.0)    // Δ = 2 days across the epoch
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = EventAnalytics.exponentialMovingStats(df)
+      .orderBy("event_id")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    // identical hand fold as the day-0 fixture, shifted one day earlier
+    val want = Seq(
+      (1L, 1L, 2.0, 2.0, 2.0, 2.0, 1.0),
+      (2L, 1L, 2.5, 6.0, 3.0, 4.0, 2.0),
+      (3L, 1L, 3.875, 9.5, 9.5 / 1.5, 8.0, 1.5))
     assert(got.toSeq == want)
   }
 
@@ -42,8 +83,9 @@ class EmaSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_id", "value")
     val got = EventAnalytics.exponentialMovingStats(df)
       .orderBy("event_id")
-      .as[(Long, Long, Double, Double, Double)].collect()
+      .select($"event_id", $"ema")
+      .as[(Long, Double)].collect()
     // id 1 first: ema 2.0; then id 2: 0.25*4+0.75*2 = 2.5
-    assert(got.map(r => (r._1, r._3)).toSeq == Seq((1L, 2.0), (2L, 2.5)))
+    assert(got.toSeq == Seq((1L, 2.0), (2L, 2.5)))
   }
 }

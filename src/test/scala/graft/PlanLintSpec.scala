@@ -51,10 +51,15 @@ class PlanLintSpec extends SparkSpec {
     "cramers_v_cohort",    // chi2_cohort's margins frame + a global fold
                            // over the #event_type-sized term list — one
                            // scalar V/C row; cells aggregate distributed
-    "hybrid_rrf_search")   // rank windows over the two LIMIT-20 ranker
-                           // frames (bounded by construction); the tf pass
-                           // upstream aggregates distributed, 1-row corpus
-                           // stats as in bm25_search
+    "anova_value",         // same class: one scalar F row from a global
+                           // fold over the #event_type-sized moment frame;
+                           // group sums aggregate distributed
+    "hybrid_rrf_search")   // window-free rank folds: global aggregates over
+                           // the two TakeOrdered top-20 frames (≤20 rows by
+                           // construction) and the ≤40-row fused union; the
+                           // tf pass upstream aggregates distributed, 1-row
+                           // corpus stats as in bm25_search — see the
+                           // "windows stay off doc-sized frames" test below
 
   // broadcast nested-loop joins: quadratic like a cartesian, just with one
   // side shipped whole to every executor — it slips the CartesianProduct
@@ -86,6 +91,34 @@ class PlanLintSpec extends SparkSpec {
     for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian join:\n$plan")
+    }
+  }
+
+  // The r15 lesson: a SinglePartition allow-list entry can be satisfied by a
+  // FALSE justification (hybrid_rrf_search claimed its rank windows ran over
+  // LIMIT-20 frames while the limit actually applied after the global-sort
+  // windows). These asserts pin the real shape structurally, on the logical
+  // plan tree, so the justification can't silently rot again.
+  test("ranking/bucketing windows stay off doc-sized frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def windows(name: String): Seq[LWindow] =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+    // hybrid_rrf_search: rank assignment is a constant-size global fold
+    // (collect_list → array_sort → posexplode) — NO window node at all
+    assert(windows("hybrid_rrf_search").isEmpty,
+      "hybrid_rrf_search must assign ranks without window operators")
+    // ccnet_perplexity_buckets: tercile-bound windows partitioned by the
+    // low-cardinality lang key are legal ONLY over the (lang, __tok, score)
+    // GROUP frame — every window's input subtree must contain the aggregate
+    // that collapsed the corpus to value-domain granularity
+    val ccnetWins = windows("ccnet_perplexity_buckets")
+    assert(ccnetWins.nonEmpty, "ccnet tercile bounds should ride window cumsums")
+    ccnetWins.foreach { w =>
+      val aggBelow = w.child.collect { case a: Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"ccnet window over a non-aggregated (doc-sized) frame:\n$w")
     }
   }
 
