@@ -2979,6 +2979,9 @@ object SparkEntry {
                            // ingest-time artifact — scoring is the steady-state op
     bpeMergesFor(s, dir)   // learned tokenizer models: same artifact class —
     unigramModelFor(s, dir) // trained once per corpus, applied per query
+    wordpieceModelFor(s, dir) // third tokenizer: same train-once class
+    dsirWeightsFor(s, dir)  // DSIR bucket models: one corpus feature pass,
+                            // weights reused by every selection run
     kmeansFor(s, dir)      // learned cluster centroids: fixed-round Lloyd's,
                            // trained once per corpus (ingest-time artifact)
     // the shared MinHash pair list is the same class of corpus artifact as

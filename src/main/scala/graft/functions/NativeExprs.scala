@@ -84,6 +84,12 @@ object NativeExprs {
   def wordpieceStats(text: Column, model: graft.operators.WordPiece.Model): Column =
     col(WordpieceStatsExpr(expr(text), model))
 
+  /** LTTB point selection over a collected (x, id, y) point array: the
+    * selected 0-based indices under the integer-exact triangle-area
+    * contract; matches `EventAnalytics.lttbChain` exactly (parity-tested
+    * in LttbSpec). */
+  def lttbSelect(pts: Column, k: Int): Column = col(LttbSelectExpr(expr(pts), k))
+
   /** Distinct hashed character k-shingles of the NORMALIZED text; matches
     * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
     * Normalization is composed here so the two forms agree on raw input. */
@@ -602,6 +608,64 @@ case class UnigramStatsExpr(child: Expression, model: graft.operators.UnigramLm.
     row.setLong(0, pieces)
     row.setLong(1, cost)
     row
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** LTTB (largest-triangle-three-buckets) selection walk over one key's
+  * collected, (x, id)-sorted point array — the whole sequential
+  * bucket/centroid/argmax loop in one JVM frame per row (the per-key HOF
+  * fold allocates per element and re-walks the array per candidate;
+  * measured ~5× on the event corpus). Areas are exact: the centroid
+  * division is multiplied away and the cross product runs in BigInteger
+  * (the reference chain uses DECIMAL(38,0) — both exact, so bit-equal).
+  * Ties take the earliest candidate (strict >, ascending scan). Exact
+  * reference form: `EventAnalytics.lttbChain`. */
+case class LttbSelectExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 3, "LTTB needs k >= 3")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    def X(i: Int): Long = arr.getStruct(i, 3).getLong(0)
+    def Y(i: Int): Long = arr.getStruct(i, 3).getLong(2)
+    if (n <= k) return new GenericArrayData(Array.tabulate(n)(identity))
+    val km2 = k - 2
+    val x0 = X(0)
+    val sel = new Array[Int](k)
+    sel(0) = 0
+    var prev = 0
+    var b = 1
+    while (b <= km2) {
+      val start = ((b - 1).toLong * (n - 2) / km2).toInt + 1
+      val end = (b.toLong * (n - 2) / km2).toInt + 1
+      val ns = end
+      val ne = if (b == km2) n else ((b + 1).toLong * (n - 2) / km2).toInt + 1
+      val m = (ne - ns).toLong
+      var sx = 0L
+      var sy = 0L
+      var j = ns
+      while (j < ne) { sx += X(j) - x0; sy += Y(j); j += 1 }
+      val f1 = java.math.BigInteger.valueOf(m * (X(prev) - x0) - sx)
+      val f4 = java.math.BigInteger.valueOf(m * Y(prev) - sy)
+      var bestI = -1
+      var bestA: java.math.BigInteger = null
+      var i = start
+      while (i < end) {
+        val f2 = java.math.BigInteger.valueOf(m * Y(i) - sy)
+        val f3 = java.math.BigInteger.valueOf(m * (X(i) - x0) - sx)
+        val a = f1.multiply(f2).subtract(f3.multiply(f4)).abs()
+        if (bestI < 0 || a.compareTo(bestA) > 0) { bestI = i; bestA = a }
+        i += 1
+      }
+      sel(b) = bestI
+      prev = bestI
+      b += 1
+    }
+    sel(k - 1) = n - 1
+    new GenericArrayData(sel)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -311,19 +311,13 @@ object EventAnalytics {
     * (bucket b's choice depends on b−1's): each key's run is collected
     * once and the whole walk happens in one projection — per-key-bounded
     * arrays, the groupBy is the only shuffle. */
-  def lttbDownsample(events: DataFrame, k: Int, keyCol: String = "user_id",
-                     tsCol: String = "ts", idCol: String = "event_id",
-                     valCol: String = "value"): DataFrame = {
-    require(k >= 3, "LTTB needs k >= 3 (first + last + one bucket)")
-    val xAbs = unix_micros(col(tsCol))
-    val v100 = (col(valCol).cast("string").cast("decimal(12,2)") * lit(100))
-      .cast("long")
-    val rows = array_sort(collect_list(struct(
-      xAbs.as("x"), col(idCol).as("id"), v100.as("y"))))
-    val grouped = events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
-      .groupBy(col(keyCol))
-      .agg(rows.as("__p"))
-    val pts = col("__p")
+  /** Reference COLUMN form of the LTTB selection walk over a collected
+    * (x, id, y) point array: the same integer bucket/centroid/area
+    * contract as the native [[graft.functions.NativeExprs.lttbSelect]]
+    * expression, as nested higher-order folds (areas in DECIMAL(38,0)) —
+    * parity-tested in LttbSpec. Interpreted; the downsample query uses the
+    * native expression. Returns the selected 0-based indices. */
+  def lttbChain(pts: Column, k: Int): Column = {
     val n = size(pts)
     def pt(i: Column) = element_at(pts, i + lit(1)) // 0-based index
     def xOf(i: Column) = pt(i).getField("x") - pt(lit(0)).getField("x")
@@ -368,9 +362,31 @@ object EventAnalytics {
                concat(st.getField("sel"), array(best)).as("sel"))
       })
     val selAll = concat(array(lit(0)), folded.getField("sel"), array(n - 1))
-    val sel = when(n <= k, sequence(lit(0), n - 1)).otherwise(selAll)
+    when(n <= k, sequence(lit(0), n - 1)).otherwise(selAll)
+  }
+
+  /** The collected per-key point array every LTTB form consumes:
+    * (abs µs, id, centi-value) sorted — id uniquifies timestamp ties. */
+  def lttbPoints(tsCol: String, idCol: String, valCol: String): Column = {
+    val v100 = (col(valCol).cast("string").cast("decimal(12,2)") * lit(100))
+      .cast("long")
+    array_sort(collect_list(struct(
+      unix_micros(col(tsCol)).as("x"), col(idCol).as("id"), v100.as("y"))))
+  }
+
+  def lttbDownsample(events: DataFrame, k: Int, keyCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     valCol: String = "value"): DataFrame = {
+    require(k >= 3, "LTTB needs k >= 3 (first + last + one bucket)")
+    val grouped = events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
+      .groupBy(col(keyCol))
+      .agg(lttbPoints(tsCol, idCol, valCol).as("__p"))
+    // native walk (one JVM loop per key); lttbChain is the parity reference
+    val sel = graft.functions.NativeExprs.lttbSelect(col("__p"), k)
     grouped
-      .select(col(keyCol), posexplode(transform(sel, i => pt(i))).as(Seq("pos0", "p")))
+      .select(col(keyCol),
+        posexplode(transform(sel, i => element_at(col("__p"), i + lit(1))))
+          .as(Seq("pos0", "p")))
       .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"),
               col("p.x").as("sel_us"), col("p.y").as("sel_v100"))
   }

@@ -62,6 +62,21 @@ class LttbSpec extends SparkSpec {
     }
   }
 
+  test("native selection expression matches the HOF chain form, key by key") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val grouped = ev.groupBy(col("user_id"))
+      .agg(EventAnalytics.lttbPoints("ts", "event_id", "value").as("__p"))
+    val rows = grouped.select(col("user_id"),
+        graft.functions.NativeExprs.lttbSelect(col("__p"), 10).as("native"),
+        EventAnalytics.lttbChain(col("__p"), 10).as("chain"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, nat, ch) =>
+      assert(nat == ch, s"native vs chain diverge on user $u")
+    }
+  }
+
   test("series at or under k pass through whole; first/last always kept") {
     val df = (1 to 7).map(i => (1L, ts(i * 100), i.toLong, i.toDouble))
       .toDF("user_id", "ts", "event_id", "value")
