@@ -467,6 +467,18 @@ object SparkEntry {
               col("tdmax"), col("tdcount"))
       .orderBy("event_id")
 
+  /** Holt linear (double-exponential) smoothing off the same shared per-key
+    * decay fold as [[eventsEma]]/[[eventsDecayMax]]: per-event level/trend
+    * with exact dyadic gains (α = 1/4, β = 1/8) and the one-step-ahead
+    * forecast `level + trend` — the recursive-CTE oracle replays the
+    * identical pinned IEEE recurrence. */
+  private def eventsHolt(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.exponentialMovingStats(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"),
+              col("holt_level"), col("holt_trend"),
+              (col("holt_level") + col("holt_trend")).as("holt_forecast"))
+      .orderBy("event_id")
+
   /** LTTB downsampling ([[EventAnalytics.lttbDownsample]]): each user's
     * (ts, value) series reduced to 10 visually-representative points —
     * integer-exact triangle areas (cross-product form, centroid division
@@ -1352,6 +1364,14 @@ object SparkEntry {
              ((ssb / (col("k") - 1).cast("double"))
                 / (ssw / (col("n_total") - col("k")).cast("double"))).as("f_stat"))
   }
+
+  /** Median absolute deviation of value per event type
+    * ([[RobustStats.madStats]]): exact discrete medians via value-domain
+    * cumulative picks — completes the robust-stats family next to
+    * winsorized means and exact weighted quantiles. */
+  private def madValue(s: SparkSession, dir: String): DataFrame =
+    RobustStats.madStats(t(s, dir, "events"), "event_type", "value")
+      .orderBy("event_type")
 
   /** Mann-Whitney U test (ClickHouse `mannWhitneyUTest`): rank-based
     * two-sample test of value between the even/odd user cohorts per
@@ -4687,6 +4707,8 @@ object SparkEntry {
     "events_decay_max"     -> (eventsDecayMax _),
     "anova_value"          -> (anovaValue _),
     "events_lttb"          -> (eventsLttb _),
+    "events_holt"          -> (eventsHolt _),
+    "mad_value"            -> (madValue _),
   )
 
   // ----------------------------------------------------------------------
@@ -7521,6 +7543,29 @@ object SparkEntry {
          SELECT event_id, user_id, tdmax, tdn AS tdcount
          FROM r ORDER BY event_id""",
 
+    // Holt linear smoothing: the same recursive replay discipline — dyadic
+    // gains are exact binary fractions, every op correctly rounded in the
+    // identical tree (the level recurrence appears twice in the step, both
+    // times as the same expression → same bits).
+    "events_holt" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id,
+                  CAST(value AS DOUBLE) AS v,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, rn, v,
+                  v AS hl, CAST(0.0 AS DOUBLE) AS hb
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn, e.v,
+                  0.25 * e.v + 0.75 * (r.hl + r.hb),
+                  0.125 * ((0.25 * e.v + 0.75 * (r.hl + r.hb)) - r.hl) + 0.875 * r.hb
+           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, hl AS holt_level, hb AS holt_trend,
+                hl + hb AS holt_forecast
+         FROM r ORDER BY event_id""",
+
     // LTTB: the definitional replay — same integer bucket boundaries, same
     // HUGEINT cross-product areas (the engine's DECIMAL(38,0) and HUGEINT
     // agree on every exact integer), min((−area, i)) tie rule both sides.
@@ -7537,6 +7582,35 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // MAD: both exact discrete medians replayed as the same value-domain
+    // cumulative picks; decimal arithmetic end-to-end, digit-string casts
+    // at the boundary.
+    "mad_value" ->
+      """WITH dv AS (SELECT event_type,
+                CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS v
+              FROM events WHERE value IS NOT NULL),
+         g AS (SELECT event_type, v, count(*) AS c FROM dv GROUP BY 1, 2),
+         m AS (SELECT event_type, max(n) AS n,
+                      min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+               FROM (SELECT event_type, v, c,
+                            sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                            sum(c) OVER (PARTITION BY event_type) AS n
+                     FROM g) t
+               GROUP BY event_type),
+         dgrp AS (SELECT g.event_type, abs(g.v - m.med) AS dev, sum(g.c) AS c
+                  FROM g JOIN m USING (event_type) GROUP BY 1, 2),
+         md AS (SELECT event_type,
+                       min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+                FROM (SELECT event_type, dev, c,
+                             sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                             sum(c) OVER (PARTITION BY event_type) AS n
+                      FROM dgrp) t
+                GROUP BY event_type)
+         SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+                CAST(CAST(m.med AS VARCHAR) AS DOUBLE) AS median,
+                CAST(CAST(md.mad AS VARCHAR) AS DOUBLE) AS mad
+         FROM m JOIN md USING (event_type) ORDER BY event_type""",
 
     // One-way ANOVA: decimal-exact group/grand sums through the digit
     // string; the one cross-group float reduction (Σ (Σv_i)²/n_i) replays

@@ -213,6 +213,11 @@ object EventAnalytics {
     *    recurrence is the definition for ANY value signs)
     *  - `tdcount`: ClickHouse `exponentialTimeDecayedCount` — `tdn`
     *    surfaced directly
+    *  - `hl`/`hb`: Holt linear (double-exponential) smoothing, the trend
+    *    extension of the EMA — index-stepped with exact dyadic gains
+    *    (α = 1/4, β = 1/8): `hl_1 = v_1, hb_1 = 0; hl_i = α·v_i +
+    *    (1−α)(hl_{i−1} + hb_{i−1}); hb_i = β(hl_i − hl_{i−1}) +
+    *    (1−β)·hb_{i−1}` — one-step-ahead forecast `hl + hb`
     *
     * Engine-portability without exp/pow (neither is correctly rounded, so
     * cross-engine bit-equality would be luck): the decay factor is
@@ -248,14 +253,16 @@ object EventAnalytics {
       col(tsCol).as("ts"), col(idCol).as("id"), day.as("day"),
       col(valCol).cast("double").as("v"))))
     val outType =
-      "array<struct<id:bigint,tds:double,ema:double,tdavg:double,tdmax:double,tdn:double>>"
+      "array<struct<id:bigint,tds:double,ema:double,tdavg:double," +
+        "tdmax:double,tdn:double,hl:double,hb:double>>"
     // explicit `seen` flag, NOT a pd sentinel: epoch day -1 is a legitimate
     // value (1969-12-31), so a magic previous-day would reset the recurrence
     // for a key whose run starts that day. dd is clamped at 0 from below
     // too — pre-1970 first rows would otherwise drive element_at to index 0
     val init = struct(lit(false).as("seen"), lit(0L).as("pd"),
                       lit(0.0).as("tds"), lit(0.0).as("tdn"), lit(0.0).as("ema"),
-                      lit(0.0).as("tdmax"), lit(null).cast(outType).as("out"))
+                      lit(0.0).as("tdmax"), lit(0.0).as("hl"), lit(0.0).as("hb"),
+                      lit(null).cast(outType).as("out"))
     val folded = aggregate(
       col("__rows"), init,
       (acc, x) => {
@@ -271,13 +278,21 @@ object EventAnalytics {
           .otherwise(lit(0.25) * v + lit(0.75) * acc.getField("ema"))
         val tdmax = when(first, v)
           .otherwise(greatest(v, acc.getField("tdmax") * decay))
+        val hl = when(first, v)
+          .otherwise(lit(0.25) * v +
+            lit(0.75) * (acc.getField("hl") + acc.getField("hb")))
+        val hb = when(first, lit(0.0))
+          .otherwise(lit(0.125) * (hl - acc.getField("hl")) +
+            lit(0.875) * acc.getField("hb"))
         struct(lit(true).as("seen"), x.getField("day").as("pd"),
                tds.as("tds"), tdn.as("tdn"), ema.as("ema"), tdmax.as("tdmax"),
+               hl.as("hl"), hb.as("hb"),
                concat(coalesce(acc.getField("out"), array().cast(outType)),
                       array(struct(x.getField("id").as("id"),
                                    tds.as("tds"), ema.as("ema"),
                                    (tds / tdn).as("tdavg"),
-                                   tdmax.as("tdmax"), tdn.as("tdn")))).as("out"))
+                                   tdmax.as("tdmax"), tdn.as("tdn"),
+                                   hl.as("hl"), hb.as("hb")))).as("out"))
       })
     events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
       .groupBy(col(keyCol))
@@ -286,7 +301,8 @@ object EventAnalytics {
       .select(col("r.id").as(idCol), col(keyCol),
               col("r.ema").as("ema"), col("r.tds").as("tds"),
               col("r.tdavg").as("tdavg"), col("r.tdmax").as("tdmax"),
-              col("r.tdn").as("tdcount"))
+              col("r.tdn").as("tdcount"),
+              col("r.hl").as("holt_level"), col("r.hb").as("holt_trend"))
   }
 
   /** LTTB — largest-triangle-three-buckets downsampling (Steinarsson '15;

@@ -65,6 +65,46 @@ object RobustStats {
       .withColumn("wins_mean", col("wins_sum") / col("n"))
   }
 
+  /** Median absolute deviation (the standard robust scale estimator,
+    * ClickHouse-family `quantileExact`-composed): per group, the exact
+    * discrete lower median of the values and the exact lower median of the
+    * absolute deviations from it.
+    *
+    * Plan shape: values collapse to VALUE-DOMAIN granularity first
+    * (`groupBy(key, value)` with map-side partial counts — values carry ≤2
+    * decimals, so the grouped frame is bounded far below row count), both
+    * medians are cumulative-count picks over that tiny frame (the ccnet
+    * tercile-bounds discipline — the rank window never touches a row-sized
+    * frame), and the #keys-sized median frame broadcasts back for the
+    * deviation pass. All arithmetic decimal-exact; the only doubles are
+    * the digit-string casts of the two outputs. */
+  def madStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+              col(valueCol).cast("string").cast("decimal(12,2)").as("v"))
+    val g = clean.groupBy(col(keyCol), col("v")).agg(count(lit(1)).as("c"))
+    // exact discrete lower median over a (key, value)-grouped frame: the
+    // smallest value whose cumulative count reaches ceil(n/2)
+    def pick(grp: DataFrame, vCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy(col(keyCol)).orderBy(col(vCol))
+      val wAll = Window.partitionBy(col(keyCol))
+      grp.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col(keyCol))
+        .agg(max(col("n")).as("n"),
+             min(when(col("cum") >= expr("(n + 1) DIV 2"), col(vCol))).as(out))
+    }
+    val med = pick(g, "v", "med")
+    val devs = g.join(broadcast(med.select(col(keyCol), col("med"))), Seq(keyCol))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .groupBy(col(keyCol), col("dev")).agg(sum(col("c")).as("c"))
+    val mad = pick(devs, "dev", "mad")
+    med.join(broadcast(mad.select(col(keyCol), col("mad"))), Seq(keyCol))
+      .select(col(keyCol), col("n"),
+              col("med").cast("string").cast("double").as("median"),
+              col("mad").cast("string").cast("double").as("mad"))
+  }
+
   /** ClickHouse `quantileExactWeighted(q)(value, weight)` per group: the
     * smallest value whose cumulative weight reaches `ceil(q·W)` when the
     * group is scanned in value order (weights integral and positive).

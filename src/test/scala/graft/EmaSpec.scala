@@ -23,16 +23,18 @@ class EmaSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_id", "value")
     val got = EventAnalytics.exponentialMovingStats(df)
       .orderBy("event_id")
-      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect()
     // ema: 2.0; 0.25*4+0.75*2 = 2.5; 0.25*8+0.75*2.5 = 3.875
     // tds: 2.0; 4+2*1 = 6.0 (Δ=0 → decay 1); 8+6*(1/4) = 9.5 (Δ=2)
     // tdn: 1.0; 2.0; 1+2*(1/4) = 1.5  → tdavg 2.0, 3.0, 9.5/1.5
     // tdmax: 2.0; max(4, 2·1) = 4.0; max(8, 4·1/4) = 8.0
+    // holt (α=1/4, β=1/8): hl 2.0, 2.5, 3.921875; hb 0, 0.0625, 0.232421875
     val want = Seq(
-      (1L, 1L, 2.0, 2.0, 2.0, 2.0, 1.0),
-      (2L, 1L, 2.5, 6.0, 3.0, 4.0, 2.0),
-      (3L, 1L, 3.875, 9.5, 9.5 / 1.5, 8.0, 1.5),
-      (4L, 2L, 10.0, 10.0, 10.0, 10.0, 1.0))
+      (1L, 1L, 2.0, 2.0, 2.0, 2.0, 1.0, 2.0, 0.0),
+      (2L, 1L, 2.5, 6.0, 3.0, 4.0, 2.0, 2.5, 0.0625),
+      (3L, 1L, 3.875, 9.5, 9.5 / 1.5, 8.0, 1.5, 3.921875, 0.232421875),
+      (4L, 2L, 10.0, 10.0, 10.0, 10.0, 1.0, 10.0, 0.0))
     assert(got.toSeq == want)
   }
 
@@ -67,12 +69,13 @@ class EmaSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_id", "value")
     val got = EventAnalytics.exponentialMovingStats(df)
       .orderBy("event_id")
-      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect()
     // identical hand fold as the day-0 fixture, shifted one day earlier
     val want = Seq(
-      (1L, 1L, 2.0, 2.0, 2.0, 2.0, 1.0),
-      (2L, 1L, 2.5, 6.0, 3.0, 4.0, 2.0),
-      (3L, 1L, 3.875, 9.5, 9.5 / 1.5, 8.0, 1.5))
+      (1L, 1L, 2.0, 2.0, 2.0, 2.0, 1.0, 2.0, 0.0),
+      (2L, 1L, 2.5, 6.0, 3.0, 4.0, 2.0, 2.5, 0.0625),
+      (3L, 1L, 3.875, 9.5, 9.5 / 1.5, 8.0, 1.5, 3.921875, 0.232421875))
     assert(got.toSeq == want)
   }
 

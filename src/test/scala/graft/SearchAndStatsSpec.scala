@@ -61,6 +61,26 @@ class SearchAndStatsSpec extends SparkSpec {
     }
   }
 
+  test("madStats equals the sorted-multiset lower-median brute force") {
+    val rows = (1 to 257).map(i => ("g", ((i * i) % 40).toDouble / 2.0)) ++
+               (1 to 64).map(i => ("h", (i % 5).toDouble)) ++
+               Seq(("lone", 7.5)) // n = 1: median = value, mad = 0
+    val df = rows.toDF("k", "v")
+    def brute(vs: Seq[Double]): (Double, Double) = {
+      def lowerMedian(xs: Seq[Double]) = xs.sorted.apply((xs.size + 1) / 2 - 1)
+      val med = lowerMedian(vs)
+      (med, lowerMedian(vs.map(v => math.abs(v - med))))
+    }
+    val got = RobustStats.madStats(df, "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val vs = g.map(_._2)
+      val (med, mad) = brute(vs)
+      assert(got(k) == ((vs.size.toLong, med, mad)), s"group $k")
+    }
+  }
+
   test("weightedQuantile is invariant to tie order and input partitioning") {
     val rows = (1 to 400).map(i => ("k", (i % 7).toDouble, (i % 3 + 1).toLong))
     val a = RobustStats.weightedQuantile(
