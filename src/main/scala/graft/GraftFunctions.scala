@@ -105,6 +105,22 @@ object GraftFunctions {
       require(es.length == 2, "graft_bitmap_andnot_card(stateA, stateB)")
       BitmapOpCardExpr(es.head, es(1), BitmapOpCardExpr.AndNot)
     },
+    "graft_cms_estimate" -> { es =>
+      require(es.length == 2, "graft_cms_estimate(state, item)")
+      CmsEstimateExpr(es.head, es(1))
+    },
+    "graft_cms_total" -> { es =>
+      require(es.length == 1, "graft_cms_total(state)")
+      CmsTotalExpr(es.head)
+    },
+    "graft_cms_state" -> { es =>
+      require(es.length == 1, "graft_cms_state(col)")
+      CmsStateAgg(es.head, CountMin.DefaultDepth, CountMin.DefaultWidth)
+    },
+    "graft_cms_merge_state" -> { es =>
+      require(es.length == 1, "graft_cms_merge_state(state)")
+      CmsMergeAgg(es.head)
+    },
     // theta distinct states: aggregate functions registered bare — the
     // analyzer wraps a returned AggregateFunction in its AggregateExpression
     "graft_theta_state" -> { es =>

@@ -4176,6 +4176,37 @@ object SparkEntry {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** Count-Min sketch point-frequency estimates
+    * ([[graft.functions.CountMin]], Cormode–Muthukrishnan) — the
+    * any-key frequency leg of the persisted-state algebra (FI answers
+    * "which keys are hot"; CMS answers "how hot is THIS key" from a fixed
+    * 5×2048 counter matrix). Two per-half states built over the event
+    * stream's user ids, re-merged (counters are additive — split-merge is
+    * byte-identical to one-shot, CountMinSpec pins it), then every probe
+    * user's estimate is gated against its EXACT count: never-undercount
+    * (a hard CMS guarantee) and within the 3·N/width envelope (>13×
+    * expected worst-row overcount). The oracle reproduces the exact
+    * counts and the gate booleans; a broken sketch flips the gate. */
+  private def cmsUserCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    val ev = t(s, dir, "events")
+    val merged = ev
+      .groupBy(pmod(col("event_id"), lit(2)).as("h"))
+      .agg(CountMin.cmsState(col("user_id")).as("st"), count(lit(1)).as("n"))
+      .agg(CountMin.cmsMergeState(col("st")).as("st"),
+           sum(col("n")).as("n_total"))
+    val probes = ev.filter(pmod(col("user_id"), lit(11)) === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    probes.crossJoin(broadcast(merged))
+      .withColumn("est", CountMin.cmsEstimate(col("st"), col("user_id")))
+      .withColumn("est_ok",
+        col("est") >= col("n_events") &&
+          col("est").cast("double") <= col("n_events").cast("double") +
+            lit(3.0) * col("n_total").cast("double") / lit(CountMin.DefaultWidth.toDouble) + lit(3.0))
+      .select(col("user_id"), col("n_events"), col("est_ok"))
+      .orderBy("user_id")
+  }
+
   /** PII redaction pass: per-doc mask counts + digest of the masked text
     * (the digest proves the byte-exact transform, even where counts are 0). */
   private def piiRedaction(s: SparkSession, dir: String): DataFrame =
@@ -4709,6 +4740,7 @@ object SparkEntry {
     "events_lttb"          -> (eventsLttb _),
     "events_holt"          -> (eventsHolt _),
     "mad_value"            -> (madValue _),
+    "cms_user_counts"      -> (cmsUserCounts _),
   )
 
   // ----------------------------------------------------------------------
@@ -7582,6 +7614,15 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // Count-Min: the est_ok-gate discipline for approximate operators —
+    // the oracle reproduces the exact probe counts and asserts the gate
+    // literally TRUE; the engine's gate checks never-undercount + the
+    // 3N/width envelope, so a broken sketch hash-mismatches.
+    "cms_user_counts" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, TRUE AS est_ok
+         FROM events WHERE user_id % 11 = 0
+         GROUP BY user_id ORDER BY user_id""",
 
     // MAD: both exact discrete medians replayed as the same value-domain
     // cumulative picks; decimal arithmetic end-to-end, digit-string casts

@@ -54,6 +54,9 @@ class PlanLintSpec extends SparkSpec {
     "anova_value",         // same class: one scalar F row from a global
                            // fold over the #event_type-sized moment frame;
                            // group sums aggregate distributed
+    "cms_user_counts",     // 1-row merged-CMS state frame seeds the probe
+                           // estimates (the bm25_search corpus-stats
+                           // pattern); half-states aggregate distributed
     "hybrid_rrf_search")   // window-free rank folds: global aggregates over
                            // the two TakeOrdered top-20 frames (≤20 rows by
                            // construction) and the ≤40-row fused union; the

@@ -158,6 +158,48 @@ class ScalaCheckPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("wordpiece greedy: independent-walk replay on random vocabs") {
+    import graft.operators.WordPiece
+    val word = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.listOf(Gen.zip(
+        Gen.oneOf(true, false),
+        Gen.choose(1, 4).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
+      .map(_.map { case (cont, p) => if (cont) "##" + p else p }.distinct)
+    def setOf(v: Seq[String]) = {
+      val s = new java.util.HashSet[String]()
+      v.foreach(s.add)
+      s
+    }
+    def maxMatch(v: Seq[String]) =
+      if (v.isEmpty) 1
+      else v.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    // independent recursive max-munch (no shared code with encodeWord)
+    def brute(w: String, v: Set[String]): (Long, Long, Boolean) = {
+      def go(pos: Int, np: Long, sig: Long): (Long, Long, Boolean) =
+        if (pos >= w.length) (np, sig, false)
+        else {
+          val ls = (1 to (w.length - pos)).filter { l =>
+            v.contains((if (pos == 0) "" else "##") + w.substring(pos, pos + l))
+          }
+          if (ls.isEmpty) (1L, 0L, true)
+          else {
+            val l = ls.max
+            go(pos + l, np + 1, (sig * 31 + l) % WordPiece.SigMod)
+          }
+        }
+      go(0, 0L, 0L)
+    }
+    check("replay")(Prop.forAll(word, vocabGen) { (w, v) =>
+      WordPiece.encodeWord(w, setOf(v), maxMatch(v)) == brute(w, v.toSet)
+    })
+    check("bounds")(Prop.forAll(word, vocabGen) { (w, v) =>
+      val (np, sig, unk) = WordPiece.encodeWord(w, setOf(v), maxMatch(v))
+      if (unk) np == 1L && sig == 0L else np >= 1L && np <= w.length.toLong
+    })
+  }
+
   test("stub codec: deterministic, typed, and bounded metadata") {
     val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
     check("codec")(Prop.forAll(bytesGen) { bytes =>
