@@ -1540,6 +1540,16 @@ object SparkEntry {
     * completions per user ([[EventAnalytics.sequenceCount]]); the oracle
     * replays the greedy automaton with a recursive CTE over the same
     * (µs-total) event order. */
+  /** ClickHouse `sequenceNextNode` (forward, first_match): per user, the
+    * event type following the first click→purchase chain in the full
+    * µs-ordered stream — completes the funnel family next to windowFunnel
+    * (+3 strict modes), sequenceMatch and sequenceCount. The oracle
+    * replays the scan over the same ordered list with DuckDB list
+    * lambdas. */
+  private def seqNextNode(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sequenceNextNode(t(s, dir, "events"), Seq("click", "purchase"))
+      .orderBy("user_id")
+
   private def sequenceCountUsers(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.sequenceCount(t(s, dir, "events"), FunnelSteps)
       .orderBy("user_id")
@@ -4741,6 +4751,7 @@ object SparkEntry {
     "events_holt"          -> (eventsHolt _),
     "mad_value"            -> (madValue _),
     "cms_user_counts"      -> (cmsUserCounts _),
+    "seq_next_node"        -> (seqNextNode _),
   )
 
   // ----------------------------------------------------------------------
@@ -5117,6 +5128,22 @@ object SparkEntry {
     // Greedy non-overlapping automaton replayed with a recursive CTE over
     // the same µs-total event order (the packed_chunks recurrence-replay
     // technique applied to a state machine).
+    // sequenceNextNode: the first-match scan replayed over the identical
+    // (µs, event_id)-ordered per-user list with DuckDB list lambdas; NULL
+    // when no chain or nothing follows. next_node is a value column, not a
+    // sort key, so the null-position divergence rule doesn't bite.
+    "seq_next_node" ->
+      """WITH u AS (SELECT user_id,
+                           list(event_type ORDER BY epoch_us(ts), event_id) AS evs
+                    FROM events GROUP BY user_id),
+          m AS (SELECT user_id, evs,
+                       list_filter(range(1, len(evs) - 1),
+                                   i -> evs[i] = 'click' AND evs[i + 1] = 'purchase') AS hits
+                FROM u)
+          SELECT user_id,
+                 CASE WHEN len(hits) > 0 THEN evs[hits[1] + 2] END AS next_node
+          FROM m ORDER BY user_id""",
+
     "sequence_count" -> {
       val k = FunnelSteps.length
       val stepCase = FunnelSteps.zipWithIndex

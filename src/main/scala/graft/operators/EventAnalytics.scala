@@ -130,6 +130,37 @@ object EventAnalytics {
                 col("__seq"), steps.length).as("n_matches"))
   }
 
+  /** ClickHouse `sequenceNextNode` (forward, first_match): the event TYPE
+    * immediately following the FIRST occurrence of the condition chain in
+    * the user's (µs, id)-ordered stream; NULL when the chain never occurs
+    * or nothing follows it. The whole stream rides the same bounded
+    * per-key sorted collect as the funnel DPs; matching is exact string
+    * equality against chain literals, so both engines replay it verbatim. */
+  def sequenceNextNode(events: DataFrame, chain: Seq[String],
+                       keyCol: String = "user_id", tsCol: String = "ts",
+                       idCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    require(chain.nonEmpty, "chain must be non-empty")
+    val k = chain.length
+    val rows = array_sort(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"), col(idCol).as("id"),
+      col(typeCol).as("e"))))
+    val grouped = events.select(col(keyCol), col(tsCol), col(idCol), col(typeCol))
+      .groupBy(col(keyCol)).agg(rows.as("__r"))
+    val types = transform(col("__r"), r => r.getField("e"))
+    val n = size(types)
+    def matchAt(i: Column): Column =
+      chain.zipWithIndex.map { case (c, j) =>
+        element_at(types, i + lit(j)) === lit(c)
+      }.reduce(_ && _)
+    // candidate starts 1..n−k (1-based; the NEXT node at i+k must exist);
+    // Spark's sequence(a, b) DESCENDS when a > b — guard the empty range
+    val hits = when(n >= k + 1, filter(sequence(lit(1), n - k), i => matchAt(i)))
+    val nextNode = when(size(hits) > 0,
+      element_at(types, element_at(hits, lit(1)) + lit(k)))
+    grouped.select(col(keyCol), nextNode.as("next_node"))
+  }
+
   /** ClickHouse-style `retention(cond0, cond1, …)`: per user, whether the
     * anchor condition held, and for each subsequent condition whether BOTH it
     * and the anchor held — aggregated to cohort counts. Conditions are

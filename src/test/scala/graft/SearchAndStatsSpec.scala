@@ -192,6 +192,32 @@ class SearchAndStatsSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("sequenceNextNode: first-match scan on crafted streams") {
+    import graft.operators.EventAnalytics
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(u: Long, i: Int, tp: String) =
+      (u, new java.sql.Timestamp(t0.getTime + i * 1000L), i.toLong, tp)
+    val rows =
+      // user 1: chain mid-stream, next node is 'x' (not the later 'y')
+      Seq(ev(1, 1, "a"), ev(1, 2, "b"), ev(1, 3, "x"),
+          ev(1, 4, "a"), ev(1, 5, "b"), ev(1, 6, "y")) ++
+      // user 2: chain at the very end → nothing follows → NULL
+      Seq(ev(2, 1, "z"), ev(2, 2, "a"), ev(2, 3, "b")) ++
+      // user 3: no chain at all → NULL
+      Seq(ev(3, 1, "b"), ev(3, 2, "a")) ++ // wrong order
+      // user 4: tied timestamps — event_id breaks the tie, so the stream
+      // reads a(id1) b(id2) c(id3) and next is 'c'
+      Seq((4L, t0, 1L, "a"), (4L, t0, 2L, "b"), (4L, t0, 3L, "c")) ++
+      // user 5: first occurrence wins even when a later one has a next too
+      Seq(ev(5, 1, "a"), ev(5, 2, "b"), ev(5, 3, "n1"),
+          ev(5, 4, "a"), ev(5, 5, "b"), ev(5, 6, "n2"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.sequenceNextNode(df, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("x"), 2L -> None, 3L -> None,
+                       4L -> Some("c"), 5L -> Some("n1")))
+  }
+
   test("sequenceCount is consistent with sequenceMatch on the corpus") {
     import graft.operators.EventAnalytics
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
