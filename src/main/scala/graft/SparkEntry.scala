@@ -1686,10 +1686,10 @@ object SparkEntry {
     * oracle above. */
   @volatile private var lastCdcOffset: Option[Long] = None
   private val cdcOffsetCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), java.lang.Long]()
   private def cdcOffset(s: SparkSession, dir: String, stats: DataFrame): Long = {
     val off = cdcOffsetCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
+      probeKey(s, dir, "events"), _ => {
         val maxId = stats.agg(max(col("user_id")).cast("long")).head().getLong(0)
         var o = 1000000L
         while (o <= maxId) o *= 10
@@ -2685,11 +2685,11 @@ object SparkEntry {
   // corpus-model bigram table; the last-trained list feeds the data-dependent
   // oracle generation below (Verify dumps oracle SQL AFTER running queries)
   private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(String, String)]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Seq[(String, String)]]()
   @volatile private var lastBpeMerges: Option[Seq[(String, String)]] = None
 
   private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] = {
-    val m = bpeMergeCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val m = bpeMergeCache.computeIfAbsent(probeKey(s, dir, "documents"),
       _ => BpeModel.learnMerges(t(s, dir, "documents"), BpeNumMerges))
     lastBpeMerges = Some(m)
     m
@@ -2735,11 +2735,11 @@ object SparkEntry {
   // learned unigram-LM model per (session identity, sfDir) — same train-once
   // discipline and data-dependent-oracle plumbing as the BPE merges above
   private val unigramModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), UnigramLm.Model]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), UnigramLm.Model]()
   @volatile private var lastUnigramModel: Option[UnigramLm.Model] = None
 
   private def unigramModelFor(s: SparkSession, dir: String): UnigramLm.Model = {
-    val m = unigramModelCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val m = unigramModelCache.computeIfAbsent(probeKey(s, dir, "documents"),
       _ => UnigramLm.learn(t(s, dir, "documents")))
     lastUnigramModel = Some(m)
     m
@@ -2767,11 +2767,11 @@ object SparkEntry {
   // train-once discipline and data-dependent-oracle plumbing as the BPE
   // merges / unigram model above
   private val wordpieceModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), WordPiece.Model]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), WordPiece.Model]()
   @volatile private var lastWordpieceModel: Option[WordPiece.Model] = None
 
   private def wordpieceModelFor(s: SparkSession, dir: String): WordPiece.Model = {
-    val m = wordpieceModelCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val m = wordpieceModelCache.computeIfAbsent(probeKey(s, dir, "documents"),
       _ => WordPiece.learn(t(s, dir, "documents")))
     lastWordpieceModel = Some(m)
     m
@@ -3324,11 +3324,11 @@ object SparkEntry {
   // oracle SQL is generated from the same cached value (the data-dependent
   // oracle pattern: Verify runs every query before dumping oracle_sql.json).
   private val embDimCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Integer]()
   @volatile private var lastEmbDim: Option[Int] = None
 
   private def embDim(s: SparkSession, dir: String): Int = {
-    val d = embDimCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val d = embDimCache.computeIfAbsent(probeKey(s, dir, "embeddings"),
       _ => Int.box(t(s, dir, "embeddings")
         .select(size(col("embedding")).as("d")).head().getInt(0)))
     lastEmbDim = Some(d)
@@ -3347,11 +3347,11 @@ object SparkEntry {
   // per-dim int8 scales per (session, corpus) — learned from the data like
   // the BPE merges, and fed into the data-dependent oracle the same way
   private val quantScaleCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Array[Double]]()
   @volatile private var lastQuantScales: Option[Array[Double]] = None
 
   private def quantScalesFor(s: SparkSession, dir: String): Array[Double] = {
-    val sc = quantScaleCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val sc = quantScaleCache.computeIfAbsent(probeKey(s, dir, "embeddings"),
       _ => Similarity.quantScales(t(s, dir, "embeddings"), dim = embDim(s, dir)))
     lastQuantScales = Some(sc)
     sc
@@ -3380,11 +3380,11 @@ object SparkEntry {
   // PQ sub-codebooks per (session, corpus) — learned ingest-time artifact,
   // embedded into the data-dependent oracle as literals (quantScales twin)
   private val pqCodebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Array[Array[Double]]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Array[Array[Array[Double]]]]()
   @volatile private var lastPqCodebooks: Option[Array[Array[Array[Double]]]] = None
 
   private def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val cb = pqCodebookCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val cb = pqCodebookCache.computeIfAbsent(probeKey(s, dir, "embeddings"),
       _ => Similarity.pqTrain(t(s, dir, "embeddings"), dim = embDim(s, dir),
                               m = PqM, k = PqKCent))
     lastPqCodebooks = Some(cb)
@@ -3397,11 +3397,11 @@ object SparkEntry {
   // learned k-means centroids per (session, corpus) — ingest-time artifact,
   // embedded into the data-dependent oracle as literals (pqTrain twin)
   private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Array[Array[Double]]]()
   @volatile private var lastKmeansCents: Option[Array[Array[Double]]] = None
 
   private def kmeansFor(s: SparkSession, dir: String): Array[Array[Double]] = {
-    val c = kmeansCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val c = kmeansCache.computeIfAbsent(probeKey(s, dir, "embeddings"),
       _ => Similarity.kmeansTrain(t(s, dir, "embeddings"), KmK, KmIters))
     lastKmeansCents = Some(c)
     c
@@ -3836,11 +3836,11 @@ object SparkEntry {
   // learned classifier weights per (session, corpus) — the same
   // data-dependent-oracle lifecycle as the BPE merges and the int8 scales
   private val qcWeightCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Array[Double]]()
   @volatile private var lastQcWeights: Option[Array[Double]] = None
 
   private def qcWeightsFor(s: SparkSession, dir: String): Array[Double] = {
-    val w = qcWeightCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val w = qcWeightCache.computeIfAbsent(probeKey(s, dir, "documents"),
       _ => QualityClassifier.train(t(s, dir, "documents"),
              col("n_chars") >= QcLabelChars, QcIters, QcLr))
     lastQcWeights = Some(w)
@@ -4442,11 +4442,11 @@ object SparkEntry {
   // slice), the ≤1024-row count frame collects, integer weights embed in
   // plan and oracle alike
   private val dsirWeightsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dsir.Weights]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Dsir.Weights]()
   @volatile private var lastDsirWeights: Option[Dsir.Weights] = None
 
   private def dsirWeightsFor(s: SparkSession, dir: String): Dsir.Weights = {
-    val w = dsirWeightsCache.computeIfAbsent((System.identityHashCode(s), dir),
+    val w = dsirWeightsCache.computeIfAbsent(probeKey(s, dir, "documents"),
       _ => Dsir.learnWeights(
         Dsir.features(docsSharded(s, dir),
                       extra = Seq((col("lang") === "en").as("t"))), "t"))
