@@ -1540,6 +1540,30 @@ object SparkEntry {
     * completions per user ([[EventAnalytics.sequenceCount]]); the oracle
     * replays the greedy automaton with a recursive CTE over the same
     * (µs-total) event order. */
+  /** Event transition matrix (the Markov-flow / Sankey primitive next to
+    * the funnel family): corpus-wide counts of consecutive event-type
+    * pairs in each user's (ts, event_id)-ordered stream, plus how many
+    * DISTINCT users exhibit each transition. The distinct-user count is a
+    * two-level aggregate (per-(pair, user) counts, then sum/count), never
+    * a mixed distinct-agg Expand over the event-sized frame (the r13
+    * lesson). The per-user lag window partitions on the HIGH-cardinality
+    * user key — the normal per-entity window, not the skewed-low-card
+    * class. All integer; the oracle replays the identical lag + two-level
+    * rollup. */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("to_type"),
+              lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("c")).as("n_transitions"),
+           count(lit(1)).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** ClickHouse `sequenceNextNode` (forward, first_match): per user, the
     * event type following the first click→purchase chain in the full
     * µs-ordered stream — completes the funnel family next to windowFunnel
@@ -4752,6 +4776,7 @@ object SparkEntry {
     "mad_value"            -> (madValue _),
     "cms_user_counts"      -> (cmsUserCounts _),
     "seq_next_node"        -> (seqNextNode _),
+    "event_transitions"    -> (eventTransitions _),
   )
 
   // ----------------------------------------------------------------------
@@ -5128,6 +5153,19 @@ object SparkEntry {
     // Greedy non-overlapping automaton replayed with a recursive CTE over
     // the same µs-total event order (the packed_chunks recurrence-replay
     // technique applied to a state machine).
+    // Transition matrix: identical lag + two-level rollup, all integer.
+    "event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS to_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS from_type
+                    FROM events),
+          pu AS (SELECT from_type, to_type, user_id, count(*) AS c
+                 FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2, 3)
+          SELECT from_type, to_type,
+                 CAST(sum(c) AS BIGINT) AS n_transitions,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM pu GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // sequenceNextNode: the first-match scan replayed over the identical
     // (µs, event_id)-ordered per-user list with DuckDB list lambdas; NULL
     // when no chain or nothing follows. next_node is a value column, not a
