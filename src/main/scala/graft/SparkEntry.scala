@@ -2839,12 +2839,19 @@ object SparkEntry {
     * immediately into a (lang, has-tokens, score) GROUP frame (value-domain
     * granularity — the Mann-Whitney tie-group discipline; score is an
     * integer milli-cost, so distinct values per lang are bounded far below
-    * doc count), carrying each group's doc_id list for the bucket digests.
+    * doc count), carrying each group's order-free exact-integer membership
+    * hash sum for the bucket digests (constant bytes per group — never a
+    * materialized id list).
     * Tercile bounds are cumulative-count picks over that tiny frame — the
     * score at position r is `min{s : cum(s) ≥ r}`, identical to the
     * positional pick because the order is (score, doc_id) — and the
     * #langs-sized bounds frame broadcasts back. No window ever touches a
     * doc-sized frame. */
+  /** Modulus for the order-free bucket membership digest: 2^61 − 1 (a
+    * Mersenne prime). The reduced sum fits a BIGINT on every engine; the
+    * pre-reduction sums stay exact (Spark DECIMAL / DuckDB HUGEINT). */
+  private val CcnetDigestMod = 2305843009213693951L
+
   private def ccnetPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     val model = unigramModelFor(s, dir)
     val st = graft.functions.NativeExprs.unigramStats(col("text"), model)
@@ -2856,9 +2863,17 @@ object SparkEntry {
       .withColumn("__tok", col("np") > 0)
     // map-side partial agg collapses the doc-sized frame to value-domain
     // granularity in the one corpus shuffle; the empty lane rides along as
-    // the __tok=false sub-group (a union branch would re-run the DP scan)
+    // the __tok=false sub-group (a union branch would re-run the DP scan).
+    // Membership is digested ORDER-FREE as an exact integer hash SUM — a
+    // per-group constant-size buffer (a bucket of billions of docs is one
+    // DECIMAL, never a materialized id list), and a wrong membership flips
+    // the sum. The 60-bit md5 prefix is engine-portable; decimal sums stay
+    // exact to 10^38 ≫ any corpus's n_docs · 2^60.
+    val idh = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+                             1, 15), 16, 10).cast("long")
     val grp = scored.groupBy(col("lang"), col("__tok"), col("score"))
-      .agg(count(lit(1)).as("c"), collect_list(col("doc_id")).as("ids"))
+      .agg(count(lit(1)).as("c"),
+           sum(idh.cast("decimal(20,0)")).as("hsum"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
     val wAll = Window.partitionBy(col("lang"))
     val bounds = grp.filter(col("__tok"))
@@ -2877,9 +2892,8 @@ object SparkEntry {
       .agg(sum(col("c")).as("n_docs"),
            min(col("score")).as("min_score"),
            max(col("score")).as("max_score"),
-           md5(concat_ws(",",
-             transform(array_sort(flatten(collect_list(col("ids")))), _.cast("string")))
-             .cast("binary")).as("ids_md5"))
+           (sum(col("hsum")) % lit(CcnetDigestMod).cast("decimal(20,0)"))
+             .cast("long").as("ids_hash"))
       .orderBy("lang", "bucket")
   }
 
@@ -7209,8 +7223,15 @@ object SparkEntry {
 
     // CCNet perplexity buckets: the unigram DP CTE chain (learned vocab as
     // literals) feeds integer milli-cost scores; tercile bounds are exact
-    // positional picks replayed in SQL — all-integer end to end.
+    // positional picks replayed in SQL — all-integer end to end. Membership
+    // digests replay the engine's order-free 60-bit hash sum mod 2^61−1:
+    // DuckDB's sum(BIGINT) is HUGEINT, so the pre-reduction sum is exact,
+    // matching the engine's DECIMAL sums bit-for-bit.
     "ccnet_perplexity_buckets" -> lastUnigramModel.map { m =>
+      val parse15 = (1 to 15).map { j =>
+        val pow = 1L << (4 * (15 - j)) // 16^(15-j)
+        s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * $pow"
+      }.mkString(" + ")
       s"""WITH ${UnigramLm.oracleStatsCtes(m)},
           sc AS (SELECT d.doc_id, d.lang,
                         coalesce(per.n_pieces, 0) AS np,
@@ -7233,19 +7254,23 @@ object SparkEntry {
                         ELSE 'tail' END AS bucket
             FROM ranked r JOIN bounds b USING (lang)
             UNION ALL
-            SELECT doc_id, lang, score, 'empty' FROM sc WHERE np <= 0)
+            SELECT doc_id, lang, score, 'empty' FROM sc WHERE np <= 0),
+          hashed AS (
+            SELECT lang, bucket, score, ($parse15) AS idh
+            FROM (SELECT lang, bucket, score,
+                         md5(CAST(doc_id AS VARCHAR)) AS h
+                  FROM bucketed))
           SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(min(score) AS BIGINT) AS min_score,
                  CAST(max(score) AS BIGINT) AS max_score,
-                 md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
-                                         ORDER BY doc_id), '')) AS ids_md5
-          FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket"""
+                 CAST(sum(idh) % $CcnetDigestMod AS BIGINT) AS ids_hash
+          FROM hashed GROUP BY lang, bucket ORDER BY lang, bucket"""
     }.getOrElse("""SELECT CAST(NULL AS VARCHAR) AS lang,
                           CAST(NULL AS VARCHAR) AS bucket,
                           CAST(NULL AS BIGINT) AS n_docs,
                           CAST(NULL AS BIGINT) AS min_score,
                           CAST(NULL AS BIGINT) AS max_score,
-                          CAST(NULL AS VARCHAR) AS ids_md5
+                          CAST(NULL AS BIGINT) AS ids_hash
                    WHERE 1 = 0"""),
 
     // Learned k-means centroids replayed as literals (pqTrain/srp

@@ -123,6 +123,13 @@ class PlanLintSpec extends SparkSpec {
       assert(aggBelow.nonEmpty,
         s"ccnet window over a non-aggregated (doc-sized) frame:\n$w")
     }
+    // r16 weak fix: membership digests are order-free exact-integer hash
+    // sums — no aggregation buffer in the plan may materialize a
+    // corpus-proportional id list
+    val ccnetPlan = SparkEntry.queries("ccnet_perplexity_buckets")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.toString
+    assert(!ccnetPlan.contains("collect_list"),
+      s"ccnet must not materialize doc-id lists in aggregation buffers:\n$ccnetPlan")
   }
 
   test("no single-partition exchange outside scalar-output queries") {
