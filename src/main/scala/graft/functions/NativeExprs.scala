@@ -90,6 +90,14 @@ object NativeExprs {
     * in LttbSpec). */
   def lttbSelect(pts: Column, k: Int): Column = col(LttbSelectExpr(expr(pts), k))
 
+  /** Exponential-decay / EMA / Holt recurrence walk over a collected,
+    * pre-sorted (ts, id, day, v) event array: one JVM loop per key with an
+    * exactly-sized output buffer, replacing the interpreted HOF fold whose
+    * `concat(out, array(e))` append copies the accumulator each step.
+    * Matches `EventAnalytics.decayFoldChain` bit-for-bit (same pinned IEEE
+    * op tree; parity-tested in EmaSpec). */
+  def decayFold(rows: Column): Column = col(DecayFoldExpr(expr(rows)))
+
   /** Distinct hashed character k-shingles of the NORMALIZED text; matches
     * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
     * Normalization is composed here so the two forms agree on raw input. */
@@ -666,6 +674,66 @@ case class LttbSelectExpr(child: Expression, k: Int)
     }
     sel(k - 1) = n - 1
     new GenericArrayData(sel)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The decay-family recurrence (time-decayed sum/count/max, α=1/4 EMA,
+  * Holt linear level+trend) folded left over one key's time-sorted event
+  * run. Input element struct: (ts: timestamp, id: long, day: long,
+  * v: double) — already sorted by the caller's `array_sort(collect_list)`.
+  * Output element struct matches `EventAnalytics.decayFoldChain`'s
+  * `outType` field-for-field; every arithmetic step is the identical
+  * pinned IEEE tree (decay factors are exact powers of two from the same
+  * 0..62 clamp, α/β are exact binary fractions), so native and HOF forms
+  * are bit-equal, not just close. */
+case class DecayFoldExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("tds", DoubleType, nullable = false),
+    StructField("ema", DoubleType, nullable = false),
+    StructField("tdavg", DoubleType, nullable = false),
+    StructField("tdmax", DoubleType, nullable = false),
+    StructField("tdn", DoubleType, nullable = false),
+    StructField("hl", DoubleType, nullable = false),
+    StructField("hb", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var pd = 0L
+    var tds = 0.0; var tdn = 0.0; var ema = 0.0
+    var tdmax = 0.0; var hl = 0.0; var hb = 0.0
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      val id = row.getLong(1)
+      val day = row.getLong(2)
+      val v = row.getDouble(3)
+      if (i == 0) {
+        tds = v; tdn = 1.0; ema = v; tdmax = v; hl = v; hb = 0.0
+      } else {
+        var dd = day - pd
+        if (dd < 0L) dd = 0L
+        if (dd > 62L) dd = 62L
+        val decay = 1.0 / (1L << dd).toDouble
+        tds = v + tds * decay
+        tdn = 1.0 + tdn * decay
+        ema = 0.25 * v + 0.75 * ema
+        val tdm = tdmax * decay
+        tdmax = if (v >= tdm) v else tdm
+        val hlPrev = hl
+        hl = 0.25 * v + 0.75 * (hlPrev + hb)
+        hb = 0.125 * (hl - hlPrev) + 0.875 * hb
+      }
+      pd = day
+      out(i) = new GenericInternalRow(
+        Array[Any](id, tds, ema, tds / tdn, tdmax, tdn, hl, hb))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

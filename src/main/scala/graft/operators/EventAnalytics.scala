@@ -269,20 +269,58 @@ object EventAnalytics {
     * low thousands — the same bound every per-user collect_list lane in
     * this file relies on), and Catalyst offers no O(1)-append array
     * builder inside `aggregate`; a key with millions of events would need
-    * the per-key run split into day-range segments first. */
+    * the per-key run split into day-range segments first. The contract
+    * queries use the native [[graft.functions.NativeExprs.decayFold]]
+    * walk (one JVM loop, exactly-sized output buffer — the LTTB promotion
+    * playbook); [[decayFoldChain]] below is its bit-exact HOF reference,
+    * parity-tested in EmaSpec. */
   def exponentialMovingStats(events: DataFrame, keyCol: String = "user_id",
                              tsCol: String = "ts", idCol: String = "event_id",
-                             valCol: String = "value"): DataFrame = {
+                             valCol: String = "value"): DataFrame =
+    exponentialMovingStatsImpl(events, keyCol, tsCol, idCol, valCol,
+      graft.functions.NativeExprs.decayFold)
+
+  /** HOF twin of [[exponentialMovingStats]] — the interpreted reference
+    * form the parity spec runs against the native walk. */
+  def exponentialMovingStatsChain(events: DataFrame, keyCol: String = "user_id",
+                                  tsCol: String = "ts", idCol: String = "event_id",
+                                  valCol: String = "value"): DataFrame =
+    exponentialMovingStatsImpl(events, keyCol, tsCol, idCol, valCol,
+      decayFoldChain)
+
+  /** The collected per-key decay-walk input array: (ts, id, epoch day,
+    * double value) sorted — ts then id orders the run; day is exact
+    * (µs remainder subtracted before the division, so the double divide is
+    * integer-valued — no floor-after-rounding hazard at midnight). */
+  def decayRows(tsCol: String, idCol: String, valCol: String): Column = {
     val DayUs = 86400000000L
-    // exact epoch day: subtract the µs remainder first, so the double
-    // division is integer-valued and therefore exact (no floor-after-
-    // rounding hazard at midnight boundaries)
     val us = unix_micros(col(tsCol))
     val day = ((us - pmod(us, lit(DayUs))) / lit(DayUs)).cast("long")
-    val decays = array((0 to 62).map(d => lit(1.0 / (1L << d).toDouble)): _*)
-    val rows = array_sort(collect_list(struct(
+    array_sort(collect_list(struct(
       col(tsCol).as("ts"), col(idCol).as("id"), day.as("day"),
       col(valCol).cast("double").as("v"))))
+  }
+
+  private def exponentialMovingStatsImpl(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, fold: Column => Column): DataFrame =
+    events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
+      .groupBy(col(keyCol))
+      .agg(decayRows(tsCol, idCol, valCol).as("__rows"))
+      .select(col(keyCol), explode(fold(col("__rows"))).as("r"))
+      .select(col("r.id").as(idCol), col(keyCol),
+              col("r.ema").as("ema"), col("r.tds").as("tds"),
+              col("r.tdavg").as("tdavg"), col("r.tdmax").as("tdmax"),
+              col("r.tdn").as("tdcount"),
+              col("r.hl").as("holt_level"), col("r.hb").as("holt_trend"))
+
+  /** Reference COLUMN form of the decay recurrence walk over a collected
+    * (ts, id, day, v) run: same pinned IEEE op tree as the native
+    * [[graft.functions.NativeExprs.decayFold]] expression, as one HOF fold.
+    * Interpreted, and the `concat` append is O(n²) per key — reference
+    * only. Returns the per-event output struct array. */
+  def decayFoldChain(rows: Column): Column = {
+    val decays = array((0 to 62).map(d => lit(1.0 / (1L << d).toDouble)): _*)
     val outType =
       "array<struct<id:bigint,tds:double,ema:double,tdavg:double," +
         "tdmax:double,tdn:double,hl:double,hb:double>>"
@@ -295,7 +333,7 @@ object EventAnalytics {
                       lit(0.0).as("tdmax"), lit(0.0).as("hl"), lit(0.0).as("hb"),
                       lit(null).cast(outType).as("out"))
     val folded = aggregate(
-      col("__rows"), init,
+      rows, init,
       (acc, x) => {
         val first = !acc.getField("seen")
         val dd = least(greatest(x.getField("day") - acc.getField("pd"), lit(0L)),
@@ -325,15 +363,7 @@ object EventAnalytics {
                                    tdmax.as("tdmax"), tdn.as("tdn"),
                                    hl.as("hl"), hb.as("hb")))).as("out"))
       })
-    events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
-      .groupBy(col(keyCol))
-      .agg(rows.as("__rows"))
-      .select(col(keyCol), explode(folded.getField("out")).as("r"))
-      .select(col("r.id").as(idCol), col(keyCol),
-              col("r.ema").as("ema"), col("r.tds").as("tds"),
-              col("r.tdavg").as("tdavg"), col("r.tdmax").as("tdmax"),
-              col("r.tdn").as("tdcount"),
-              col("r.hl").as("holt_level"), col("r.hb").as("holt_trend"))
+    coalesce(folded.getField("out"), array().cast(outType))
   }
 
   /** LTTB — largest-triangle-three-buckets downsampling (Steinarsson '15;

@@ -79,6 +79,19 @@ class EmaSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("native decay walk is bit-identical to the HOF fold on the real corpus") {
+    // the NativeExprParitySpec discipline: the contract queries run the
+    // native DecayFoldExpr; this pins it bit-for-bit (== on doubles, no
+    // tolerance) to the interpreted HOF reference over the real events file
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val native = EventAnalytics.exponentialMovingStats(ev)
+      .orderBy("event_id").collect().toSeq
+    val chain = EventAnalytics.exponentialMovingStatsChain(ev)
+      .orderBy("event_id").collect().toSeq
+    assert(native.size > 100)
+    assert(native == chain)
+  }
+
   test("ordering is (ts, id) — same-timestamp ties fold in id order") {
     val df = Seq(
       (1L, ts(0, 0), 2L, 4.0), // inserted out of id order
