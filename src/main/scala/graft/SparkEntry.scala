@@ -2847,6 +2847,37 @@ object SparkEntry {
     * positional pick because the order is (score, doc_id) — and the
     * #langs-sized bounds frame broadcasts back. No window ever touches a
     * doc-sized frame. */
+  // learned byte-level BPE merges per (session identity, sfDir) — fourth
+  // tokenizer, same train-once discipline and data-dependent-oracle
+  // plumbing as the char-BPE merges above
+  private val byteBpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), ByteBpe.Model]()
+  @volatile private var lastByteBpeModel: Option[ByteBpe.Model] = None
+
+  private def byteBpeModelFor(s: SparkSession, dir: String): ByteBpe.Model = {
+    val m = byteBpeModelCache.computeIfAbsent(probeKey(s, dir, "documents"),
+      _ => ByteBpe.learn(t(s, dir, "documents")))
+    lastByteBpeModel = Some(m)
+    m
+  }
+
+  /** Byte-level BPE (GPT-2/tiktoken class, [[ByteBpe]]): regex
+    * pre-tokenization, UTF-8 byte alphabet, learned merges, no UNK. The
+    * enc_md5 digest pins the exact SEGMENTATION of every document (the
+    * bpe_encode_hash discipline); the oracle replays the learned merges as
+    * literal nested `replace()` calls over the hex-pair separator
+    * encoding. */
+  private def byteBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val model = byteBpeModelFor(s, dir)
+    val st = graft.functions.NativeExprs.byteBpeStats(col("text"), model)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        coalesce(st.getField("n_pretokens"), lit(0L)).as("n_pretokens"),
+        coalesce(st.getField("n_tokens"), lit(0L)).as("n_tokens"),
+        md5(coalesce(st.getField("enc"), lit("")).cast("binary")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Modulus for the order-free bucket membership digest: 2^61 − 1 (a
     * Mersenne prime). The reduced sum fits a BIGINT on every engine; the
     * pre-reduction sums stay exact (Spark DECIMAL / DuckDB HUGEINT). */
@@ -3048,6 +3079,7 @@ object SparkEntry {
     bpeMergesFor(s, dir)   // learned tokenizer models: same artifact class —
     unigramModelFor(s, dir) // trained once per corpus, applied per query
     wordpieceModelFor(s, dir) // third tokenizer: same train-once class
+    byteBpeModelFor(s, dir)   // fourth tokenizer (byte-level): same class
     dsirWeightsFor(s, dir)  // DSIR bucket models: one corpus feature pass,
                             // weights reused by every selection run
     kmeansFor(s, dir)      // learned cluster centroids: fixed-round Lloyd's,
@@ -4791,6 +4823,7 @@ object SparkEntry {
     "cms_user_counts"      -> (cmsUserCounts _),
     "seq_next_node"        -> (seqNextNode _),
     "event_transitions"    -> (eventTransitions _),
+    "bytebpe_tokens"       -> (byteBpeTokens _),
   )
 
   // ----------------------------------------------------------------------
@@ -7209,6 +7242,17 @@ object SparkEntry {
                            CAST(NULL AS BIGINT) AS n_pieces,
                            CAST(NULL AS BIGINT) AS n_unk,
                            CAST(NULL AS BIGINT) AS wp_sig
+                    WHERE 1 = 0"""),
+
+    // Byte-level BPE twin: learned merges as literal nested replace()
+    // calls over the hex-pair separator encoding; pre-tokenization replays
+    // the explicit-ASCII-class pattern in RE2. Untrained fallback is
+    // schema-shaped but empty → loud.
+    "bytebpe_tokens" -> lastByteBpeModel.map(ByteBpe.oracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+                           CAST(NULL AS BIGINT) AS n_pretokens,
+                           CAST(NULL AS BIGINT) AS n_tokens,
+                           CAST(NULL AS VARCHAR) AS enc_md5
                     WHERE 1 = 0"""),
 
     // DSIR: learned integer bucket weights as literals over the portable

@@ -84,6 +84,13 @@ object NativeExprs {
   def wordpieceStats(text: Column, model: graft.operators.WordPiece.Model): Column =
     col(WordpieceStatsExpr(expr(text), model))
 
+  /** Per-doc byte-level BPE stats under learned merges: struct<n_pretokens,
+    * n_tokens, enc> where `enc` is the '|'-joined separator-wrapped encoded
+    * stream; matches `ByteBpe.docStatsChain` (pre-md5) exactly — see
+    * [[graft.operators.ByteBpe]]. */
+  def byteBpeStats(text: Column, model: graft.operators.ByteBpe.Model): Column =
+    col(ByteBpeStatsExpr(expr(text), model))
+
   /** LTTB point selection over a collected (x, id, y) point array: the
     * selected 0-based indices under the integer-exact triangle-area
     * contract; matches `EventAnalytics.lttbChain` exactly (parity-tested
@@ -674,6 +681,76 @@ case class LttbSelectExpr(child: Expression, k: Int)
     }
     sel(k - 1) = n - 1
     new GenericArrayData(sel)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-document byte-level BPE stats: pre-tokenize with the hand-rolled
+  * scanner twin of [[graft.operators.ByteBpe.PreTokenPattern]] (leftmost-
+  * first alternation over explicit ASCII classes — branch order matters
+  * and is pinned by the parity spec), encode each pre-token by sequential
+  * rank-order merges over its UTF-8 hex-pair byte symbols, and emit
+  * (n_pretokens, n_tokens, enc) where `enc` is the '|'-joined wrapped
+  * stream the oracle's replace-chain reproduces. A per-partition
+  * pre-token→encoding memo makes cost ∝ DISTINCT types; past the cap new
+  * types are encoded but NOT inserted (skip-insert, not clear — a
+  * wholesale clear would discard the hottest entries exactly when the
+  * partition is type-rich). */
+case class ByteBpeStatsExpr(child: Expression, model: graft.operators.ByteBpe.Model)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pretokens", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("enc", StringType, nullable = false)))
+
+  @transient private lazy val memo = new java.util.HashMap[String, (Int, String)]()
+  private val MemoCap = 1 << 16
+
+  private def isWs(c: Char) =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+  private def isLetter(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigit(c: Char) = c >= '0' && c <= '9'
+  private def isOther(c: Char) = !isLetter(c) && !isDigit(c) && !isWs(c)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val enc = new java.lang.StringBuilder(len * 4)
+    var nPre = 0L
+    var nTok = 0L
+    var i = 0
+    while (i < len) {
+      val start = i
+      val c = s.charAt(i)
+      if (c == ' ' && i + 1 < len && isLetter(s.charAt(i + 1))) {
+        i += 1; while (i < len && isLetter(s.charAt(i))) i += 1
+      } else if (c == ' ' && i + 1 < len && isDigit(s.charAt(i + 1))) {
+        i += 1; while (i < len && isDigit(s.charAt(i))) i += 1
+      } else if (c == ' ' && i + 1 < len && isOther(s.charAt(i + 1))) {
+        i += 1; while (i < len && isOther(s.charAt(i))) i += 1
+      } else if (isWs(c)) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+      } else if (isLetter(c)) {
+        while (i < len && isLetter(s.charAt(i))) i += 1
+      } else if (isDigit(c)) {
+        while (i < len && isDigit(s.charAt(i))) i += 1
+      } else {
+        while (i < len && isOther(s.charAt(i))) i += 1
+      }
+      val tok = s.substring(start, i)
+      var hit = memo.get(tok)
+      if (hit == null) {
+        val syms = graft.operators.ByteBpe.encodeToken(tok, model)
+        hit = (syms.length, graft.operators.ByteBpe.wrapSymbols(syms))
+        if (memo.size < MemoCap) memo.put(tok, hit)
+      }
+      if (nPre > 0L) enc.append('|')
+      enc.append(hit._2)
+      nPre += 1L
+      nTok += hit._1
+    }
+    new GenericInternalRow(Array[Any](
+      nPre, nTok, UTF8String.fromString(enc.toString)))
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

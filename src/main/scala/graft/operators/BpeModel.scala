@@ -72,9 +72,15 @@ object BpeModel {
     * adjacent symbol pair (weighted by word-type count), ties broken by the
     * pair's lexicographic order — fully deterministic for a given
     * dictionary. Stops early when no pair occurs twice (weighted). */
-  def train(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
-    var words: Array[(Array[String], Long)] =
-      wordFreq.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+  def train(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] =
+    trainSymbols(
+      wordFreq.map { case (w, n) => (w.map(_.toString).toArray, n) }, numMerges)
+
+  /** [[train]] over pre-split symbol arrays — the shared core; the
+    * byte-level variant ([[ByteBpe]]) feeds hex-pair byte symbols here. */
+  def trainSymbols(typeFreq: Seq[(Array[String], Long)],
+                   numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = typeFreq.toArray
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var step = 0
     var exhausted = false
