@@ -3084,6 +3084,8 @@ object SparkEntry {
                             // weights reused by every selection run
     kmeansFor(s, dir)      // learned cluster centroids: fixed-round Lloyd's,
                            // trained once per corpus (ingest-time artifact)
+    pcaModelFor(s, dir)    // learned PCA model: one exact moment pass +
+                           // driver Jacobi (ingest-time artifact)
     // the shared MinHash pair list is the same class of corpus artifact as
     // the LSH index above — every consumer (clustering, leakage split,
     // incremental fold) reads the one materialization, so the first
@@ -3461,6 +3463,49 @@ object SparkEntry {
     cb
   }
 
+  // Retained components: the synthetic corpus's spectrum is FLAT (near-
+  // isotropic gaussian vectors — PCA's worst case), so r = dim/2 is what
+  // holds prescreen recall ≥ 0.9 at sf0.1 (measured: r=16 → 0.53, r=32 →
+  // 0.93 at candK=160). On real embedding corpora (low-rank spectra) the
+  // same machinery runs at r ≪ dim; r is a per-corpus knob, not a law.
+  private val PcaR = 32
+  private val PcaCandK = 160 // prescreen width (recall-driven, see PcaR)
+
+  // learned PCA model per (session, corpus) — ingest-time artifact,
+  // embedded into the data-dependent oracle as literals (quantScales twin)
+  private val pcaModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Pca.Model]()
+  @volatile private var lastPcaModel: Option[Pca.Model] = None
+
+  private def pcaModelFor(s: SparkSession, dir: String): Pca.Model = {
+    val m = pcaModelCache.computeIfAbsent(probeKey(s, dir, "embeddings"),
+      _ => Pca.train(t(s, dir, "embeddings"), dim = embDim(s, dir), r = PcaR))
+    lastPcaModel = Some(m)
+    m
+  }
+
+  /** Embedding PCA projection ([[Pca]]): integer-exact covariance moments,
+    * fixed-sweep Jacobi on the driver, top-r components — the projected
+    * coordinates of every vector, flat (vec_id, comp, proj). The oracle
+    * replays the learned mean/components as literals through the identical
+    * left-assoc multiply-add chains. */
+  private def embeddingPca(s: SparkSession, dir: String): DataFrame =
+    Pca.projectAll(t(s, dir, "embeddings"), pcaModelFor(s, dir))
+      .orderBy("vec_id", "comp")
+
+  /** Reduced-dimension ANN ([[Pca.pcaTopK]]): prescreen in the r-dim
+    * projected space (r doubles of scan residency per vector instead of
+    * dim floats; a persisted ingest artifact at scale), exact full-width
+    * cosine re-rank of the top-candK — result deterministic regardless of
+    * projection error (the ann_topk_quant contract); recall vs true top-k
+    * is RecallCheck-gated. */
+  private def annTopKPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Pca.pcaTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, PcaCandK,
+        pcaModelFor(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
   private val KmK = 8      // clusters
   private val KmIters = 4  // fixed Lloyd rounds — determinism, not convergence
 
@@ -3506,15 +3551,15 @@ object SparkEntry {
     def e(j: Int) = s"CAST(CAST(embedding[${j + 1}] AS FLOAT) AS DOUBLE)"
     val nx = (0 until dim).map(j => s"${e(j)} * ${e(j)}").mkString(" + ")
     val dots = cents.map(c =>
-      (0 until dim).map(j => s"${e(j)} * ${c(j)}").mkString(" + "))
+      (0 until dim).map(j => s"${e(j)} * ${dlit(c(j))}").mkString(" + "))
     val nys = cents.map { c =>
       var s = 0.0; var j = 0
       while (j < c.length) { s += c(j) * c(j); j += 1 }
       s
     }
     val cosCols = cents.indices.map { i =>
-      s"""CASE WHEN sqrt(nx) * sqrt(${nys(i)}) = 0.0 THEN 0.0
-               ELSE d$i / (sqrt(nx) * sqrt(${nys(i)})) END AS c$i"""
+      s"""CASE WHEN sqrt(nx) * sqrt(${dlit(nys(i))}) = 0.0 THEN 0.0
+               ELSE d$i / (sqrt(nx) * sqrt(${dlit(nys(i))})) END AS c$i"""
     }.mkString(",\n                ")
     // unrolled argmax fold: (m, l) starts at (c0, 0); strictly-greater
     // advances — the kmeansArgmax when(b.c > a.c, b) tie rule
@@ -4824,6 +4869,8 @@ object SparkEntry {
     "seq_next_node"        -> (seqNextNode _),
     "event_transitions"    -> (eventTransitions _),
     "bytebpe_tokens"       -> (byteBpeTokens _),
+    "embedding_pca"        -> (embeddingPca _),
+    "ann_topk_pca"         -> (annTopKPca _),
   )
 
   // ----------------------------------------------------------------------
@@ -4879,7 +4926,7 @@ object SparkEntry {
       val planes = Array.fill(nBits * dim)(rnd.nextGaussian())
       (0 until nBits).map { j =>
         val chain = (0 until dim).map { i =>
-          s"CAST(CAST(embedding[${i + 1}] AS FLOAT) AS DOUBLE) * ${planes(j * dim + i)}"
+          s"CAST(CAST(embedding[${i + 1}] AS FLOAT) AS DOUBLE) * ${dlit(planes(j * dim + i))}"
         }.mkString(" + ")
         s"(CASE WHEN ($chain) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
@@ -4918,7 +4965,7 @@ object SparkEntry {
     * candidate cut, and the exact re-rank all replay bit-for-bit. */
   private def quantOracleSql(scales: Array[Double]): String = {
     val qvList = scales.indices.map { d =>
-      s"CAST(LEAST(127.0, GREATEST(-127.0, FLOOR(CAST(CAST(embedding[${d + 1}] AS FLOAT) AS DOUBLE) * ${scales(d)} + 0.5))) AS INT)"
+      s"CAST(LEAST(127.0, GREATEST(-127.0, FLOOR(CAST(CAST(embedding[${d + 1}] AS FLOAT) AS DOUBLE) * ${dlit(scales(d))} + 0.5))) AS INT)"
     }.mkString("[", ", ", "]")
     s"""WITH b AS (SELECT vec_id, $qvList AS qv FROM embeddings),
         qb AS (SELECT * FROM b WHERE vec_id < $AnnQueries),
@@ -4955,7 +5002,7 @@ object SparkEntry {
   private def pqOracleSql(cb: Array[Array[Array[Double]]]): String = {
     val m = cb.length; val kc = cb(0).length; val sd = cb(0)(0).length
     val centVals = (for (mi <- 0 until m; ki <- 0 until kc) yield {
-      val arr = cb(mi)(ki).mkString("[", ", ", "]")
+      val arr = cb(mi)(ki).map(dlit).mkString("[", ", ", "]")
       s"($mi, $ki, CAST($arr AS DOUBLE[]))"
     }).mkString(", ")
     val distChain = (1 to sd).map(j =>
@@ -4990,6 +5037,68 @@ object SparkEntry {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, neighbor_id) AS prn
             FROM sc) WHERE prn <= $PqCandK),
+        s AS (SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(CAST(CAST(qe.embedding AS FLOAT[]) AS DOUBLE[]),
+                                            CAST(CAST(ce.embedding AS FLOAT[]) AS DOUBLE[])) AS sim
+              FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM s)
+        SELECT query_id, rnk AS rank, neighbor_id, round(sim, 4) AS cosine
+        FROM r WHERE rnk <= $AnnK ORDER BY query_id, rnk"""
+  }
+
+  /** A double constant as SQL text that DuckDB parses to the EXACT bits
+    * the JVM holds: scientific notation (17 sig digits) takes DuckDB's
+    * strtod DOUBLE path. A plain decimal literal (`0.0091298…`) parses as
+    * DECIMAL first and the DECIMAL→DOUBLE conversion is NOT correctly
+    * rounded — measured 12/64 learned constants off by one ulp, which is
+    * invisible under round(4)/rank gates but fatal to bit-exact replay. */
+  private def dlit(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
+
+  /** The r projection chains of [[Pca.project]] as SQL text: per component
+    * a left-assoc `comp*(e_p − mean_p)` multiply-add sequence — the exact
+    * IEEE tree the engine's literal chain evaluates ([[dlit]] literals
+    * parse back bit-identically). */
+  private def pcaChainsSql(m: Pca.Model): Seq[String] = {
+    val dim = m.mean.length
+    m.comps.indices.map { c =>
+      (0 until dim).map { p =>
+        s"${dlit(m.comps(c)(p))} * (CAST(CAST(embedding[${p + 1}] AS FLOAT) AS DOUBLE) - ${dlit(m.mean(p))})"
+      }.mkString(" + ")
+    }
+  }
+
+  /** DuckDB SQL for `embedding_pca`: the learned model as literal chains,
+    * unnested to the flat (vec_id, comp, proj) contract. */
+  private def pcaOracleSql(m: Pca.Model): String = {
+    val arr = pcaChainsSql(m).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, $arr AS pr FROM embeddings)
+        SELECT vec_id, CAST(generate_subscripts(pr, 1) - 1 AS BIGINT) AS comp,
+               unnest(pr) AS proj
+        FROM v ORDER BY vec_id, comp"""
+  }
+
+  /** DuckDB SQL for `ann_topk_pca`: projected coordinates via the literal
+    * chains, prescreen dot in comp order, candidate cut, exact full-width
+    * re-rank — the quantOracleSql shape in PCA space. */
+  private def pcaAnnOracleSql(m: Pca.Model): String = {
+    val projCols = pcaChainsSql(m).zipWithIndex
+      .map { case (ch, c) => s"$ch AS p$c" }.mkString(",\n               ")
+    val dotChain = m.comps.indices.map(c => s"q.p$c * c.p$c").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, $projCols FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < $AnnQueries),
+        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      $dotChain AS score
+               FROM v c, q WHERE c.vec_id <> q.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id) AS prn
+                   FROM sc) WHERE prn <= $PcaCandK),
         s AS (SELECT cand.query_id, cand.neighbor_id,
                      list_cosine_similarity(CAST(CAST(qe.embedding AS FLOAT[]) AS DOUBLE[]),
                                             CAST(CAST(ce.embedding AS FLOAT[]) AS DOUBLE[])) AS sim
@@ -7338,6 +7447,20 @@ object SparkEntry {
     // once the query has computed them; the untrained placeholder fails
     // loudly if ever compared.
     "ann_topk_quant" -> lastQuantScales.map(quantOracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS query_id,
+                           CAST(NULL AS BIGINT) AS rank,
+                           CAST(NULL AS BIGINT) AS neighbor_id,
+                           CAST(NULL AS DOUBLE) AS cosine
+                    WHERE 1 = 0"""),
+
+    // PCA twins: learned mean/components as literal multiply-add chains;
+    // untrained placeholders fail loudly
+    "embedding_pca" -> lastPcaModel.map(pcaOracleSql)
+      .getOrElse("""SELECT CAST(NULL AS BIGINT) AS vec_id,
+                           CAST(NULL AS BIGINT) AS comp,
+                           CAST(NULL AS DOUBLE) AS proj
+                    WHERE 1 = 0"""),
+    "ann_topk_pca" -> lastPcaModel.map(pcaAnnOracleSql)
       .getOrElse("""SELECT CAST(NULL AS BIGINT) AS query_id,
                            CAST(NULL AS BIGINT) AS rank,
                            CAST(NULL AS BIGINT) AS neighbor_id,

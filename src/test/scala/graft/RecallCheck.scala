@@ -309,6 +309,21 @@ object RecallCheck {
       } catch { case _: Throwable => () }
     }
 
+    // ---- PCA reduced-dim ANN (contract parameters r=32, candK=160,
+    // k=5, queries vec_id<8): result determinism is oracle-gated; THIS
+    // lane gates prescreen recall vs full-width brute force. The synthetic
+    // spectrum is flat (PCA's worst case) — measured 0.925 at sf0.1;
+    // gate at 0.8 so a broken projection fails loudly while the known
+    // isotropic-corpus ceiling doesn't flap the gate. ----
+    val pcaModel = graft.operators.Pca.train(annEmb, dim = 64, r = 32)
+    val pcaGot = annRows(graft.operators.Pca.pcaTopK(
+        annEmb, annQ, k = 5, candK = 160, pcaModel))
+      .map(t => (t._1, t._3)).toSet
+    val pcaBrute = annBrute.map(t => (t._1, t._3))
+    val pcaRecall = pcaGot.intersect(pcaBrute).size.toDouble / pcaBrute.size
+    val okPca = pcaRecall >= 0.8
+    println(f"[recall] pca ann: ${pcaGot.size} pairs, recall@5=$pcaRecall%.4f")
+
     val okCt = ct == ctBrute
     val okLsh = lsh == brute
     val okInc = inc == bruteInc
@@ -330,12 +345,13 @@ object RecallCheck {
       s"split=${if (okSplit) "EXACT" else "MISMATCH"} " +
       s"exactsubstr=${if (okEs) "EXACT" else "MISMATCH"} " +
       s"incann=${if (okAnnApp && okAnnExact) "EXACT" else "MISMATCH"} " +
+      s"pcaann=${if (okPca) f"OK(recall=$pcaRecall%.3f)" else "MISMATCH"} " +
       s"embedding=${if (en == enBrute) "EXACT"
                     else if (okEn) f"OK(recall=$enRecall%.4f, 0 extras)"
                     else "MISMATCH"}")
     spark.stop()
     if (!okLsh || !okInc || !okEd || !okNg || !okPh || !okSem || !okEn ||
         !okCt || !okClu || !okFold || !okRep || !okSplit || !okEs ||
-        !okAnnApp || !okAnnExact) sys.exit(1)
+        !okAnnApp || !okAnnExact || !okPca) sys.exit(1)
   }
 }
