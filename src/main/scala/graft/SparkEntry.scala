@@ -1420,6 +1420,88 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Spearman rank correlation (ClickHouse `rankCorr`) between value and
+    * hour-of-day per event_type: Pearson over fractional (midrank) ranks,
+    * tie handling exact via DOUBLED midranks (the mannwhitney_value
+    * discipline). Ranks are computed on the VALUE-DOMAIN marginal frames
+    * (distinct quantized values / 24 hours per type — never a row-level
+    * rank window partitioned by 5 skewed keys), broadcast back onto the
+    * (type, d, h) joint-group frame, and all five moments accumulate as
+    * exact decimals; the closing ρ is one pinned IEEE tree over
+    * digit-string doubles, mirrored verbatim in SQL. One corpus shuffle
+    * (the joint groupBy); everything after is value-domain-sized. */
+  private def spearmanValueHour(s: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    def d2d(c: Column) = c.cast("string").cast("double")
+    def dec(c: Column) = c.cast("decimal(18,0)")
+    val grp = t(s, dir, "events")
+      .select(col("event_type"), dv.as("d"), hour(col("ts")).cast("long").as("h"))
+      .groupBy(col("event_type"), col("d"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val wV = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vRanks = grp.groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cnt")).as("vc"))
+      .withColumn("rx2",
+        coalesce(sum(col("vc")).over(wV), lit(0L)) * 2 + col("vc") + 1)
+      .select(col("event_type"), col("d"), col("rx2"))
+    val wH = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hRanks = grp.groupBy(col("event_type"), col("h"))
+      .agg(sum(col("cnt")).as("hc"))
+      .withColumn("ry2",
+        coalesce(sum(col("hc")).over(wH), lit(0L)) * 2 + col("hc") + 1)
+      .select(col("event_type"), col("h"), col("ry2"))
+    val moms = grp.join(broadcast(vRanks), Seq("event_type", "d"))
+      .join(broadcast(hRanks), Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+           sum(dec(col("cnt")) * dec(col("rx2"))).as("sx"),
+           sum(dec(col("cnt")) * dec(col("ry2"))).as("sy"),
+           sum(dec(col("cnt")) * (dec(col("rx2")) * dec(col("ry2")))).as("sxy"),
+           sum(dec(col("cnt")) * (dec(col("rx2")) * dec(col("rx2")))).as("sxx"),
+           sum(dec(col("cnt")) * (dec(col("ry2")) * dec(col("ry2")))).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * d2d(col("sxy")) - d2d(col("sx")) * d2d(col("sy"))
+    val vx = nD * d2d(col("sxx")) - d2d(col("sx")) * d2d(col("sx"))
+    val vy = nD * d2d(col("syy")) - d2d(col("sy")) * d2d(col("sy"))
+    moms.select(col("event_type"), col("n"),
+                (cov / (sqrt(vx) * sqrt(vy))).as("rank_corr"))
+      .orderBy("event_type")
+  }
+
+  /** Shannon entropy (ClickHouse `entropy`) of the quantized value
+    * distribution per event_type: H = log2(n) − (Σ c·log2 c)/n over the
+    * tie-group counts. The float sum over log2 terms is ORDER-SENSITIVE,
+    * so it folds over the COUNT-DOMAIN frame — (count value, multiplicity)
+    * pairs, bounded far below the tie-group count — in pinned ascending-c
+    * order (the cramers_v / anova list-fold discipline), and the entropy
+    * is rounded to 9 decimals on both sides: libm log2 is not guaranteed
+    * correctly rounded across engines, and the ≤ulp-scale discrepancy must
+    * not hash-flip the compare (the est_ok-envelope stance, applied to a
+    * transcendental). All integer inputs (n, distinct values) are exact. */
+  private def entropyValue(s: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast("string").cast("decimal(12,2)")
+    val ties = t(s, dir, "events")
+      .select(col("event_type"), dv.as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val byCount = ties.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    val g = byCount.groupBy(col("event_type"))
+      .agg(sum(col("c") * col("m")).as("n"),
+           sum(col("m")).as("n_distinct"),
+           aggregate(array_sort(collect_list(struct(col("c"), col("m")))),
+             lit(0.0), (acc, x) =>
+               acc + x.getField("m").cast("double") *
+                 x.getField("c").cast("double") * log2(x.getField("c")))
+             .as("clog"))
+    val nD = col("n").cast("double")
+    g.select(col("event_type"), col("n"), col("n_distinct"),
+             round(log2(nD) - col("clog") / nD, 9).as("entropy_bits"))
+      .orderBy("event_type")
+  }
+
   /** ClickHouse `simpleLinearRegression(x, y)`: least-squares slope and
     * intercept of value against hour-of-day per type — the corr_value_hour
     * frame, solved in closed form. Sums exact in decimal; the solve is one
@@ -4871,6 +4953,8 @@ object SparkEntry {
     "bytebpe_tokens"       -> (byteBpeTokens _),
     "embedding_pca"        -> (embeddingPca _),
     "ann_topk_pca"         -> (annTopKPca _),
+    "spearman_value_hour"  -> (spearmanValueHour _),
+    "entropy_value"        -> (entropyValue _),
   )
 
   // ----------------------------------------------------------------------
@@ -8095,6 +8179,63 @@ object SparkEntry {
                 CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie3,
                 z, abs(z) > 1.96 AS significant
          FROM z ORDER BY event_type""",
+
+    // Spearman: doubled midranks on the value-domain marginal frames, all
+    // five moments HUGEINT-exact, the closing rho through digit-string
+    // doubles — mirror of the engine's pinned tree term for term.
+    "spearman_value_hour" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d,
+                            CAST(hour(ts) AS BIGINT) AS h
+                     FROM events),
+         g AS (SELECT event_type, d, h, count(*) AS cnt FROM ev GROUP BY 1, 2, 3),
+         vr AS (SELECT event_type, d,
+                       2 * coalesce(sum(vc) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + vc + 1 AS rx2
+                FROM (SELECT event_type, d, sum(cnt) AS vc FROM g GROUP BY 1, 2)),
+         hr AS (SELECT event_type, h,
+                       2 * coalesce(sum(hc) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + hc + 1 AS ry2
+                FROM (SELECT event_type, h, sum(cnt) AS hc FROM g GROUP BY 1, 2)),
+         m AS (SELECT g.event_type, CAST(sum(cnt) AS BIGINT) AS n,
+                      sum(CAST(cnt AS HUGEINT) * rx2) AS sx,
+                      sum(CAST(cnt AS HUGEINT) * ry2) AS sy,
+                      sum(CAST(cnt AS HUGEINT) * (CAST(rx2 AS HUGEINT) * ry2)) AS sxy,
+                      sum(CAST(cnt AS HUGEINT) * (CAST(rx2 AS HUGEINT) * rx2)) AS sxx,
+                      sum(CAST(cnt AS HUGEINT) * (CAST(ry2 AS HUGEINT) * ry2)) AS syy
+               FROM g JOIN vr USING (event_type, d) JOIN hr USING (event_type, h)
+               GROUP BY 1)
+         SELECT event_type, n,
+                (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                          - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS rank_corr
+         FROM m ORDER BY event_type""",
+
+    // Shannon entropy: integer tie/count-domain inputs, the one float
+    // log-sum folded in pinned ascending-c order (list_reduce; seeds agree
+    // because the terms are non-negative), entropy rounded to 9 decimals
+    // on both sides (libm log2 is not cross-engine correctly rounded).
+    "entropy_value" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(12,2)) AS d
+                     FROM events),
+         ties AS (SELECT event_type, d, count(*) AS c FROM ev GROUP BY 1, 2),
+         bc AS (SELECT event_type, c, count(*) AS m FROM ties GROUP BY 1, 2),
+         g AS (SELECT event_type,
+                      CAST(sum(c * m) AS BIGINT) AS n,
+                      CAST(sum(m) AS BIGINT) AS n_distinct,
+                      list_reduce(list(CAST(m AS DOUBLE) * CAST(c AS DOUBLE) * log2(c)
+                                       ORDER BY c),
+                                  (a, b) -> a + b) AS clog
+               FROM bc GROUP BY 1)
+         SELECT event_type, n, n_distinct,
+                round(log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE), 9) AS entropy_bits
+         FROM g ORDER BY event_type""",
 
     // Chunk-level cross-doc dedup: the doc_chunks stream reproduced, md5
     // digests grouped, the ≥2-distinct-docs rule replayed. string_agg over

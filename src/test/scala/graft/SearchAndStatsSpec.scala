@@ -407,6 +407,45 @@ class SearchAndStatsSpec extends SparkSpec {
     }
   }
 
+  test("spearman_value_hour and entropy_value match independent textbook computations") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_type", $"value", hour($"ts").cast("long"))
+      .as[(String, Double, Long)].collect()
+    def q(d: Double) = BigDecimal(d.toString).setScale(2).toDouble
+    // independent reference: textbook average (fractional) ranks + Pearson
+    def avgRanks[T](xs: Seq[T])(implicit o: Ordering[T]): Map[T, Double] =
+      xs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1).foldLeft(
+        (0L, Map.empty[T, Double])) { case ((before, acc), (v, c)) =>
+          (before + c, acc + (v -> (before + (c + 1) / 2.0)))
+      }._2
+    val gotS = SparkEntry.queries("spearman_value_hour")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gotE = SparkEntry.queries("entropy_value")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val vs = rs.map(t => q(t._2)); val hs = rs.map(_._3)
+      val rv = avgRanks(vs); val rh = avgRanks(hs)
+      val rx = vs.map(rv); val ry = hs.map(rh)
+      val n = rs.size.toDouble
+      val mx = rx.sum / n; val my = ry.sum / n
+      val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+      val rho = cov / (sx * sy)
+      val (gn, gr) = gotS(et)
+      assert(gn == rs.size, s"$et n")
+      assert(math.abs(gr - rho) < 1e-9, s"$et spearman: $gr vs $rho")
+      // entropy: -sum p log2 p over the quantized value distribution
+      val counts = vs.groupBy(identity).values.map(_.size).toSeq
+      val h = -counts.map { c => val p = c / n; p * math.log(p) / math.log(2.0) }.sum
+      val (en, ed, eh) = gotE(et)
+      assert(en == rs.size && ed == counts.size, s"$et entropy inputs")
+      assert(math.abs(eh - h) < 1e-9, s"$et entropy: $eh vs $h")
+    }
+  }
+
   test("chi2_cohort and mannwhitney_value match independent textbook computations") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Tables.events(spark, sfDir)
