@@ -628,6 +628,56 @@ object SparkEntry {
            count(lit(1)).as("n_rows"))
   }
 
+  /** TPC-H Q11 shape — group-HAVING against a scalar-threshold subquery
+    * (the "important stock" pattern; adapted to the generated tables:
+    * supply value = extendedprice·quantity of lines from the nation-subset
+    * suppliers, partsupp not being generated). The classic hazard is the
+    * fractional threshold (total·0.0001): computed in floats it can
+    * mis-classify boundary parts per engine, so the whole comparison stays
+    * in exact scaled INTEGERS — cents·quantity sums as decimals, and
+    * `10000·part_value > total` replaces `part_value > total·0.0001`
+    * (same inequality, zero rounding anywhere). Dims broadcast; one
+    * fact-table aggregate, then a 1-row total broadcast back. */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("string").cast("decimal(12,2)")
+                   * lit(100)).cast("decimal(14,0)")
+    val qty = col("l_quantity").cast("string").cast("decimal(4,0)")
+    val supp = t(s, dir, "supplier")
+      .filter(col("s_nationkey").isin(1, 3, 5)).select(col("s_suppkey"))
+    val parts = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), (cents * qty).as("v"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("v")).as("val_cq"))
+    val total = parts.agg(sum(col("val_cq")).as("tot"))
+    parts.crossJoin(broadcast(total))
+      .filter(col("val_cq") * lit(10000) > col("tot"))
+      .select(col("l_partkey"), col("val_cq").cast("long").as("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape — two-way conditional aggregation over the
+    * lineitem ⋈ orders join (the q14 CASE-sum pattern, keyed by a line
+    * attribute while counting an ORDER attribute; shipmode not being
+    * generated, returnflag classes stand in): per flag in a ship-year
+    * window, how many lines belong to high- vs low-priority orders. Both
+    * sides are fact-sized — the one honest shuffle join — with the date
+    * filter pushed to the lineitem scan. */
+  private def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+              col("l_returnflag").isin("A", "R"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** TPC-H Q19 shape — disjunctive multi-attribute join predicates (OR of
     * brand/size/quantity conjuncts), the classic pushdown-through-OR test. */
   private def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
@@ -4955,6 +5005,8 @@ object SparkEntry {
     "ann_topk_pca"         -> (annTopKPca _),
     "spearman_value_hour"  -> (spearmanValueHour _),
     "entropy_value"        -> (entropyValue _),
+    "q11_important_parts"  -> (q11ImportantParts _),
+    "q12_ship_priority"    -> (q12ShipPriority _),
   )
 
   // ----------------------------------------------------------------------
@@ -5345,6 +5397,36 @@ object SparkEntry {
     "dedup_keep_best" -> DedupKeepBestOracle,
 
     // Q14 ratio: identical decimal conditional sums, identical final ops.
+    // Q11 shape: the fractional HAVING threshold replayed as the exact
+    // integer inequality 10000·part > total — cents·quantity HUGEINT-exact.
+    "q11_important_parts" ->
+      """WITH f AS (SELECT l_partkey,
+                           CAST(CAST(CAST(CAST(l_extendedprice AS DOUBLE) AS VARCHAR)
+                                     AS DECIMAL(12,2)) * 100 AS HUGEINT)
+                           * CAST(CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR)
+                                       AS DECIMAL(4,0)) AS HUGEINT) AS v
+                    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    WHERE s_nationkey IN (1, 3, 5)),
+         p AS (SELECT l_partkey, sum(v) AS val_cq FROM f GROUP BY 1),
+         t AS (SELECT sum(val_cq) AS tot FROM p)
+         SELECT l_partkey, CAST(val_cq AS BIGINT) AS value_cents
+         FROM p, t WHERE val_cq * 10000 > tot
+         ORDER BY value_cents DESC, l_partkey""",
+
+    // Q12 shape: two-way conditional aggregation over the fact-fact join,
+    // all-integer outputs.
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_returnflag IN ('A', 'R')
+         GROUP BY 1 ORDER BY 1""",
+
     "q14_promo" ->
       """WITH j AS (
            SELECT p_type, CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS disc

@@ -57,6 +57,9 @@ class PlanLintSpec extends SparkSpec {
     "cms_user_counts",     // 1-row merged-CMS state frame seeds the probe
                            // estimates (the bm25_search corpus-stats
                            // pattern); half-states aggregate distributed
+    "q11_important_parts", // 1-row grand-total bound broadcasts back into
+                           // the HAVING filter (the q22 avg-bound pattern);
+                           // per-part values aggregate distributed
     "hybrid_rrf_search")   // window-free rank folds: global aggregates over
                            // the two TakeOrdered top-20 frames (≤20 rows by
                            // construction) and the ≤40-row fused union; the
@@ -76,6 +79,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_incremental_ivf",   // batch/queries x the same bounded centroid table
     "ann_topk_quant",        // int8 prescreen lane: same bounded-query broadcast
     "ann_topk_pq",           // PQ ADC prescreen: same bounded-query broadcast
+    "ann_topk_pca",          // PCA prescreen lane: same bounded-query broadcast
+                             // (r-dim projected queries, corpus never ships)
     "ngram_jaccard_neardup") // direct branch, guarded by maxDirectBroadcastBytes
 
   test("no broadcast nested-loop join outside allow-listed brute-force lanes") {
