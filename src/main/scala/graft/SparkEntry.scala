@@ -4456,10 +4456,15 @@ object SparkEntry {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     probes.crossJoin(broadcast(merged))
       .withColumn("est", CountMin.cmsEstimate(col("st"), col("user_id")))
+      // upper envelope 6·N/width (+3 slack): the per-probe Markov bound at
+      // factor 3 is (1/3)^depth ≈ 0.4% — real enough that a data regen
+      // could flip one gate and spuriously redden Verify; at factor 6 it is
+      // (1/6)^5 ≈ 1e-4 per probe, while a BROKEN sketch (wrong hash, lost
+      // merge) still overshoots by orders of magnitude and fails loudly
       .withColumn("est_ok",
         col("est") >= col("n_events") &&
           col("est").cast("double") <= col("n_events").cast("double") +
-            lit(3.0) * col("n_total").cast("double") / lit(CountMin.DefaultWidth.toDouble) + lit(3.0))
+            lit(6.0) * col("n_total").cast("double") / lit(CountMin.DefaultWidth.toDouble) + lit(3.0))
       .select(col("user_id"), col("n_events"), col("est_ok"))
       .orderBy("user_id")
   }
@@ -8041,7 +8046,8 @@ object SparkEntry {
     // Count-Min: the est_ok-gate discipline for approximate operators —
     // the oracle reproduces the exact probe counts and asserts the gate
     // literally TRUE; the engine's gate checks never-undercount + the
-    // 3N/width envelope, so a broken sketch hash-mismatches.
+    // 6N/width envelope (regen-flip probability ~1e-4 per probe; a broken
+    // sketch overshoots by orders of magnitude), so it hash-mismatches.
     "cms_user_counts" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, TRUE AS est_ok
          FROM events WHERE user_id % 11 = 0

@@ -105,6 +105,10 @@ case class CmsBuf(depth: Int, width: Int, counts: Array[Long]) {
     this
   }
   def estimate(v: Any): Long = {
+    // an EMPTY state (depth 0 — CmsMergeAgg over zero/all-null input) has
+    // seen nothing: every frequency estimate is 0, not the fold seed
+    // Long.MaxValue the public SQL surface would otherwise leak
+    if (depth == 0) return 0L
     var best = Long.MaxValue
     var j = 0
     while (j < depth) {

@@ -517,8 +517,9 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
     val hit = memo.get(w)
     if (hit != null) return hit.intValue()
     val n = graft.operators.BpeModel.tokenizeCount(w, merges)
-    if (memo.size() >= (1 << 16)) memo.clear() // bound executor memory
-    memo.put(w, n)
+    // bound executor memory by SKIP-INSERT, not clear(): a wholesale clear
+    // discards the hottest entries exactly when the partition is type-rich
+    if (memo.size() < (1 << 16)) memo.put(w, n)
     n
   }
 
@@ -578,8 +579,7 @@ case class UnigramStatsExpr(child: Expression, model: graft.operators.UnigramLm.
     val hit = memo.get(w)
     if (hit != null) return hit.longValue()
     val k = graft.operators.UnigramLm.viterbiKey(w, costOf)
-    if (memo.size() >= (1 << 16)) memo.clear() // bound executor memory
-    memo.put(w, k)
+    if (memo.size() < (1 << 16)) memo.put(w, k) // skip-insert past the cap
     k
   }
 
@@ -659,18 +659,29 @@ case class LttbSelectExpr(child: Expression, k: Int)
       val ns = end
       val ne = if (b == km2) n else ((b + 1).toLong * (n - 2) / km2).toInt + 1
       val m = (ne - ns).toLong
+      // exact long arithmetic (multiplyExact/addExact): the oracle computes
+      // these factors in HUGEINT, so a silent 64-bit wrap here would
+      // DIVERGE rather than fail — an out-of-envelope series (bucket size ×
+      // µs span products near 2^63) must die loudly instead
+      import java.lang.Math.{addExact, multiplyExact, subtractExact}
       var sx = 0L
       var sy = 0L
       var j = ns
-      while (j < ne) { sx += X(j) - x0; sy += Y(j); j += 1 }
-      val f1 = java.math.BigInteger.valueOf(m * (X(prev) - x0) - sx)
-      val f4 = java.math.BigInteger.valueOf(m * Y(prev) - sy)
+      while (j < ne) {
+        sx = addExact(sx, X(j) - x0); sy = addExact(sy, Y(j)); j += 1
+      }
+      val f1 = java.math.BigInteger.valueOf(
+        subtractExact(multiplyExact(m, X(prev) - x0), sx))
+      val f4 = java.math.BigInteger.valueOf(
+        subtractExact(multiplyExact(m, Y(prev)), sy))
       var bestI = -1
       var bestA: java.math.BigInteger = null
       var i = start
       while (i < end) {
-        val f2 = java.math.BigInteger.valueOf(m * Y(i) - sy)
-        val f3 = java.math.BigInteger.valueOf(m * (X(i) - x0) - sx)
+        val f2 = java.math.BigInteger.valueOf(
+          subtractExact(multiplyExact(m, Y(i)), sy))
+        val f3 = java.math.BigInteger.valueOf(
+          subtractExact(multiplyExact(m, X(i) - x0), sx))
         val a = f1.multiply(f2).subtract(f3.multiply(f4)).abs()
         if (bestI < 0 || a.compareTo(bestA) > 0) { bestI = i; bestA = a }
         i += 1
@@ -842,8 +853,7 @@ case class WordpieceStatsExpr(child: Expression, model: graft.operators.WordPiec
     if (hit != null) return hit.longValue()
     val (np, sig, unk) = graft.operators.WordPiece.encodeWord(w, pieces, maxMatch)
     val packed = sig * 256L + np * 2L + (if (unk) 1L else 0L)
-    if (memo.size() >= (1 << 16)) memo.clear() // bound executor memory
-    memo.put(w, packed)
+    if (memo.size() < (1 << 16)) memo.put(w, packed) // skip-insert past the cap
     packed
   }
 

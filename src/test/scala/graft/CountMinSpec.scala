@@ -63,6 +63,16 @@ class CountMinSpec extends SparkSpec {
     assert(viaSqlMerge == 5)
   }
 
+  test("empty merged state estimates 0, not the Long.MaxValue fold seed") {
+    // CmsMergeAgg over zero rows serializes a 0x0 state; the public SQL
+    // surface (graft_cms_estimate over it) must read "never seen" as 0
+    val empty = Seq.empty[Tuple1[Array[Byte]]].toDF("st")
+      .agg(CountMin.cmsMergeState($"st").as("st"))
+    val est = empty.select(CountMin.cmsEstimate($"st", lit("anything")))
+      .collect()(0).getLong(0)
+    assert(est == 0L, s"empty-state estimate must be 0, got $est")
+  }
+
   test("serialization roundtrip preserves layout and counters") {
     val buf = CountMin.deserialize(CountMin.serialize(
       graft.functions.CmsBuf(2, 8, Array.tabulate(16)(_.toLong))))
