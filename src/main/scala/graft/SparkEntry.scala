@@ -1470,6 +1470,48 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Theil's U — the uncertainty coefficient (ClickHouse `theilsU`),
+    * completing the association family next to Cramér's V / contingency:
+    * U(X|Y) = I(X;Y)/H(X), U(Y|X) = I(X;Y)/H(Y) over the event_type ×
+    * cohort contingency table. All counts are exact integers; the three
+    * entropy sums (row, column, joint) fold over their key-sorted
+    * contingency-sized frames in pinned order (the cramers_v list-fold
+    * discipline), and every ln-bearing output is rounded to 9 decimals on
+    * both sides (the entropy_value stance on non-correctly-rounded libm). */
+  private def theilsUCohort(s: SparkSession, dir: String): DataFrame = {
+    def entTerm(nc: Column, nt: Column): Column =
+      (nc.cast("double") / nt.cast("double")) *
+        log(nt.cast("double") / nc.cast("double"))
+    def fold(keyed: Column): Column =
+      aggregate(array_sort(keyed), lit(0.0), (a, x) => a + x.getField("t"))
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), pmod(col("user_id"), lit(3)).as("c"))
+    val cells = ev.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    val hx = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rn"))
+      .crossJoin(broadcast(tot))
+      .select(struct(col("event_type"), entTerm(col("rn"), col("nt")).as("t")).as("kt"),
+              col("nt"))
+      .agg(fold(collect_list(col("kt"))).as("h_x"), max(col("nt")).as("nt"))
+    val hy = cells.groupBy(col("c")).agg(sum(col("n")).as("cn"))
+      .crossJoin(broadcast(tot))
+      .select(struct(col("c"), entTerm(col("cn"), col("nt")).as("t")).as("kt"))
+      .agg(fold(collect_list(col("kt"))).as("h_y"))
+    val hxy = cells.crossJoin(broadcast(tot))
+      .select(struct(col("event_type"), col("c"),
+                     entTerm(col("n"), col("nt")).as("t")).as("kt"))
+      .agg(fold(collect_list(col("kt"))).as("h_xy"))
+    val mi = col("h_x") + col("h_y") - col("h_xy")
+    hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+      .select(col("nt").as("n_total"),
+              round(col("h_x"), 9).as("h_x"),
+              round(col("h_y"), 9).as("h_y"),
+              round(col("h_xy"), 9).as("h_xy"),
+              round(mi / col("h_x"), 9).as("u_x_given_y"),
+              round(mi / col("h_y"), 9).as("u_y_given_x"))
+  }
+
   /** Spearman rank correlation (ClickHouse `rankCorr`) between value and
     * hour-of-day per event_type: Pearson over fractional (midrank) ranks,
     * tie handling exact via DOUBLED midranks (the mannwhitney_value
@@ -5012,6 +5054,7 @@ object SparkEntry {
     "entropy_value"        -> (entropyValue _),
     "q11_important_parts"  -> (q11ImportantParts _),
     "q12_ship_priority"    -> (q12ShipPriority _),
+    "theils_u_cohort"      -> (theilsUCohort _),
   )
 
   // ----------------------------------------------------------------------
@@ -8303,6 +8346,35 @@ object SparkEntry {
                    * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
                           - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS rank_corr
          FROM m ORDER BY event_type""",
+
+    // Theil's U: exact contingency counts, three pinned-order entropy
+    // folds (list_reduce; non-negative terms so the seeds agree), every
+    // ln-bearing output rounded to 9 decimals on both sides.
+    "theils_u_cohort" ->
+      """WITH ev AS (SELECT event_type, user_id % 3 AS c FROM events),
+         cells AS (SELECT event_type, c, count(*) AS n FROM ev GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+         hx AS (SELECT list_reduce(list(
+                         (CAST(rn AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * ln(CAST(nt AS DOUBLE) / CAST(rn AS DOUBLE))
+                         ORDER BY event_type), (a, b) -> a + b) AS h_x
+                FROM (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1), tot),
+         hy AS (SELECT list_reduce(list(
+                         (CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * ln(CAST(nt AS DOUBLE) / CAST(cn AS DOUBLE))
+                         ORDER BY c), (a, b) -> a + b) AS h_y
+                FROM (SELECT c, sum(n) AS cn FROM cells GROUP BY 1), tot),
+         hxy AS (SELECT list_reduce(list(
+                          (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+                            * ln(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))
+                          ORDER BY event_type, c), (a, b) -> a + b) AS h_xy
+                 FROM cells, tot)
+         SELECT tot.nt AS n_total,
+                round(h_x, 9) AS h_x, round(h_y, 9) AS h_y,
+                round(h_xy, 9) AS h_xy,
+                round((h_x + h_y - h_xy) / h_x, 9) AS u_x_given_y,
+                round((h_x + h_y - h_xy) / h_y, 9) AS u_y_given_x
+         FROM hx, hy, hxy, tot""",
 
     // Shannon entropy: integer tie/count-domain inputs, the one float
     // log-sum folded in pinned ascending-c order (list_reduce; seeds agree

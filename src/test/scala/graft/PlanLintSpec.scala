@@ -57,6 +57,10 @@ class PlanLintSpec extends SparkSpec {
     "cms_user_counts",     // 1-row merged-CMS state frame seeds the probe
                            // estimates (the bm25_search corpus-stats
                            // pattern); half-states aggregate distributed
+    "theils_u_cohort",     // one uncertainty-coefficient row from pinned
+                           // folds over contingency-sized frames (the
+                           // cramers_v_cohort class); cells aggregate
+                           // distributed
     "q11_important_parts", // 1-row grand-total bound broadcasts back into
                            // the HAVING filter (the q22 avg-bound pattern);
                            // per-part values aggregate distributed

@@ -446,6 +446,27 @@ class SearchAndStatsSpec extends SparkSpec {
     }
   }
 
+  test("theils_u_cohort matches an independent textbook computation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_type", pmod($"user_id", lit(3)))
+      .as[(String, Long)].collect()
+    val n = rows.size.toDouble
+    def entropy[T](xs: Seq[T]): Double =
+      -xs.groupBy(identity).values.map(_.size / n)
+        .map(p => p * math.log(p)).sum
+    val hx = entropy(rows.map(_._1))
+    val hy = entropy(rows.map(_._2))
+    val hxy = entropy(rows)
+    val got = SparkEntry.queries("theils_u_cohort")(spark, sfDir).collect()(0)
+    assert(got.getLong(0) == rows.size)
+    assert(math.abs(got.getDouble(1) - hx) < 1e-9, s"h_x ${got.getDouble(1)} vs $hx")
+    assert(math.abs(got.getDouble(4) - (hx + hy - hxy) / hx) < 1e-9, "u_x_given_y")
+    assert(math.abs(got.getDouble(5) - (hx + hy - hxy) / hy) < 1e-9, "u_y_given_x")
+    // bounds: 0 ≤ U ≤ 1
+    assert(got.getDouble(4) >= 0.0 && got.getDouble(4) <= 1.0)
+  }
+
   test("chi2_cohort and mannwhitney_value match independent textbook computations") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Tables.events(spark, sfDir)
