@@ -46,7 +46,16 @@ object Pca {
 
   /** One-pass integer-exact moment frame: key `dim*dim + p` carries Σz_p,
     * key `p*dim + q` (p ≤ q) carries Σz_p·z_q; every key also carries the
-    * row count. Returns (n, S, G). */
+    * row count. Returns (n, S, G).
+    *
+    * Cost shape: the explode emits dim(dim+3)/2 (key, long) pairs per row
+    * (2,144 at dim 64), but hash aggregation collapses them map-side — the
+    * EXCHANGE carries at most that many partial sums per partition, and
+    * the collect is one dim²-bounded frame. The per-row explode CPU is the
+    * price of exact decimal sums through stock operators; a corpus at
+    * dim ≳ 512 (260k pairs/row) should promote this to a
+    * TypedImperativeAggregate with a dim×dim buffer (the KeyedMapAgg
+    * pattern) — same exchange shape, no row multiplication. */
   def moments(corpus: DataFrame, dim: Int, vecCol: String = "embedding")
       : (Long, Array[BigInt], Array[Array[BigInt]]) = {
     val scale = lit((1L << ScaleBits).toDouble)
