@@ -105,6 +105,15 @@ object NativeExprs {
     * op tree; parity-tested in EmaSpec). */
   def decayFold(rows: Column): Column = col(DecayFoldExpr(expr(rows)))
 
+  /** PCA projection of an embedding column under a learned model: the r
+    * component coordinates as array<double>; matches the literal
+    * multiply-add chains of `Pca.project` bit-for-bit (same pinned IEEE
+    * order; parity-tested in NativeExprParitySpec). The chain form
+    * overflows Janino's 64 KB method limit at dim 64 × r 32 — this is the
+    * runtime form, the chain is the reference and the oracle's replay. */
+  def pcaProject(vec: Column, model: graft.operators.Pca.Model): Column =
+    col(PcaProjectExpr(expr(vec), model))
+
   /** Distinct hashed character k-shingles of the NORMALIZED text; matches
     * `Dedup.shingleHashes` (which also normalizes) in first-occurrence order.
     * Normalization is composed here so the two forms agree on raw input. */
@@ -820,6 +829,66 @@ case class DecayFoldExpr(child: Expression)
       out(i) = new GenericInternalRow(
         Array[Any](id, tds, ema, tds / tdn, tdmax, tdn, hl, hb))
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** PCA projection of one embedding vector under a learned model: the r
+  * component sums Σ_p comps(c)(p)·(x_p − mean(p)), each accumulated
+  * left-to-right — bit-identical to the literal multiply-add chains of
+  * `Pca.project` (parity-tested in NativeExprParitySpec) and to the DuckDB
+  * oracle's replay of the same chains.
+  *
+  * The chain form is the REFERENCE, not the runtime: at dim 64 × r 32 it
+  * is a ~2,000-term expression tree whose generated code overflows
+  * Janino's 64 KB method limit, so every execution pays a failed
+  * whole-stage compile plus interpreted evaluation of the giant tree
+  * (~8 s per run at sf0.1 — measured, ProfileQueries r17). Here the model
+  * lives in two JVM arrays and the projection is one tight loop per row.
+  *
+  * Null contract: a NULL vector or any NULL element among the first `dim`
+  * yields `array(NULL, …)` (r elements) — matching the chain, whose
+  * `array()` never returns NULL and whose sums are poisoned by any NULL
+  * term. A vector SHORTER than `dim` also yields the r-NULL array (total,
+  * defined behavior) where the ANSI-mode chain would raise
+  * INVALID_ARRAY_INDEX instead — the corpus never carries ragged vectors,
+  * so the parity domain is equal-or-longer arrays. */
+case class PcaProjectExpr(child: Expression, model: graft.operators.Pca.Model)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val nullRow: GenericArrayData =
+    new GenericArrayData(Array.fill[Any](model.comps.length)(null))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return nullRow
+    val x = v.asInstanceOf[ArrayData]
+    val dim = model.mean.length
+    val r = model.comps.length
+    if (x.numElements() < dim) return nullRow
+    val cent = new Array[Double](dim)
+    var p = 0
+    while (p < dim) {
+      if (x.isNullAt(p)) return nullRow
+      val xp = if (isFloat) x.getFloat(p).toDouble else x.getDouble(p)
+      cent(p) = xp - model.mean(p)
+      p += 1
+    }
+    val out = new Array[Any](r)
+    var c = 0
+    while (c < r) {
+      val w = model.comps(c)
+      var acc = w(0) * cent(0)
+      var i = 1
+      while (i < dim) { acc += w(i) * cent(i); i += 1 }
+      out(c) = acc
+      c += 1
     }
     new GenericArrayData(out)
   }

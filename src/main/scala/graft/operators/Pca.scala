@@ -157,7 +157,15 @@ object Pca {
 
   /** The r projected coordinates of a float-vector column under `model`,
     * as one pinned left-assoc multiply-add chain per component — the
-    * literal-embedding form the oracle replays term for term. */
+    * literal-embedding form the oracle replays term for term.
+    *
+    * REFERENCE FORM ONLY: at dim 64 × r 32 this is a ~2,000-term tree
+    * whose generated code overflows Janino's 64 KB method limit, so every
+    * execution pays a failed whole-stage compile plus interpreted
+    * evaluation (~8 s/run at sf0.1, measured). The runtime form is the
+    * bit-identical native [[graft.functions.NativeExprs.pcaProject]]
+    * (NativeExprParitySpec pins the equality on the real corpus); the
+    * oracle still replays THIS chain term for term in SQL. */
   def project(vec: Column, model: Model): Column = {
     val dim = model.mean.length
     val comps = model.comps.indices.map { c =>
@@ -172,7 +180,9 @@ object Pca {
   /** Flat (vec_id, comp, proj) projection of the whole corpus. */
   def projectAll(corpus: DataFrame, model: Model, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol), posexplode(project(col(vecCol), model)).as(Seq("comp", "proj")))
+    corpus.select(col(idCol),
+        posexplode(graft.functions.NativeExprs.pcaProject(col(vecCol), model))
+          .as(Seq("comp", "proj")))
       .select(col(idCol), col("comp").cast("long").as("comp"), col("proj"))
 
   /** Reduced-dim ANN: prescreen by the projected-space dot product (pinned
@@ -188,9 +198,9 @@ object Pca {
       (0 until r).map(c =>
         element_at(a, c + 1) * element_at(b, c + 1)).reduceLeft(_ + _)
     val pc = corpus.select(col(idCol).as("neighbor_id"),
-                           project(col(vecCol), model).as("c_p"))
+                           graft.functions.NativeExprs.pcaProject(col(vecCol), model).as("c_p"))
     val pq = queries.select(col(idCol).as("query_id"),
-                            project(col(vecCol), model).as("q_p"))
+                            graft.functions.NativeExprs.pcaProject(col(vecCol), model).as("q_p"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     val cand = pc.join(broadcast(pq), col("query_id") =!= col("neighbor_id"))

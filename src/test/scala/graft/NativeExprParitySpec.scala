@@ -134,6 +134,27 @@ class NativeExprParitySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("pcaProject native == literal multiply-add chain, bit for bit") {
+    import graft.operators.Pca
+    val model = Pca.train(emb, dim = 64, r = 32)
+    // whole corpus, every component coordinate compared with NULL-safe
+    // equality on the raw doubles (no rounding — the oracle replays the
+    // chain bit-exactly, so the native form must too)
+    val diff = emb.select(
+        NativeExprs.pcaProject($"embedding", model).as("a"),
+        Pca.project($"embedding", model).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    // null contract: NULL vector and short vector both yield r NULLs,
+    // matching array(NULL, ...) from the chain form
+    val edge = Seq(
+      (1L, None: Option[Seq[Float]]),
+      (2L, Some(Seq(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    val got = edge.select(NativeExprs.pcaProject($"embedding", model).as("a"))
+      .as[Seq[Option[Double]]].collect()
+    got.foreach { a => assert(a.length == 32 && a.forall(_.isEmpty)) }
+  }
+
   test("shingleSet == shingleHashes and jaccard == jaccardOfArrays") {
     val diff = docs.select(
       NativeExprs.shingleSet($"text", 5).as("a"),
