@@ -1512,6 +1512,19 @@ object SparkEntry {
               round(mi / col("h_y"), 9).as("u_y_given_x"))
   }
 
+  /** Interval-sweep family — ClickHouse `maxIntersections` /
+    * `maxIntersectionsPosition` / `intervalLengthSum` — over per-(user,
+    * event_type) 30-minute-gap activity episodes: per event_type, the
+    * peak number of simultaneously active episodes, the earliest
+    * microsecond attaining it, and the exact length of the episode-
+    * interval union. Distributed two-level prefix sum (day-domain offset
+    * cascade — see [[EventAnalytics.intervalSweep]]); the oracle runs
+    * the equivalent single-window sweep, exact epoch-micros integers
+    * end to end. */
+  private def intervalConcurrency(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.intervalSweep(t(s, dir, "events"), gapSeconds = 1800L)
+      .orderBy(col("event_type"))
+
   /** Spearman rank correlation (ClickHouse `rankCorr`) between value and
     * hour-of-day per event_type: Pearson over fractional (midrank) ranks,
     * tie handling exact via DOUBLED midranks (the mannwhitney_value
@@ -5055,6 +5068,7 @@ object SparkEntry {
     "q11_important_parts"  -> (q11ImportantParts _),
     "q12_ship_priority"    -> (q12ShipPriority _),
     "theils_u_cohort"      -> (theilsUCohort _),
+    "interval_concurrency" -> (intervalConcurrency _),
   )
 
   // ----------------------------------------------------------------------
@@ -8375,6 +8389,55 @@ object SparkEntry {
                 round((h_x + h_y - h_xy) / h_x, 9) AS u_x_given_y,
                 round((h_x + h_y - h_xy) / h_y, 9) AS u_y_given_x
          FROM hx, hy, hxy, tot""",
+
+    // Interval sweep (maxIntersections / position / intervalLengthSum):
+    // the oracle runs the single-window form of the same sweep — gap
+    // sessionization with the engine's exact (ts, event_id) tie order,
+    // half-open [s, e+1µs) episodes, boundary deltas collapsed per
+    // instant, one running sum per type. All epoch-micros integers; the
+    // engine's midnight-split span sum telescopes to the same total.
+    "interval_concurrency" ->
+      """WITH s0 AS (
+           SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS st
+           FROM events
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY epoch_us(ts), event_id)),
+         s1 AS (SELECT user_id, event_type, tu,
+                       SUM(st) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY tu, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+                FROM s0),
+         sess AS (SELECT user_id, event_type, sid,
+                         MIN(tu) AS s, MAX(tu) + 1 AS e
+                  FROM s1 GROUP BY 1, 2, 3),
+         b AS (SELECT event_type, s AS t, 1 AS d FROM sess
+               UNION ALL
+               SELECT event_type, e AS t, -1 AS d FROM sess),
+         tb AS (SELECT event_type, t, SUM(d) AS d FROM b GROUP BY 1, 2),
+         sw AS (SELECT event_type, t,
+                       SUM(d) OVER (PARTITION BY event_type ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS run,
+                       lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nt
+                FROM tb),
+         mx AS (SELECT event_type, MAX(run) AS peak FROM sw GROUP BY 1),
+         res AS (SELECT sw.event_type,
+                        CAST(SUM(CASE WHEN run > 0 AND nt IS NOT NULL
+                                      THEN nt - t ELSE 0 END) AS BIGINT) AS covered_us,
+                        CAST(MIN(CASE WHEN run = peak THEN t END) AS BIGINT) AS peak_t_us,
+                        CAST(MAX(run) AS BIGINT) AS peak_concurrency
+                 FROM sw JOIN mx ON sw.event_type = mx.event_type
+                 GROUP BY 1),
+         ns AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+                FROM sess GROUP BY 1)
+         SELECT ns.event_type, ns.n_sessions, res.peak_concurrency,
+                res.peak_t_us, res.covered_us
+         FROM ns JOIN res ON ns.event_type = res.event_type
+         ORDER BY ns.event_type""",
 
     // Shannon entropy: integer tie/count-domain inputs, the one float
     // log-sum folded in pinned ascending-c order (list_reduce; seeds agree

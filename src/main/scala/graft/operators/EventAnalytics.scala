@@ -467,4 +467,109 @@ object EventAnalytics {
       .select(col(keyCol), (col("pos0") + 1).cast("long").as("pos"),
               col("p.x").as("sel_us"), col("p.y").as("sel_v100"))
   }
+
+  private val DayUs = 86400000000L
+
+  /** Interval-sweep family — ClickHouse `maxIntersections`,
+    * `maxIntersectionsPosition`, `intervalLengthSum` — over per-(user,
+    * event_type) activity episodes (gap sessionization, half-open
+    * `[min_ts, max_ts + 1µs)` in exact epoch micros). Per event_type:
+    * the peak number of simultaneously active episodes, the EARLIEST
+    * microsecond attaining that peak, and the total length of the
+    * interval UNION (µs with ≥1 active episode).
+    *
+    * The sweep is a DISTRIBUTED two-level prefix sum, never a global
+    * ordered window:
+    *
+    *  1. Episode boundaries (+1 at start, −1 at end) collapse onto the
+    *     TIME DOMAIN — `groupBy(type, t)` — so ties are pre-summed and
+    *     the sweep frame is bounded by distinct boundary instants.
+    *  2. A DAY-DOMAIN frame (type × day: net delta per day, cumulative
+    *     closing/opening concurrency via a window over days — tiny,
+    *     broadcast back) carries each day's opening offset; a day
+    *     scaffold (`sequence(min_day, max_day)`) keeps days that sit
+    *     wholly inside a long episode (no boundaries) in the frame.
+    *  3. The within-day running sum (window over that day's boundary
+    *     instants, child is the groupBy — the ccnet window-over-Aggregate
+    *     shape) plus the day's opening gives the exact global running
+    *     concurrency; union length sums boundary-to-boundary spans where
+    *     it is positive, split at midnights (head span iff opening > 0,
+    *     tail span to midnight iff running > 0, boundary-free days count
+    *     in full iff opening > 0).
+    *
+    * The day is the bucketing GRANULARITY KNOB: at 100 TB a single
+    * (type, day) partition holds that day's distinct boundary instants —
+    * if that outgrows a task, the same offset cascade nests one level
+    * deeper ((type, day, hour) windows with hour-domain offsets) without
+    * touching the contract. Peak position needs no tie window: peaks are
+    * only attained at +1 boundaries, so `max(struct(run, -t))` picks
+    * (max concurrency, earliest instant) in one aggregate. */
+  def intervalSweep(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(col("ts"), 1).over(wU)
+    val isStart = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val sess = events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("sid",
+        sum(isStart).over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+           (max(unix_micros(col("ts"))) + 1L).as("e"))
+    // one frame per distinct boundary instant: net delta plus the number of
+    // episode STARTS at that instant (so n_sessions folds into the final
+    // sweep aggregation — no separate session-count pass over the corpus)
+    val tb = sess.select(col("event_type"),
+        explode(array(struct(col("s").as("t"), lit(1L).as("d")),
+                      struct(col("e").as("t"), lit(-1L).as("d")))).as("b"))
+      .groupBy(col("event_type"),
+               (col("b.t") - pmod(col("b.t"), lit(DayUs))).as("day0"),
+               col("b.t").as("t"))
+      .agg(sum(col("b.d")).as("d"),
+           sum(when(col("b.d") === 1L, 1L).otherwise(0L)).as("ns"))
+    val dayAgg = tb.groupBy(col("event_type"), col("day0"))
+      .agg(sum(col("d")).as("nd"), count(lit(1)).as("nb"))
+    val scaffold = dayAgg.groupBy(col("event_type"))
+      .agg(min(col("day0")).as("d0"), max(col("day0")).as("d1"))
+      .select(col("event_type"),
+              explode(sequence(col("d0"), col("d1"), lit(DayUs))).as("day0"))
+    val wD = Window.partitionBy(col("event_type")).orderBy(col("day0"))
+    val days = scaffold.join(broadcast(dayAgg), Seq("event_type", "day0"), "left")
+      .select(col("event_type"), col("day0"),
+              coalesce(col("nd"), lit(0L)).as("nd"),
+              coalesce(col("nb"), lit(0L)).as("nb"))
+      .withColumn("closing",
+        sum(col("nd")).over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("opening", col("closing") - col("nd"))
+    // one window pass over each (type, day)'s boundary instants: running
+    // concurrency, span to the next boundary (tail runs to midnight), and
+    // rn==1 marks the day's first boundary (head span owner)
+    val wT = Window.partitionBy(col("event_type"), col("day0")).orderBy(col("t"))
+    val wTf = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweep = tb
+      .join(broadcast(days.select(col("event_type"), col("day0"), col("opening"))),
+            Seq("event_type", "day0"))
+      .withColumn("run", col("opening") + sum(col("d")).over(wTf))
+      .withColumn("next_t", lead(col("t"), 1).over(wT))
+      .withColumn("rn", row_number().over(wT))
+    val bodySpan = when(col("run") > 0,
+        coalesce(col("next_t"), col("day0") + lit(DayUs)) - col("t"))
+      .otherwise(lit(0L))
+    val headSpan = when(col("rn") === 1 && col("opening") > 0,
+        col("t") - col("day0")).otherwise(lit(0L))
+    val agg = sweep.groupBy(col("event_type")).agg(
+      sum(col("ns")).as("n_sessions"),
+      max(struct(col("run"), (-col("t")).as("negt"))).as("pk"),
+      sum(bodySpan + headSpan).as("cov"))
+    // boundary-free days wholly inside an episode: covered in full
+    val emptyCov = days.groupBy(col("event_type"))
+      .agg(sum(when(col("nb") === 0L && col("opening") > 0L, lit(DayUs))
+                 .otherwise(lit(0L))).as("cov_empty"))
+    agg.join(broadcast(emptyCov), Seq("event_type"))
+      .select(col("event_type"), col("n_sessions"),
+              col("pk.run").as("peak_concurrency"),
+              (-col("pk.negt")).as("peak_t_us"),
+              (col("cov") + col("cov_empty")).as("covered_us"))
+  }
 }

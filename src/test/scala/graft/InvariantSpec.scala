@@ -373,6 +373,61 @@ class InvariantSpec extends SparkSpec {
     assert(stats == Set(("u1", 1L, 2L, 100L), ("u1", 2L, 1L, 0L), ("u2", 1L, 1L, 0L)))
   }
 
+  test("intervalSweep == brute-force boundary sweep (midnight spans, empty days, ties)") {
+    val dayUs = 86400000000L
+    val gapUs = 1800L * 1000000L
+    // random short sessions over ~3 days, plus one crafted 50-hour episode
+    // (events every 20 min < gap) that crosses two midnights and covers one
+    // boundary-free full day — exercises the scaffold/opening cascade —
+    // plus exact timestamp ties across users
+    val base = 1700000000000000L
+    val randomEvs = (0 until 400).map { i =>
+      (rnd.nextInt(10).toLong, if (rnd.nextBoolean()) "click" else "view",
+       base + rnd.nextInt(3 * 86400) * 1000000L, i.toLong)
+    }
+    val dayStart = base - base % dayUs
+    val longEvs = (0 until 150).map { j =>
+      (99L, "click", dayStart + 60000000L + j * 1200000000L, 1000L + j)
+    }
+    val tieEvs = Seq((1L, "view", base + 777L, 2000L), (2L, "view", base + 777L, 2001L))
+    val all = randomEvs ++ longEvs ++ tieEvs
+    val df = all.toDF("user_id", "event_type", "tu", "event_id")
+      .select($"user_id", $"event_type",
+              expr("timestamp_micros(tu)").as("ts"), $"event_id")
+    val got = operators.EventAnalytics.intervalSweep(df, gapSeconds = 1800L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // brute force: sessionize per (user, type), sweep the boundary multiset
+    val sess = all.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, tp), es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s = -1L; var last = -1L
+      sorted.foreach { e =>
+        if (s < 0) { s = e._3; last = e._3 }
+        else if (e._3 - last > gapUs) { acc += ((s, last + 1)); s = e._3; last = e._3 }
+        else last = e._3
+      }
+      if (s >= 0) acc += ((s, last + 1))
+      acc.toSeq.map(iv => (tp, iv._1, iv._2))
+    }
+    val want = sess.groupBy(_._1).map { case (tp, ivs) =>
+      val deltas = scala.collection.immutable.TreeMap(
+        ivs.flatMap(iv => Seq(iv._2 -> 1L, iv._3 -> -1L))
+          .groupBy(_._1).map { case (t, ds) => t -> ds.map(_._2).sum }.toSeq: _*)
+      var run = 0L; var peak = 0L; var peakT = 0L; var cov = 0L; var prev = 0L
+      deltas.foreach { case (t, d) =>
+        if (run > 0) cov += t - prev
+        run += d
+        if (run > peak) { peak = run; peakT = t }
+        prev = t
+      }
+      tp -> (ivs.size.toLong, peak, peakT, cov)
+    }
+    assert(got == want)
+    // sanity on the crafted episode: the full boundary-free day is covered
+    assert(want("click")._4 >= dayUs)
+  }
+
   test("as-of join == brute-force latest-at-or-before oracle") {
     val left = (0 until 300).map { i =>
       (s"k${rnd.nextInt(8)}", 1000L + rnd.nextInt(1000), i.toLong)
