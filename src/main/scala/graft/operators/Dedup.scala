@@ -622,7 +622,11 @@ object Dedup {
       .select(col(idCol).as("id"), col(keyCol).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("s"), length(col("s")).as("len"),
-        graft.functions.NativeExprs.rawShingleSet(col("s"), q).as("g"))
+        // sorted at build time so the verify stage's count filter runs as
+        // one allocation-free merge pass (SortedIntersectGeExpr); posting
+        // explode and size() consumers are order-insensitive
+        sort_array(graft.functions.NativeExprs.rawShingleSet(col("s"), q))
+          .as("g"))
 
   def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
                         keyCol: String = "key", idCol: String = "doc_id",
@@ -637,9 +641,25 @@ object Dedup {
     val keys = precomputedKeys.getOrElse(
       editDistanceKeys(docs, q, keyCol, idCol).localCheckpoint(true))
 
+    // Ed-Join's COUNT filter ahead of the DP: one edit removes at most q
+    // distinct members from a string's q-gram SET (it touches q gram
+    // occurrences; each can erase at most one set member), so dist ≤ k
+    // implies |gA ∩ gB| ≥ max(|gA|, |gB|) − k·q. The bound survives 64-bit
+    // hashing (h(A)\h(B) ⊆ h(A\B): a value in h(A) but not h(B) can have no
+    // preimage in B), so false negatives are impossible — collisions only
+    // let a doomed pair through to the exact verify. The predicate runs as
+    // one allocation-free merge pass over the build-time-sorted gram sets
+    // ([[graft.functions.SortedIntersectGeExpr]] — ~100 long compares per
+    // pair; the `array_intersect` form builds a hash set + result array per
+    // pair and measured SLOWER than the DP it guards), pruning nearly all
+    // of the dense direct-lane pair space before any levenshtein runs.
     def verified(cand: DataFrame): DataFrame = cand
-      .join(keys.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(keys.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .join(keys.select(col("id").as("id_a"), col("s").as("s_a"),
+                        col("g").as("g_a")), "id_a")
+      .join(keys.select(col("id").as("id_b"), col("s").as("s_b"),
+                        col("g").as("g_b")), "id_b")
+      .filter(graft.functions.NativeExprs.sortedIntersectGe(
+        col("g_a"), col("g_b"), kq))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))

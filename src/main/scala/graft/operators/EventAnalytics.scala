@@ -511,7 +511,22 @@ object EventAnalytics {
     val isStart = when(prevTs.isNull ||
       unix_micros(col("ts")) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
-    val sess = events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    // Fan the sessionize window out explicitly when the input arrives as
+    // fewer splits than cores (the fanOutSmallInput policy): the window
+    // needs a (user, type) hash exchange anyway, but AQE sizes it by BYTES
+    // and coalesced the compute-bound lag+prefix-sum pass onto ONE task
+    // (0.60 s single-task job at sf0.1). An explicit count pins the
+    // parallelism; the window reuses the partitioning, so no extra
+    // exchange. At real scale the input has more splits than cores and
+    // this is a no-op.
+    val evCols = events.select(col("user_id"), col("event_type"),
+                               col("ts"), col("event_id"))
+    val target = events.sparkSession.sparkContext.defaultParallelism
+    val fanned =
+      if (evCols.rdd.getNumPartitions < target)
+        evCols.repartition(target, col("user_id"), col("event_type"))
+      else evCols
+    val sess = fanned
       .withColumn("sid",
         sum(isStart).over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("event_type"), col("sid"))
@@ -520,6 +535,14 @@ object EventAnalytics {
     // one frame per distinct boundary instant: net delta plus the number of
     // episode STARTS at that instant (so n_sessions folds into the final
     // sweep aggregation — no separate session-count pass over the corpus)
+    // The boundary frame feeds FOUR consumers (the sweep join's probe side,
+    // dayAgg twice — once under the day scaffold, once under the offset
+    // window — and, via `days`, the boundary-free-day coverage pass); left
+    // lazy, each one re-derives the whole sessionize → explode → group
+    // chain, and the initial plan scans the events parquet 10×. One eager
+    // localCheckpoint pins the chain to a single pass — tb is the COLLAPSED
+    // boundary-instant frame (≤ 2 rows per episode), orders of magnitude
+    // narrower than the events it summarizes.
     val tb = sess.select(col("event_type"),
         explode(array(struct(col("s").as("t"), lit(1L).as("d")),
                       struct(col("e").as("t"), lit(-1L).as("d")))).as("b"))
@@ -528,6 +551,7 @@ object EventAnalytics {
                col("b.t").as("t"))
       .agg(sum(col("b.d")).as("d"),
            sum(when(col("b.d") === 1L, 1L).otherwise(0L)).as("ns"))
+      .localCheckpoint()
     val dayAgg = tb.groupBy(col("event_type"), col("day0"))
       .agg(sum(col("d")).as("nd"), count(lit(1)).as("nb"))
     val scaffold = dayAgg.groupBy(col("event_type"))
@@ -535,6 +559,9 @@ object EventAnalytics {
       .select(col("event_type"),
               explode(sequence(col("d0"), col("d1"), lit(DayUs))).as("day0"))
     val wD = Window.partitionBy(col("event_type")).orderBy(col("day0"))
+    // day-domain frame (type × day — tiny): consumed by the sweep's
+    // broadcast AND the boundary-free-day pass; checkpoint so the scaffold
+    // join + offset window run once instead of once per consumer
     val days = scaffold.join(broadcast(dayAgg), Seq("event_type", "day0"), "left")
       .select(col("event_type"), col("day0"),
               coalesce(col("nd"), lit(0L)).as("nd"),
@@ -542,6 +569,7 @@ object EventAnalytics {
       .withColumn("closing",
         sum(col("nd")).over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("opening", col("closing") - col("nd"))
+      .localCheckpoint()
     // one window pass over each (type, day)'s boundary instants: running
     // concurrency, span to the next boundary (tail runs to midnight), and
     // rn==1 marks the day's first boundary (head span owner)

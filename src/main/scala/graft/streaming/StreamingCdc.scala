@@ -52,8 +52,10 @@ object StreamingCdc {
     val base = changes.writeStream.outputMode(OutputMode.Append)
     trigger.fold(base)(base.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          processBatch(batch, path, keyCols, opCol, seqCol, partitionCol, sortCols)
+        // no isEmpty pre-check: that is one extra job per micro-batch, and
+        // mergeApply's FIRST action (the validation aggregate) already
+        // returns DeleteStats(0,0) on an empty batch
+        processBatch(batch, path, keyCols, opCol, seqCol, partitionCol, sortCols)
       }
   }
 

@@ -241,6 +241,34 @@ class NativeExprParitySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("sortedIntersectGe(sort(a), sort(b), k) == array_intersect count-filter reference") {
+    val rnd = new scala.util.Random(29)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L, 5L, 5L), Seq(5L)),             // intra-array duplicate runs
+      (Seq(1L, 2L, 3L), Seq(3L, 2L, 1L)),
+      (Seq(-9L, 0L, 9L), Seq(0L, 0L, 7L, -9L))
+    ) ++ (0 until 80).map { _ =>
+      (Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong),
+       Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong))
+    }
+    val df = cases.toDF("a", "b")
+    for (slack <- Seq(0, 3, 16)) {
+      // reference: distinct-count filter via array_intersect over the
+      // UNSORTED arrays (array_distinct pins the distinct-count semantics
+      // the merge pass implements for duplicate runs)
+      val diff = df.select(
+          NativeExprs.sortedIntersectGe(sort_array($"a"), sort_array($"b"),
+            slack).as("n"),
+          (size(array_intersect($"a", $"b")) >=
+            greatest(size(array_distinct($"a")), size(array_distinct($"b")))
+              - lit(slack)).as("h"))
+        .filter(not($"n" <=> $"h")).count()
+      assert(diff == 0, s"slack=$slack")
+    }
+  }
+
   test("intDot native == HOF aggregate(zip_with) on random int8 arrays") {
     val rnd = new scala.util.Random(17)
     val cases = (0 until 40).map { _ =>

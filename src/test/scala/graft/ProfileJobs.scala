@@ -13,7 +13,9 @@ import scala.collection.concurrent.TrieMap
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("incremental_neardup")
-    val reps = if (args.length > 1) args(1).toInt else 3
+    // reps = the single numeric arg anywhere in the list (default 3)
+    val reps = args.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .headOption.getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -65,8 +67,6 @@ object ProfileJobs {
         }
     })
 
-    val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warm pass, unrecorded
     // gap semantics caveat: `gap` measures this job's start against the end
     // of whichever job finished LAST anywhere in the JVM (one global clock),
     // which is exact for a SERIAL job chain — the documented use case — but
@@ -74,15 +74,28 @@ object ProfileJobs {
     // actions) gaps are under-reported/mis-attributed. Do not read gap≈0 as
     // "no driver time" when jobs overlap.
     println("[note] gap = driver-side time since the previous job END (global; exact only for serial job chains)")
-    (1 to reps).foreach { i =>
-      println(s"=== run $i ===")
-      record = true
-      lastJobEnd.set(System.nanoTime())
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      println(f"[total] ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      record = false
-      Thread.sleep(200)
+    // Multi-query form: every non-numeric arg is a query name, profiled
+    // back-to-back in ONE JVM (reps from the single numeric arg, default 3) —
+    // the per-invocation sbt+warmup cost is paid once for the whole list.
+    val names =
+      if (args.isEmpty) Seq(name)
+      else args.toSeq.filter(a => scala.util.Try(a.toInt).isFailure) match {
+        case Seq() => Seq(name)
+        case ns    => ns
+      }
+    names.foreach { qname =>
+      val fn = SparkEntry.queries(qname)
+      fn(spark, sfDir).count() // warm pass, unrecorded
+      (1 to reps).foreach { i =>
+        println(s"=== $qname run $i ===")
+        record = true
+        lastJobEnd.set(System.nanoTime())
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"[total] $qname ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        record = false
+        Thread.sleep(200)
+      }
     }
     spark.stop()
   }
