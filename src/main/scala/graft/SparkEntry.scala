@@ -175,10 +175,14 @@ object SparkEntry {
            count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // customer/supplier SCALE WITH SF (unlike nation/region/1-row aggregates),
+  // so they carry no forced broadcast() hint anywhere in the TPC-H family:
+  // size-based planning broadcasts them at bench scale (same plan) and
+  // correctly shuffles them at 100 TB where they cannot fit a broadcast.
   private def q3Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count_distinct(col("o_orderkey")).as("n_orders"))
@@ -187,10 +191,11 @@ object SparkEntry {
   private def q5Revenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")),
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), // SF-scaling: no forced hint (see q3 note)
             col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
+      // nation/region are BOUNDED dims (25/5 rows at any SF): hints stay
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -646,7 +651,9 @@ object SparkEntry {
       .filter(col("s_nationkey").isin(1, 3, 5)).select(col("s_suppkey"))
     val parts = t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), (cents * qty).as("v"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // supp is a supplier FRACTION (3 of 25 nations) — still SF-scaling:
+      // no forced hint (see q3 note); the 1-row total below stays hinted
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("v")).as("val_cq"))
     val total = parts.agg(sum(col("val_cq")).as("tot"))
@@ -708,11 +715,13 @@ object SparkEntry {
     val cust = t(s, dir, "customer")
       .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    // cust/supp are customer/supplier-sized (SF-scaling): no forced hint —
+    // size-based planning broadcasts them here, shuffles them at 100 TB
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
               (col("supp_nation") === nb && col("cust_nation") === na))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -810,8 +819,8 @@ object SparkEntry {
                 col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
       .join(l3, col("l_orderkey") === col("l3_orderkey") &&
                 col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
-      .join(broadcast(t(s, dir, "supplier")
-              .select(col("s_suppkey"), col("s_name"))),
+      .join(t(s, dir, "supplier") // SF-scaling: no forced hint (see q3 note)
+              .select(col("s_suppkey"), col("s_name")),
             col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -872,8 +881,11 @@ object SparkEntry {
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
                                        col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // custAsia/supp are customer/supplier-sized (SF-scaling, a fixed
+      // region FRACTION is still linear in SF): no forced hint — a shuffled
+      // semi/hash join is the correct 100 TB plan, broadcast at bench scale
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((dsum(when(col("supp_nation") === "NATION_5", volume).otherwise(lit(0.0)))
               / dsum(volume)).as("mkt_share"))
@@ -910,8 +922,8 @@ object SparkEntry {
                       col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
               .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
             col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
-              .select(col("s_suppkey"))),
+      .join(t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+              .select(col("s_suppkey")), // supplier fraction: SF-scaling, no hint
             col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
@@ -965,8 +977,8 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))
               .select(col("p_partkey"), col("p_retailprice"))),
             col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")
-              .select(col("s_suppkey"), col("s_nationkey"))),
+      .join(t(s, dir, "supplier") // SF-scaling: no forced hint (see q3 note)
+              .select(col("s_suppkey"), col("s_nationkey")),
             col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
@@ -1046,7 +1058,8 @@ object SparkEntry {
 
   private def top10Customers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      // customer is SF-scaling: no forced hint (see q3 note)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))

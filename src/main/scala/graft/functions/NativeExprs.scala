@@ -1742,21 +1742,45 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Ed-Join count-filter predicate over two SORTED long-hash gram sets:
+/** Ed-Join count-filter predicate over two SORTED hashed gram sets:
   * TRUE iff |A ∩ B| ≥ max(|A|, |B|) − slack (distinct counts). One
   * allocation-free merge pass — the `array_intersect` reference form builds
   * a hash set AND materializes the intersection array per row, which
   * measured SLOWER than the banded levenshtein it was guarding (3.65 s vs
-  * 1.81 s verify job at sf0.1); this form is ~100 long-compares per pair.
+  * 1.81 s verify job at sf0.1); this form is ~100 integer-compares per pair.
   * Reference form (parity-pinned): `size(array_intersect(a, b)) >=
-  * greatest(size(a), size(b)) - slack` on duplicate-free arrays. */
+  * greatest(size(a), size(b)) - slack` on duplicate-free arrays.
+  *
+  * Accepts array<long> or array<int> (both children alike): the count bound
+  * survives ANY elementwise hash — |h(A)| ≤ |h(A∩B)| + |A\B| gives
+  * |h(A)∩h(B)| ≥ max(|h(A)|,|h(B)|) − slack whenever |A\B|,|B\A| ≤ slack —
+  * so callers can carry 32-bit-narrowed gram columns through the verify
+  * join (half the row bytes; collisions only admit extra candidates to the
+  * exact verify, never drop true pairs). Inputs MUST be value-sorted. */
 case class SortedIntersectGeExpr(left: Expression, right: Expression, slack: Int)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"SortedIntersectGeExpr requires both children array<bigint> or both array<int>; got ${l.sql}, ${r.sql}")
+    }
+  }
+
+  private lazy val isLongElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (isLongElems) evalLong(x, y) else evalInt(x, y)
+  }
+
+  private def evalLong(x: ArrayData, y: ArrayData): Boolean = {
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0
     var inter = 0; var da = 0; var db = 0
@@ -1784,6 +1808,36 @@ case class SortedIntersectGeExpr(left: Expression, right: Expression, slack: Int
     }
     inter >= math.max(da, db) - slack
   }
+
+  private def evalInt(x: ArrayData, y: ArrayData): Boolean = {
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0
+    var inter = 0; var da = 0; var db = 0
+    while (i < nx && j < ny) {
+      val va = x.getInt(i); val vb = y.getInt(j)
+      if (va == vb) {
+        inter += 1; da += 1; db += 1
+        i += 1; while (i < nx && x.getInt(i) == va) i += 1
+        j += 1; while (j < ny && y.getInt(j) == vb) j += 1
+      } else if (va < vb) {
+        da += 1
+        i += 1; while (i < nx && x.getInt(i) == va) i += 1
+      } else {
+        db += 1
+        j += 1; while (j < ny && y.getInt(j) == vb) j += 1
+      }
+    }
+    while (i < nx) {
+      val va = x.getInt(i); da += 1
+      i += 1; while (i < nx && x.getInt(i) == va) i += 1
+    }
+    while (j < ny) {
+      val vb = y.getInt(j); db += 1
+      j += 1; while (j < ny && y.getInt(j) == vb) j += 1
+    }
+    inter >= math.max(da, db) - slack
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

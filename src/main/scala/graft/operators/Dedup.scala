@@ -627,6 +627,16 @@ object Dedup {
         // explode and size() consumers are order-insensitive
         sort_array(graft.functions.NativeExprs.rawShingleSet(col("s"), q))
           .as("g"))
+      // 32-bit narrowing of the grams for the VERIFY carry (g is what the
+      // posting/size consumers read; g32 is what rides the 12.5M-pair verify
+      // join — half the attached bytes per pair). ShingleSetExpr hashes into
+      // [0, 2^31) (floorMod by Dedup31Prime), so a plain int cast is
+      // INJECTIVE on the domain — identical pruning power, half the bytes.
+      // (NOT shiftright(x,32): the upper word is all zeros here, which maps
+      // every gram to 0 and turns the count filter vacuous — measured 0.97 s
+      // -> 2.2 s on the verify job.) Values are non-negative so the cast
+      // preserves the sort; sort_array kept as a cheap ingest-time guard.
+      .withColumn("g32", sort_array(transform(col("g"), x => x.cast("int"))))
 
   def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 2,
                         keyCol: String = "key", idCol: String = "doc_id",
@@ -637,7 +647,11 @@ object Dedup {
     require(q >= 1, "q must be >= 1")
     val kq = maxDist * q
     // precomputedKeys must be editDistanceKeys(docs, q, keyCol, idCol) (same
-    // q!), already materialized by the caller's ingest-artifact cache
+    // q, and with `g` VALUE-SORTED as that builder emits it — the verify
+    // stage's SortedIntersectGeExpr is a sorted-merge count whose bound
+    // silently drops true pairs on out-of-order input; a keys frame persisted
+    // by any other builder must re-sort before landing here), already
+    // materialized by the caller's ingest-artifact cache
     val keys = precomputedKeys.getOrElse(
       editDistanceKeys(docs, q, keyCol, idCol).localCheckpoint(true))
 
@@ -648,16 +662,18 @@ object Dedup {
     // hashing (h(A)\h(B) ⊆ h(A\B): a value in h(A) but not h(B) can have no
     // preimage in B), so false negatives are impossible — collisions only
     // let a doomed pair through to the exact verify. The predicate runs as
-    // one allocation-free merge pass over the build-time-sorted gram sets
-    // ([[graft.functions.SortedIntersectGeExpr]] — ~100 long compares per
+    // one allocation-free merge pass over the build-time-sorted 32-BIT gram
+    // sets (`g32` — truncation is just another elementwise hash, and
+    // narrowing halves the gram bytes attached to every candidate pair row;
+    // [[graft.functions.SortedIntersectGeExpr]] — ~100 int compares per
     // pair; the `array_intersect` form builds a hash set + result array per
     // pair and measured SLOWER than the DP it guards), pruning nearly all
     // of the dense direct-lane pair space before any levenshtein runs.
     def verified(cand: DataFrame): DataFrame = cand
       .join(keys.select(col("id").as("id_a"), col("s").as("s_a"),
-                        col("g").as("g_a")), "id_a")
+                        col("g32").as("g_a")), "id_a")
       .join(keys.select(col("id").as("id_b"), col("s").as("s_b"),
-                        col("g").as("g_b")), "id_b")
+                        col("g32").as("g_b")), "id_b")
       .filter(graft.functions.NativeExprs.sortedIntersectGe(
         col("g_a"), col("g_b"), kq))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))

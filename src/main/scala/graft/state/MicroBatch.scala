@@ -29,10 +29,13 @@ import graft.operators.{LatestWins, SegmentDef}
   *    (4-eventTime.test.ts:140) so late event-time arrivals are never missed;
   *    event time rides along as a mergeable `max` state (T5).
   *  - Delta-driven recompute (T4): the merge pass restricts the state scan to
-  *    users touched this batch via a LEFT SEMI join against the change log
-  *    (3-microBatch.test.ts:143-148). The change-log side is tiny (this
-  *    batch's users) → Catalyst/AQE plans a broadcast-hash semi join: the 100
-  *    TB state table is filtered without shuffling it.
+  *    users touched this batch via a LEFT SEMI join against the batch's
+  *    change-log BLOCK (3-microBatch.test.ts:143-148) — the key projection of
+  *    the partials just inserted, probed from the batch cache rather than
+  *    read back from the on-disk log (same set by construction; ClickHouse's
+  *    merge likewise consumes the trigger block). The semi side is tiny
+  *    (this batch's users) → a broadcast-hash semi join: the 100 TB state
+  *    table is filtered without shuffling it.
   *
   * Scale notes: state size is O(users × 4 KB sketch), independent of event
   * count; per-batch work is O(batch events) + O(touched users); nothing
@@ -137,34 +140,34 @@ class MicroBatchPipeline(
         failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
         throw first
       }
-    } finally partials.unpersist()
 
-    // --- segment merge restricted to this batch's users
-    //     (3-microBatch.test.ts:135-154 / 4-eventTime.test.ts:149-169)
-    // Both reads carry the batch's own schema: a stream whose FIRST batch
-    // slices to zero rows (no events of the segment's type yet) has written
-    // no parquet footers, and a schema-inferring read of the empty table
-    // would kill the whole stream with UNABLE_TO_INFER_SCHEMA. The schema
-    // is constant across batches by construction (same `sized` projection
-    // every time), so this is behavior-identical once data exists.
-    val touched = spark.read
-      .schema(org.apache.spark.sql.types.StructType(
-        sized.select(col(userCol), col("computed_at"), col("computed_date")).schema))
-      .parquet(paths.changeLog)
-      .filter(col("computed_date") >= to_date(lit(batchTs)) && col("computed_at") >= lit(batchTs))
-      .select(col(userCol)).distinct()
-    val mergeAggs =
-      (Sketches.uniqMerge(col("event_count")) >= seg.minCount).as("value") +:
-      eventTimeCol.map(_ => max(col("last_event_time")).as("last_event_time")).toSeq
-    val merged = spark.read.schema(sized.schema).parquet(paths.states)
-      .join(broadcast(touched), Seq(userCol), "left_semi")
-      .groupBy(col(userCol))
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
-      .withColumn("assigned_at", lit(batchTs))
-      .withColumn("assigned_date", to_date(lit(batchTs)))
-    // same write sizing as above: touched users ≤ batch users
-    merged.coalesce(outParts)
-      .write.mode("append").partitionBy("assigned_date").parquet(paths.assignments)
+      // --- segment merge restricted to this batch's users
+      //     (3-microBatch.test.ts:135-154 / 4-eventTime.test.ts:149-169)
+      // The delta restriction (T4) is "users touched this batch". The change
+      // log IS that set — but this batch's change-log slice is exactly the
+      // key projection of the block we just inserted (the MV triggers on the
+      // inserted block), so the merge probes the CACHED partials instead of
+      // re-listing and re-scanning the on-disk change log per batch (at
+      // scale the log is a large table and this read-back was one full
+      // metadata+scan job per trigger; the reference's ClickHouse merge
+      // likewise reads the trigger block, not the table). The change-log
+      // TABLE is still written above — downstream consumers and the TTL
+      // demo read it — only the same-batch read-back is folded away.
+      // `sized` is already one row per user (groupBy output): no distinct.
+      val touched = sized.select(col(userCol))
+      val mergeAggs =
+        (Sketches.uniqMerge(col("event_count")) >= seg.minCount).as("value") +:
+        eventTimeCol.map(_ => max(col("last_event_time")).as("last_event_time")).toSeq
+      val merged = spark.read.schema(sized.schema).parquet(paths.states)
+        .join(broadcast(touched), Seq(userCol), "left_semi")
+        .groupBy(col(userCol))
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .withColumn("assigned_at", lit(batchTs))
+        .withColumn("assigned_date", to_date(lit(batchTs)))
+      // same write sizing as above: touched users ≤ batch users
+      merged.coalesce(outParts)
+        .write.mode("append").partitionBy("assigned_date").parquet(paths.assignments)
+    } finally partials.unpersist()
   }
 
   /** Right-to-be-forgotten: erase one user from every derived table of the

@@ -39,10 +39,11 @@ object StreamingSegments {
     * /root/reference/src/3-microBatch.test.ts:36-38): after each batch
     * commits, change-log partitions whose `computed_date` is older than the
     * horizon (measured from that batch's own stamp — the stream's clock) are
-    * dropped. Safe by construction: the merge pass only ever reads the
-    * CURRENT batch's change-log partition (T4), and segment read-back reads
-    * the assignment log, so aging out old trigger rows can never alter
-    * results — the same reason ClickHouse can TTL this table. State and
+    * dropped. Safe by construction: the merge pass consumes the current
+    * batch's inserted BLOCK (T4 — it never reads the change-log table back
+    * at all), and segment read-back reads the assignment log, so aging out
+    * old trigger rows can never alter results — the same reason ClickHouse
+    * can TTL this table. State and
     * assignment tables are deliberately NOT expired (the reference's TTL is
     * change-log-only; uniq-over-all-history needs full state).
     */

@@ -269,6 +269,39 @@ class NativeExprParitySpec extends SparkSpec {
     }
   }
 
+  test("sortedIntersectGe on array<int> == reference (32-bit verify carry)") {
+    val rnd = new scala.util.Random(31)
+    val cases = Seq(
+      (Seq.empty[Int], Seq.empty[Int]),
+      (Seq(5, 5, 5), Seq(5)),
+      (Seq(Int.MinValue, -1, 0, Int.MaxValue), Seq(Int.MinValue, 1, Int.MaxValue))
+    ) ++ (0 until 80).map { _ =>
+      (Seq.fill(rnd.nextInt(50))(rnd.nextInt(30)),
+       Seq.fill(rnd.nextInt(50))(rnd.nextInt(30)))
+    }
+    val df = cases.toDF("a", "b")
+    for (slack <- Seq(0, 3, 16)) {
+      val diff = df.select(
+          NativeExprs.sortedIntersectGe(sort_array($"a"), sort_array($"b"),
+            slack).as("n"),
+          (size(array_intersect($"a", $"b")) >=
+            greatest(size(array_distinct($"a")), size(array_distinct($"b")))
+              - lit(slack)).as("h"))
+        .filter(not($"n" <=> $"h")).count()
+      assert(diff == 0, s"slack=$slack")
+    }
+    // mismatched / unsupported child types fail at ANALYSIS time, not with a
+    // runtime ClassCastException mid-join (the ADVICE r17 hygiene item)
+    val mixed = Seq((Seq(1L, 2L), Seq(1, 2))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(NativeExprs.sortedIntersectGe($"a", $"b", 0)).collect()
+    }
+    val strings = Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(NativeExprs.sortedIntersectGe($"a", $"b", 0)).collect()
+    }
+  }
+
   test("intDot native == HOF aggregate(zip_with) on random int8 arrays") {
     val rnd = new scala.util.Random(17)
     val cases = (0 until 40).map { _ =>

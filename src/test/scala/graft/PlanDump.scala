@@ -30,8 +30,14 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.RewriteLatestWinsWindow
-    try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case _: Throwable => () }
-    try SparkEntry.warmStreamingRuntime(spark, sfDir) catch { case _: Throwable => () }
+    // a dead warmup changes the captured plans (missing cached artifacts
+    // plan differently), so a warm failure must be VISIBLE in the dump run
+    // even though the dump itself proceeds — the repo's warmups-fail-loudly
+    // rule applied to an evidence tool
+    try SparkEntry.warmIngestArtifacts(spark, sfDir) catch { case t: Throwable =>
+      System.err.println(s"[plandump] WARM FAILED warmIngestArtifacts: ${t.getClass.getName}: ${t.getMessage}") }
+    try SparkEntry.warmStreamingRuntime(spark, sfDir) catch { case t: Throwable =>
+      System.err.println(s"[plandump] WARM FAILED warmStreamingRuntime: ${t.getClass.getName}: ${t.getMessage}") }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
       SparkEntry.queries.get(name) match {

@@ -13,9 +13,14 @@ import scala.collection.concurrent.TrieMap
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("incremental_neardup")
-    // reps = the single numeric arg anywhere in the list (default 3)
-    val reps = args.flatMap(a => scala.util.Try(a.toInt).toOption)
-      .headOption.getOrElse(3)
+    // reps = the single numeric arg anywhere in the list (default 3). This
+    // is a measurement tool: a second numeric arg or reps < 1 would silently
+    // record nothing — reject both with a usage message instead.
+    val numericArgs = args.flatMap(a => scala.util.Try(a.toInt).toOption)
+    require(numericArgs.length <= 1,
+      s"usage: ProfileJobs <query...> [reps]  — got ${numericArgs.length} numeric args: ${numericArgs.mkString(", ")}")
+    val reps = numericArgs.headOption.getOrElse(3)
+    require(reps >= 1, s"reps must be >= 1 (got $reps): zero recorded runs is a misread profile, not a profile")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
