@@ -93,6 +93,12 @@ object Bench {
     // `calibration` field is the MEDIAN of the passes (robust to one spike),
     // and BENCH_FULL.json carries the raw list.
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // start offset of each calibration pass (seconds since the timed loop
+    // began; negative = before it) — lets the artifact map any query's run
+    // window to its nearest calibration reading (r18: the self-adjudication
+    // the r17 verdict asked for, instead of post-hoc local re-profiles)
+    val calStarts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var calClock: () => Double = () => 0.0
     def calibrate(): Unit = {
       import org.apache.spark.sql.functions.{sum, xxhash64, col, shiftright}
       // first() (NOT count()): count() prunes the aggregate away and would
@@ -102,6 +108,7 @@ object Bench {
       def pass(offset: Int) = spark.range(10_000_000L)
         .agg(sum(shiftright(xxhash64(col("id") + offset), 32))).first()
       if (calibrations.isEmpty) pass(0) // JIT pass, first calibration only
+      calStarts += calClock()
       val t0 = System.nanoTime()
       pass(1)
       calibrations += (System.nanoTime() - t0) / 1e9
@@ -119,9 +126,13 @@ object Bench {
     // read a suspicious per-query time against its offset + the nearest
     // interleaved calibration pass before calling it a regression.
     val loopStart = System.nanoTime()
+    calClock = () => (System.nanoTime() - loopStart) / 1e9
     val starts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every 10 queries (was 25): ~20 untimed 0.4 s passes per run buys the
+    // artifact per-window contention resolution — an episode shorter than a
+    // 25-query stretch was invisible before (the r17 adjudication problem)
     val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % 25 == 0) calibrate()
+      if (i > 0 && i % 10 == 0) calibrate()
       val t0 = System.nanoTime()
       starts(name) = (t0 - loopStart) / 1e9
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -141,7 +152,31 @@ object Bench {
     // "regression" flagged from one sample on an untouched path was noise —
     // this keeps `value` comparable with all prior rounds while making the
     // noise attribution part of the artifact instead of a local re-profile.
-    val rerun = ok.sortBy(-_._2).take(12)
+    // Rerun set = the 12 slowest first runs ∪ queries that ran inside a
+    // POLLUTED calibration window (a bracketing calibration > 1.5× the run's
+    // MEDIAN pass — median, not min: a clean run's passes already spread
+    // ~1.5× around one lucky-quiet probe, and flagging against min marked
+    // every query in the smoke run), capped to the 24 slowest so one long
+    // episode can't double the run. `polluted` is published so the artifact
+    // itself says which first-run numbers were contention-suspect (r17
+    // verdict item 2).
+    val calMedian = calibrations.sorted.apply(calibrations.size / 2)
+    def nearestCal(at: Double): Double = {
+      val i = calStarts.indexWhere(_ >= at)
+      if (i < 0) calibrations.last
+      else if (i == 0) calibrations.head
+      // the window [calStarts(i-1), calStarts(i)] brackets the query: judge
+      // by the WORSE of its two bracketing passes (an episode inside the
+      // window inflates at least one of them)
+      else math.max(calibrations(i), calibrations(i - 1))
+    }
+    val polluted = ok.collect {
+      case (name, _) if nearestCal(starts(name)) > 1.5 * calMedian => name
+    }
+    val rerunNames = (ok.sortBy(-_._2).take(12).map(_._1) ++ polluted)
+      .distinct
+    val okMap = ok.toMap
+    val rerun = rerunNames.map(n => n -> okMap(n)).sortBy(-_._2).take(24)
     val steady = rerun.map { case (name, t1) =>
       val t0 = System.nanoTime()
       starts(s"steady:$name") = (t0 - loopStart) / 1e9
@@ -179,12 +214,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${qstr(k)}:${qstr(v)}" }
       .mkString("{", ",", "}")
     val calJson = calibrations.map(num).mkString("[", ",", "]")
+    val calStartsJson = calStarts.map(num).mkString("[", ",", "]")
+    val pollutedJson = polluted.map(qstr).mkString("[", ",", "]")
     // run order is published explicitly: SparkEntry.queries is a ListMap
     // (insertion order), so positions are stable round-over-round and any
     // per-position cost (should warmup ever regress) is attributable
     val orderJson = results.map { case (n, _) => qstr(n) }.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"order":$orderJson,"queries":${fmt(results)},"starts":${fmt(starts)},"steady":${fmt(steady)},"steady_total":${num(steadyTotal)},"cold_ratio":${fmt(coldRatio)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":${num(calibration)},"calibrations":$calJson,"cal_starts":$calStartsJson,"polluted":$pollutedJson,"order":$orderJson,"queries":${fmt(results)},"starts":${fmt(starts)},"steady":${fmt(steady)},"steady_total":${num(steadyTotal)},"cold_ratio":${fmt(coldRatio)},"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","n_queries":${results.size}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     val headline = Seq(

@@ -216,7 +216,7 @@ object Mutations {
       s"changes must carry every table column; missing: ${dataCols.toSet -- changes.columns}")
     withAdaptiveOff(spark) {
     // small side; read 3×, computed once — the validation aggregate below
-    // is the first action and materializes the lazy checkpoint (all
+    // is an action over it and materializes the lazy checkpoint (all
     // partitions: a full no-groupBy agg), saving the eager-checkpoint job
     val batch = changes.localCheckpoint(false)
     // ONE aggregate over the (checkpointed, tiny) batch folds what r12
@@ -224,7 +224,7 @@ object Mutations {
     // the op-domain validation, the applied-row count, and the batch's own
     // I/U target partitions. The distinct-agg Expand this plans stays on the
     // batch — never on table-sized rows.
-    val b = batch
+    val bAgg = batch
       .agg(count(lit(1)).as("n_applied"),
            // one op per key per batch (a compacted CDC batch): ambiguity is
            // a bug — surplus rows beyond the distinct key count are dups
@@ -238,7 +238,26 @@ object Mutations {
              .as("parts"),
            sum((col(opCol) =!= "D" && col(partitionCol).isNull).cast("long"))
              .as("n_null"))
-      .head()
+    val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
+    // affected partitions: existing homes of changed keys (broadcast semi
+    // join — the table is never shuffled) ∪ the batch's I/U targets above
+    val tbAgg = table.join(keys, keyCols, "left_semi")
+      .agg(collect_set(col(partitionCol)).as("parts"),
+           sum(col(partitionCol).isNull.cast("long")).as("n_null"))
+    // Both probes are READ-ONLY (the first write below starts only after
+    // both results validate), so they run CONCURRENTLY — the per-batch
+    // serial chain drops from 4 driver actions to 3 (probe ∥ probe →
+    // survivors materialization → overwrite). Concurrent first actions over
+    // the lazy checkpoint are safe: local-checkpoint materialization is a
+    // cache-put race both jobs settle idempotently, and the batch is tiny
+    // by contract. Validation failures surface after both probes quiesce —
+    // nothing has been written yet.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bF = Future(bAgg.head())
+    val tbF = Future(tbAgg.head())
+    val (b, tb) = (Await.result(bF, Duration.Inf), Await.result(tbF, Duration.Inf))
     val nApplied = b.getLong(0)
     // empty batch: the sum() columns below are NULL over zero rows — bail
     // before touching them (public API; callers needn't pre-check isEmpty)
@@ -248,13 +267,6 @@ object Mutations {
     require(b.getLong(2) == 0L,
       s"every '$opCol' value must be one of I/U/D (a lowercase or NULL op " +
         s"would silently delete its key); found ${b.getLong(2)} other rows")
-    val keys = broadcast(batch.select(keyCols.map(col): _*).distinct())
-    // affected partitions: existing homes of changed keys (broadcast semi
-    // join — the table is never shuffled) ∪ the batch's I/U targets above
-    val tb = table.join(keys, keyCols, "left_semi")
-      .agg(collect_set(col(partitionCol)).as("parts"),
-           sum(col(partitionCol).isNull.cast("long")).as("n_null"))
-      .head()
     val parts = (b.getSeq[Any](3) ++ tb.getSeq[Any](0)).distinct
     val hasNull = (!b.isNullAt(4) && b.getLong(4) > 0L) ||
                   (!tb.isNullAt(1) && tb.getLong(1) > 0L)
