@@ -3147,13 +3147,21 @@ object SparkEntry {
     new java.util.LinkedHashMap[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(Int, String, String), (java.lang.ref.WeakReference[SparkSession], DataFrame)]) =
-        // headroom above the ~20 live labels (pair list, LSH index/sigs/hot,
-        // hist assignments, batch pairs, contamination grams/bloom, sharded
-        // docs, IVF centroids/layouts, editdist keys, retention source,
-        // cdc stats, chunk stream + digest index): an eviction would
-        // silently push a warmed ingest artifact's rebuild into some timed
-        // query
-        size() > 32
+        // Must hold every live label for TWO dirs at once: Bench's untimed
+        // plan-warm pass (r15) runs the whole contract at sf0.001, whose 17
+        // labels share this cache with the bench dir's 17 — the old cap of
+        // 32 was 2 short, so the two least-recently-touched bench-dir
+        // artifacts (hist_assignments, new_batch_pairs — warmed first,
+        // never re-accessed during the warm) were silently EVICTED and
+        // rebuilt inside their first timed consumer. That was the
+        // "incremental_clusters positional spike" (4.2-4.7 s first-in-bench
+        // vs 0.3 s steady) that r15-r17 kept adjudicating as host
+        // contention; reproduced deterministically at the exact bench
+        // position and gone at 96. Sized for 2 dirs x ~17 labels with
+        // growth headroom; entries are localCheckpoint frames (disk-backed,
+        // MBs at bench scale), so retention is cheap — and a cap breach
+        // now means a label-count audit, not a mystery regression.
+        size() > 96
     }
   /** A materialized (localCheckpoint) intermediate built once per (session,
     * sfDir, label) — the in-session stand-in for what production persists as
