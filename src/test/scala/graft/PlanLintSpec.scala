@@ -141,6 +141,32 @@ class PlanLintSpec extends SparkSpec {
       s"ccnet must not materialize doc-id lists in aggregation buffers:\n$ccnetPlan")
   }
 
+  // r18 global-window audit (WindowAudit tool): across all 198 queries only
+  // TWO no-partition windows exist — events_running_users' day cumsum and
+  // theta_weekly_retention's week lag — and the whole contract surface may
+  // never grow an unvetted one. Each allowed instance is structurally pinned
+  // to a BOUNDED frame: the window's input subtree must contain the
+  // Aggregate that collapsed the table to per-day/per-week granularity, so
+  // the allow-list justification ("#days-sized frame") is machine-checked,
+  // not narrated. Every `WindowExec: No Partition Defined` line a bench log
+  // shows maps to one of these two (6 per pass: warm + timed emissions).
+  test("global (no-partition) windows: exactly the two audited, both over aggregated frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val allowedGlobal = Set("events_running_users", "theta_weekly_retention")
+    for ((name, fn) <- SparkEntry.queries if !streaming(name)) {
+      val globals = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (!allowedGlobal(name))
+        assert(globals.isEmpty,
+          s"$name grew an unvetted global window:\n${globals.headOption.getOrElse("")}")
+      else globals.foreach { w =>
+        assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"$name: global window over a non-aggregated (table-sized) frame:\n$w")
+      }
+    }
+  }
+
   test("no single-partition exchange outside scalar-output queries") {
     for ((name, fn) <- SparkEntry.queries if !streaming(name) && !scalarOutput(name)) {
       val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
